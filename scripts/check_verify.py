@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/check_verify.py <verify_out_dir> <sf_dir>
+
+Reads each <out_dir>/<name>/ parquet written by graft.Verify, runs the
+matching oracle SQL from oracle_sql.json in DuckDB against <sf_dir>'s
+tables, and compares: schema (column names), row count, and values
+(columns sorted by name, rows sorted by all columns, exact match after
+stringify; floats also reported with approx tolerance so we can tell a
+formatting mismatch from a real numeric divergence).
+"""
+import sys, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    outdir, sfdir = sys.argv[1], sys.argv[2]
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            a = norm(pd.concat([pd.read_parquet(f) for f in files]))
+            b = norm(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        probs = []
+        if list(a.columns) != list(b.columns):
+            probs.append(f"columns spark={list(a.columns)} duck={list(b.columns)}")
+        elif len(a) != len(b):
+            probs.append(f"rows spark={len(a)} duck={len(b)}")
+        else:
+            for col in a.columns:
+                av, bv = a[col].to_numpy(), b[col].to_numpy()
+                if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+                    af = av.astype(float)
+                    bf = bv.astype(float)
+                    exact = np.array_equal(af, bf, equal_nan=True)
+                    if not exact:
+                        close = np.allclose(af, bf, rtol=1e-9, atol=1e-12, equal_nan=True)
+                        i = int(np.argmax(~np.isclose(af, bf, rtol=1e-9, atol=1e-12, equal_nan=True))) if not close else int(np.argmax(af != bf))
+                        probs.append(f"col {col}: exact=False close={close} e.g. row {i}: {af[i]!r} vs {bf[i]!r}")
+                else:
+                    astr = a[col].astype(str).to_numpy()
+                    bstr = b[col].astype(str).to_numpy()
+                    if not np.array_equal(astr, bstr):
+                        i = int(np.argmax(astr != bstr))
+                        probs.append(f"col {col}: row {i}: {astr[i]!r} vs {bstr[i]!r}")
+        if probs:
+            print(f"FAIL {name}: " + "; ".join(probs[:3]))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(a)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

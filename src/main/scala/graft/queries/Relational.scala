@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator coverage (SURVEY.md §2.3–2.7) over the driver
+  * testdata star schema: aggregation, star joins (broadcast dims),
+  * anti/semi joins, top-k. Each query has a DuckDB oracle twin in
+  * [[oracles]]; column names and total row order are deterministic and
+  * aligned on both sides.
+  */
+object Relational {
+  import graft.Tables.load
+
+  /** Exact cross-engine money arithmetic: scalar math stays in double
+    * (bit-identical IEEE ops in Spark and DuckDB), each row is snapped to
+    * decimal(18,4) (deterministic — decimal tie points are not
+    * binary-representable, so rounding mode can't diverge), the sum is
+    * exact decimal, and the result is emitted as double.
+    */
+  private def moneySum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A5/A8 — grouped aggregation with filter pushed to the parquet scan.
+    // Reference: bronze_to_silver count instrumentation + Trino agg queries
+    // (silver_to_gold_processor.py:300-304, daily_events.sql).
+    "q1_agg" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("2000-09-02").cast(TimestampType))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          moneySum($"l_quantity").as("sum_qty"),
+          moneySum($"l_extendedprice").as("sum_base_price"),
+          moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // J6 — star join fact→dims; small dims broadcast (DAU.sql:9-11 shape).
+    "q2_star_join" -> { (s, dir) =>
+      import s.implicits._
+      val li = load(s, dir, "lineitem")
+      val o = load(s, dir, "orders")
+      val c = load(s, dir, "customer")
+      val n = load(s, dir, "nation")
+      val r = load(s, dir, "region")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"n_name")
+    },
+
+    // T2 — top-k: ORDER BY aggregate DESC LIMIT k with key tiebreak
+    // (top_10_clicked_recipe.sql:8-10). Catalyst: TakeOrderedAndProject.
+    "q3_topk" -> { (s, dir) =>
+      import s.implicits._
+      val li = load(s, dir, "lineitem")
+      val p = load(s, dir, "part")
+      li.join(p, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_partkey", $"p_name")
+        .agg(moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("part_revenue"))
+        .orderBy($"part_revenue".desc, $"p_partkey".asc)
+        .limit(10)
+    },
+
+    // J5 — left anti join (incremental dim upsert shape,
+    // replay_silver_to_gold.py:226-231): customers with no orders.
+    "q4_anti_join" -> { (s, dir) =>
+      import s.implicits._
+      val c = load(s, dir, "customer")
+      val o = load(s, dir, "orders")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_nationkey")
+        .orderBy($"c_custkey")
+    },
+
+    // J9 — semi join against a top-k subquery
+    // (top_10_interactions_per_events.sql:11-23).
+    "q5_semi_topk" -> { (s, dir) =>
+      import s.implicits._
+      val o = load(s, dir, "orders")
+      val top10 = o.groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"o_custkey".asc).limit(10)
+        .select($"o_custkey")
+      o.join(top10, Seq("o_custkey"), "left_semi")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum($"o_totalprice").as("total_price"))
+        .orderBy($"o_orderstatus")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q3_topk" ->
+      """SELECT p_partkey, p_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS part_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey, p_name
+        |ORDER BY part_revenue DESC, p_partkey ASC
+        |LIMIT 10""".stripMargin,
+    "q4_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q5_semi_topk" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT o_custkey FROM orders GROUP BY o_custkey
+        |  ORDER BY COUNT(*) DESC, o_custkey ASC LIMIT 10)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
+  )
+}
