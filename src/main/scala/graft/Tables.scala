@@ -11,5 +11,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark 4 rejects outright. Read nanos as LONG and convert to a
+    * microsecond TimestampType (integer `div`, no double round-trip — ns
+    * values exceed 2^53). Matches DuckDB, which also truncates ns → µs.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 }

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dimension builds for the gold star schema (create_dims.py:59-180).
+  *
+  * Surrogate keys: the reference uses `monotonically_increasing_id`
+  * (create_dims.py:78) which is partition-dependent and therefore
+  * non-deterministic across runs/cluster layouts. We assign SKs with
+  * `row_number` over the natural key instead — deterministic, testable,
+  * and stable under re-runs (SURVEY.md §7.5 risk 2). For a full rebuild
+  * the global row_number is a single-pass window; dimension cardinality
+  * (users/recipes/pages) is orders of magnitude below fact cardinality,
+  * so the single-partition window over the *deduplicated dim candidates*
+  * is not a 100 TB bottleneck (dims are ~10^3..10^6 rows). SKs start at 1;
+  * 0 is reserved as the "join missed" default (silver_to_gold_processor
+  * .py:272-276).
+  */
+object Dims {
+
+  /** W1 — SCD Type 1: latest record per user by a deterministic recency
+    * order (create_dims.py:67-74 orders by processed_at; we order by the
+    * caller-supplied event-time column + event_id tiebreak so results are
+    * reproducible).
+    */
+  def latestPerUser(silver: DataFrame, orderCol: String = "kst_timestamp"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(desc(orderCol), desc("event_id"))
+    silver
+      .select("user_id", "anonymous_id", "user_segment", "cooking_style",
+        "ab_test_group", orderCol, "event_id")
+      .where(col("user_id").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn", orderCol, "event_id")
+      .distinct()
+  }
+
+  /** dim_user: SCD-1 latest per user + deterministic SK. */
+  def dimUser(silver: DataFrame): DataFrame = {
+    val w = Window.orderBy("user_id", "anonymous_id")
+    latestPerUser(silver)
+      .withColumn("user_sk", row_number().over(w).cast("long"))
+      .select("user_sk", "user_id", "anonymous_id", "user_segment",
+        "cooking_style", "ab_test_group")
+  }
+
+  /** A2 + SK — generic small dim from distinct candidate columns
+    * (create_dims.py:99-104). First id column must be non-null.
+    */
+  def dimFromColumns(silver: DataFrame, idCols: Seq[String], sk: String): DataFrame = {
+    val w = Window.orderBy(idCols.map(col): _*)
+    silver.select(idCols.map(col): _*)
+      .where(col(idCols.head).isNotNull)
+      .distinct()
+      .withColumn(sk, row_number().over(w).cast("long"))
+      .select((sk +: idCols).map(col): _*)
+  }
+
+  def dimEvent(silver: DataFrame): DataFrame =
+    dimFromColumns(silver, Seq("event_name"), "event_sk")
+
+  /** dim_page keeps rows where at least one of (page_name, page_url) is
+    * set — matches the J4 join guard.
+    */
+  def dimPage(silver: DataFrame): DataFrame = {
+    val w = Window.orderBy(asc_nulls_first("page_name"), asc_nulls_first("page_url"))
+    silver.select("page_name", "page_url")
+      .where(col("page_name").isNotNull || col("page_url").isNotNull)
+      .distinct()
+      .withColumn("page_sk", row_number().over(w).cast("long"))
+      .select("page_sk", "page_name", "page_url")
+  }
+
+  /** dim_time: one row per hour over [start, end], generated with
+    * explode(sequence(...)) (create_dims.py:160-180). Generated, not
+    * scanned — cardinality is hours-in-range (17,520 for two years), so
+    * always broadcastable.
+    */
+  def dimTime(spark: org.apache.spark.sql.SparkSession,
+              start: String, end: String): DataFrame = {
+    val ts = spark.sql(
+      s"""SELECT explode(sequence(to_timestamp('$start'),
+         |                        to_timestamp('$end'),
+         |                        interval 1 hour)) AS ts""".stripMargin)
+    ts.select(
+      date_format(col("ts"), "yyyyMMddHH").cast("long").as("time_dim_key"),
+      col("ts").as("datetime_kst"),
+      to_date(col("ts")).as("date"),
+      year(col("ts")).as("year"),
+      month(col("ts")).as("month"),
+      dayofmonth(col("ts")).as("day"),
+      hour(col("ts")).as("hour"),
+      date_format(col("ts"), "E").as("day_of_week"),
+      date_format(col("ts"), "E").isin("Sat", "Sun").as("is_weekend"))
+  }
+
+  /** J5 + A4 + W2 — incremental dim_user upsert
+    * (replay_silver_to_gold.py:200-280): new users = silver users anti-join
+    * existing dim; SKs continue from the existing high-water mark via
+    * global row_number. Returns the rows to append.
+    */
+  def dimUserUpsert(silver: DataFrame, existing: DataFrame): DataFrame = {
+    val candidates = latestPerUser(silver)
+    val newUsers = candidates.join(
+      existing.select("user_id", "anonymous_id"),
+      Seq("user_id", "anonymous_id"), "left_anti")
+    // A4 — scalar high-water mark; one tiny agg, broadcast back as a literal
+    val maxSk = existing.agg(coalesce(max("user_sk"), lit(0L))).head.getLong(0)
+    val w = Window.orderBy("user_id", "anonymous_id")
+    newUsers
+      .withColumn("user_sk", (row_number().over(w) + lit(maxSk)).cast("long"))
+      .select("user_sk", "user_id", "anonymous_id", "user_segment",
+        "cooking_style", "ab_test_group")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic adapter: driver testdata `events` rows → reference-shaped
+  * raw JSON event lines (create_event_logs.py:950-959 envelope with
+  * doubly-encoded `context` / `event_properties` payloads).
+  *
+  * Every derived field is a pure function of (event_id, ts, user_id,
+  * event_type, props.k), so a DuckDB oracle can compute the expected
+  * *parsed* output directly from the events table — the Spark side must
+  * round-trip encode → double from_json → derive to match it. This turns
+  * the whole Bronze→Silver parse path into an oracle-checkable query over
+  * driver testdata (no synthesized inputs).
+  *
+  * Event-name mapping picks names that exercise the reference's
+  * engagement/conversion lookup tables (silver_to_gold_processor.py:282-292).
+  */
+object RefEventsAdapter {
+
+  /** events table → one `value: STRING` raw-JSON column (a staging file). */
+  def toRawJson(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val et = col("event_type")
+    val eventName =
+      when(et === "signup", "auth_success")
+        .when(et === "purchase", "click_bookmark")
+        .when(et === "click", "click_recipe")
+        .when(et === "view", "view_recipe")
+        .otherwise("view_page") // error
+    // KST wall clock string with explicit +09:00 offset (ms precision)
+    val kstWall = col("ts") + expr("INTERVAL 9 HOURS")
+    val tsStr = concat(date_format(kstWall, "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit("+09:00"))
+    // page: error → both null (J4 guard false); view → url null (coalesce
+    // path); others → both set
+    val pageName = when(et === "error", lit(null).cast("string"))
+      .otherwise(concat(lit("page_"), et))
+    val pageUrl = when(et === "error" || et === "view", lit(null).cast("string"))
+      .otherwise(concat(lit("https://r/"), et))
+
+    val context = to_json(struct(
+      struct(
+        pageName.as("name"),
+        pageUrl.as("url"),
+        concat(lit("/"), et).as("path")).as("page"),
+      when(col("user_id") % 3 === 0, "power")
+        .when(col("user_id") % 3 === 1, "casual")
+        .otherwise("new").as("user_segment"),
+      when(k % 3 === 0, "high").when(k % 3 === 1, "mid")
+        .otherwise("low").as("activity_level"),
+      when(col("user_id") % 4 === 0, "korean")
+        .when(col("user_id") % 4 === 1, "western")
+        .when(col("user_id") % 4 === 2, "baking")
+        .otherwise("vegan").as("cooking_style"),
+      struct(
+        lit("sc1").as("scenario"),
+        when(col("user_id") % 2 === 0, "treatment").otherwise("control").as("group"),
+        lit("2024-01-01").as("start_date"),
+        lit("2024-12-31").as("end_date")).as("ab_test")))
+
+    val properties = to_json(struct(
+      pageName.as("page_name"),
+      when(et.isin("click", "view", "purchase"), (lit(1000) + k).cast("string"))
+        .otherwise(lit(null).cast("string")).as("recipe_id"),
+      when(k % 2 === 0, "grid").otherwise("list").as("list_type"),
+      when(et === "purchase", concat(lit("dur:"), (k * 3).cast("string")))
+        .when(et === "click", lit("cl"))
+        .otherwise(lit(null).cast("string")).as("action"),
+      when(et === "view", concat(lit("kw"), (k % 10).cast("string")))
+        .otherwise(lit(null).cast("string")).as("search_keyword"),
+      when(et === "view", k).otherwise(lit(null).cast("int")).as("result_count")))
+
+    events.select(to_json(struct(
+      concat(lit("anon-"), col("user_id")).as("anonymous_id"),
+      context.as("context"),
+      col("event_id").cast("string").as("event_id"),
+      eventName.as("event_name"),
+      properties.as("event_properties"),
+      concat(col("user_id"), lit("-"), k % 5).as("session_id"),
+      tsStr.as("timestamp"),
+      col("user_id").cast("string").as("user_id"))).as("value"))
+  }
+
+  /** Full adapter pipeline: events → raw JSON → bronze shape → silver.
+    * `duplicate=true` unions the staging input with itself first, modelling
+    * at-least-once delivery so `dropDuplicates(event_id)` is exercised
+    * non-vacuously.
+    */
+  def toSilver(events: DataFrame, duplicate: Boolean = true): DataFrame = {
+    val raw0 = toRawJson(events)
+    val raw = if (duplicate) raw0.unionByName(raw0) else raw0
+    val bronze = StagingToBronze.enrich(raw, "events_adapter.jsonl", "2024-01-01")
+    BronzeToSilver.transform(bronze)
+  }
+}
