@@ -1,0 +1,368 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** The reference's analytics layer (the 21 Trino queries' operator shapes,
+  * SURVEY.md §2.3–2.7) re-expressed as DataFrame programs over the driver
+  * `events`/`documents` testdata, each with a DuckDB oracle twin.
+  *
+  * Segments are derived deterministically from user_id/props so both
+  * engines compute identical inputs:
+  *   user_segment = user_id%3, cooking_style = user_id%4, ab_grp = user_id%2.
+  *
+  * Scale notes: every query is a pure groupBy/window/join plan — one
+  * shuffle per aggregate on bounded-cardinality keys, window partitions by
+  * date/segment (never a single global partition over raw events; W6-style
+  * empty-frame windows run over the *aggregated* frame, whose cardinality
+  * is hours×days, not rows).
+  */
+object Analytics {
+
+  /** events + derived segment columns (the Spark twin of the oracle CTE). */
+  private def enriched(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "events")
+    e.withColumn("d", to_date(col("ts")))
+      .withColumn("user_segment",
+        when(col("user_id") % 3 === 0, "power")
+          .when(col("user_id") % 3 === 1, "casual").otherwise("new"))
+      .withColumn("cooking_style",
+        when(col("user_id") % 4 === 0, "korean")
+          .when(col("user_id") % 4 === 1, "western")
+          .when(col("user_id") % 4 === 2, "baking").otherwise("vegan"))
+      .withColumn("ab_grp",
+        when(col("user_id") % 2 === 0, "treatment").otherwise("control"))
+  }
+
+  /** Oracle twin of [[enriched]]. */
+  private val enrichedCte =
+    """WITH e AS (
+      |  SELECT *, CAST(ts AS DATE) AS d,
+      |    CASE CAST(user_id % 3 AS INTEGER) WHEN 0 THEN 'power'
+      |      WHEN 1 THEN 'casual' ELSE 'new' END AS user_segment,
+      |    CASE CAST(user_id % 4 AS INTEGER) WHEN 0 THEN 'korean'
+      |      WHEN 1 THEN 'western' WHEN 2 THEN 'baking' ELSE 'vegan' END AS cooking_style,
+      |    CASE WHEN user_id % 2 = 0 THEN 'treatment' ELSE 'control' END AS ab_grp
+      |  FROM events
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A5 + A13 + U1 + T1 — the DAU shape (DAU.sql:4-54): the same
+    // countDistinct aggregate at four grouping levels, stacked with
+    // literal segment_type columns via unionByName.
+    "q_dau_rollup" -> { (s, dir) =>
+      import s.implicits._
+      val e = enriched(s, dir).cache()
+      def level(segType: String, segCol: org.apache.spark.sql.Column) =
+        e.groupBy($"d", segCol.as("segment_value"))
+          .agg(countDistinct($"user_id").as("dau"), count(lit(1)).as("n_events"))
+          .withColumn("segment_type", lit(segType))
+      level("TOTAL", lit("ALL"))
+        .unionByName(level("USER_SEGMENT", $"user_segment"))
+        .unionByName(level("COOKING_STYLE", $"cooking_style"))
+        .unionByName(level("AB_TEST_GROUP", $"ab_grp"))
+        .select($"d".cast("string").as("date_s"), $"segment_type",
+          $"segment_value", $"dau", $"n_events")
+        .orderBy($"date_s", $"segment_type", $"segment_value")
+    },
+
+    // W4 — weekly actives + LAG WoW growth per segment (WAU.sql:56-61).
+    "q_wau_wow" -> { (s, dir) =>
+      import s.implicits._
+      val weekly = enriched(s, dir)
+        .withColumn("week_start", date_trunc("week", $"ts").cast("date"))
+        .groupBy($"user_segment", $"week_start")
+        .agg(countDistinct($"user_id").as("wau"))
+      val w = Window.partitionBy("user_segment").orderBy("week_start")
+      weekly
+        .withColumn("prev_wau", lag($"wau", 1).over(w))
+        .withColumn("wow_pct", ($"wau" - $"prev_wau") * 100.0 / $"prev_wau")
+        .select($"user_segment", $"week_start".cast("string").as("week_s"),
+          $"wau", $"prev_wau", $"wow_pct")
+        .orderBy($"user_segment", $"week_s")
+    },
+
+    // W5 — share-of-day %: windowed SUM over the aggregated frame
+    // (daily_events.sql:9).
+    "q_daily_share" -> { (s, dir) =>
+      import s.implicits._
+      val agg = enriched(s, dir)
+        .groupBy($"d", $"event_type").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("d")
+      agg.withColumn("day_total", sum($"cnt").over(w))
+        .withColumn("share_pct", $"cnt" * 100.0 / $"day_total")
+        .select($"d".cast("string").as("date_s"), $"event_type", $"cnt",
+          $"day_total", $"share_pct")
+        .orderBy($"date_s", $"event_type")
+    },
+
+    // W6 — global MIN/MAX OVER () normalization of an hour×weekday heatmap
+    // (time_x_day_events_heatmap.sql:33-36). The empty-frame window runs
+    // over the 7×24-row aggregate, not the raw events.
+    "q_heatmap_norm" -> { (s, dir) =>
+      import s.implicits._
+      val agg = enriched(s, dir)
+        .groupBy(date_format($"ts", "E").as("dow"), hour($"ts").cast("long").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy()
+      agg.withColumn("mn", min($"cnt").over(w))
+        .withColumn("mx", max($"cnt").over(w))
+        .withColumn("norm_0_100",
+          when($"mx" === $"mn", lit(null).cast("double"))
+            .otherwise(($"cnt" - $"mn") * 100.0 / ($"mx" - $"mn")))
+        .select($"dow", $"hr", $"cnt", $"norm_0_100")
+        .orderBy($"dow", $"hr")
+    },
+
+    // A7 — MAX(CASE) per-user funnel flags, then staged counts with
+    // pct-of-previous (click_ads_funnel.sql:4-25 shape).
+    "q_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val flags = enriched(s, dir).groupBy($"user_id").agg(
+        max(when($"event_type" === "view", 1).otherwise(0)).as("v"),
+        max(when($"event_type" === "click", 1).otherwise(0)).as("c"),
+        max(when($"event_type" === "purchase", 1).otherwise(0)).as("p"))
+      val tot = flags.agg(
+        count(lit(1)).as("n_all"),
+        sum($"v").as("n_v"),
+        sum(when($"v" === 1 && $"c" === 1, 1).otherwise(0)).as("n_vc"),
+        sum(when($"v" === 1 && $"c" === 1 && $"p" === 1, 1).otherwise(0)).as("n_vcp"))
+      tot.select(lit(1L).as("stage_no"), lit("all_users").as("stage"),
+          $"n_all".as("users"), lit(null).cast("double").as("pct_of_prev"))
+        .unionByName(tot.select(lit(2L).as("stage_no"), lit("viewed").as("stage"),
+          $"n_v".as("users"), ($"n_v" * 100.0 / $"n_all").as("pct_of_prev")))
+        .unionByName(tot.select(lit(3L).as("stage_no"), lit("viewed_clicked").as("stage"),
+          $"n_vc".as("users"), ($"n_vc" * 100.0 / $"n_v").as("pct_of_prev")))
+        .unionByName(tot.select(lit(4L).as("stage_no"), lit("full_funnel").as("stage"),
+          $"n_vcp".as("users"), ($"n_vcp" * 100.0 / $"n_vc").as("pct_of_prev")))
+        .orderBy($"stage_no")
+    },
+
+    // A10 — pivot to columns (ab_test_kpi_metric.sql:22-29): explicit value
+    // list keeps the plan a single pass (no value-discovery job).
+    "q_pivot" -> { (s, dir) =>
+      import s.implicits._
+      enriched(s, dir)
+        .groupBy($"event_type")
+        .pivot("ab_grp", Seq("control", "treatment"))
+        .agg(count(lit(1)))
+        .withColumn("t_over_c", $"treatment" * 1.0 / $"control")
+        .orderBy($"event_type")
+    },
+
+    // A6 — conditional distinct-count (ab_test_heatmap.sql:9).
+    "q_cond_distinct" -> { (s, dir) =>
+      import s.implicits._
+      enriched(s, dir).groupBy($"d")
+        .agg(
+          countDistinct($"user_id").as("active_users"),
+          countDistinct(when($"event_type" === "purchase", $"user_id")).as("buyers"),
+          countDistinct(when($"event_type" === "signup", $"user_id")).as("signups"))
+        .select($"d".cast("string").as("date_s"), $"active_users", $"buyers", $"signups")
+        .orderBy($"date_s")
+    },
+
+    // A9 — HAVING gate on an aggregate (lift.sql:22).
+    "q_having" -> { (s, dir) =>
+      import s.implicits._
+      enriched(s, dir).groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), countDistinct($"d").as("active_days"))
+        .where($"n" >= 70)
+        .orderBy($"user_id")
+    },
+
+    // A11 + A12 — collect_list/array_join + MIN/MAX over table
+    // (ab_test_kpi_metric.sql:98,111) — sorted for determinism.
+    "q_collect_list" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "documents").groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          array_join(array_sort(collect_set($"source")), ", ").as("sources"),
+          concat(min($"n_chars"), lit("~"), max($"n_chars")).as("chars_range"))
+        .orderBy($"lang")
+    },
+
+    // J7 — self-join of an aggregate with itself: treatment vs control
+    // lift per segment with min-sample HAVING gates (lift.sql:15-57).
+    "q_lift" -> { (s, dir) =>
+      import s.implicits._
+      val stats = enriched(s, dir)
+        .groupBy($"user_segment", $"ab_grp")
+        .agg(
+          countDistinct($"user_id").as("users"),
+          countDistinct(when($"event_type" === "purchase", $"user_id")).as("buyers"))
+        .withColumn("rate", $"buyers" * 1.0 / $"users")
+        .where($"users" >= 2)
+      val t = stats.where($"ab_grp" === "treatment").alias("t")
+      val c = stats.where($"ab_grp" === "control").alias("c")
+      t.join(c, col("t.user_segment") === col("c.user_segment"))
+        .select(
+          col("t.user_segment").as("user_segment"),
+          col("t.rate").as("t_rate"), col("c.rate").as("c_rate"),
+          (abs(col("t.rate") - col("c.rate")) * 100.0).as("abs_diff_pct"),
+          ((col("t.rate") - col("c.rate")) * 100.0 /
+            nullif(col("c.rate"), lit(0.0))).as("lift_pct"),
+          when(col("t.rate") > col("c.rate"), "treatment")
+            .when(col("c.rate") > col("t.rate"), "control")
+            .otherwise("tie").as("winner"))
+        .orderBy($"user_segment")
+    },
+
+    // J10 — scalar subquery: global total as a broadcast 1-row cross join
+    // (ab_test_kpi_metric.sql:70).
+    "q_scalar_subquery" -> { (s, dir) =>
+      import s.implicits._
+      val e = enriched(s, dir)
+      val total = e.agg(count(lit(1)).as("total"))
+      e.groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .withColumn("share_pct", $"n" * 100.0 / $"total")
+        .orderBy($"event_type")
+    },
+
+    // T3 — latest row: ORDER BY ts DESC LIMIT 1 with a deterministic
+    // tiebreak (new_data_load_date.sql:28-30).
+    "q_latest" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .orderBy($"ts".desc, $"event_id".desc).limit(1)
+        .select($"event_id", $"event_type", $"user_id",
+          unix_timestamp($"ts").as("ts_unix"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dau_rollup" ->
+      s"""$enrichedCte, lv AS (
+         |  SELECT d, 'TOTAL' AS segment_type, 'ALL' AS segment_value,
+         |    COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events FROM e GROUP BY d
+         |  UNION ALL
+         |  SELECT d, 'USER_SEGMENT', user_segment,
+         |    COUNT(DISTINCT user_id), COUNT(*) FROM e GROUP BY d, user_segment
+         |  UNION ALL
+         |  SELECT d, 'COOKING_STYLE', cooking_style,
+         |    COUNT(DISTINCT user_id), COUNT(*) FROM e GROUP BY d, cooking_style
+         |  UNION ALL
+         |  SELECT d, 'AB_TEST_GROUP', ab_grp,
+         |    COUNT(DISTINCT user_id), COUNT(*) FROM e GROUP BY d, ab_grp
+         |)
+         |SELECT strftime(d, '%Y-%m-%d') AS date_s, segment_type, segment_value,
+         |  dau, n_events
+         |FROM lv ORDER BY date_s, segment_type, segment_value""".stripMargin,
+
+    "q_wau_wow" ->
+      s"""$enrichedCte, weekly AS (
+         |  SELECT user_segment, CAST(date_trunc('week', ts) AS DATE) AS week_start,
+         |    COUNT(DISTINCT user_id) AS wau
+         |  FROM e GROUP BY 1, 2
+         |)
+         |SELECT user_segment, strftime(week_start, '%Y-%m-%d') AS week_s, wau,
+         |  lag(wau, 1) OVER (PARTITION BY user_segment ORDER BY week_start) AS prev_wau,
+         |  (wau - lag(wau, 1) OVER (PARTITION BY user_segment ORDER BY week_start)) * 100.0
+         |    / lag(wau, 1) OVER (PARTITION BY user_segment ORDER BY week_start) AS wow_pct
+         |FROM weekly ORDER BY user_segment, week_s""".stripMargin,
+
+    "q_daily_share" ->
+      s"""$enrichedCte, agg AS (
+         |  SELECT d, event_type, COUNT(*) AS cnt FROM e GROUP BY d, event_type
+         |)
+         |SELECT strftime(d, '%Y-%m-%d') AS date_s, event_type, cnt,
+         |  CAST(SUM(cnt) OVER (PARTITION BY d) AS BIGINT) AS day_total,
+         |  cnt * 100.0 / SUM(cnt) OVER (PARTITION BY d) AS share_pct
+         |FROM agg ORDER BY date_s, event_type""".stripMargin,
+
+    "q_heatmap_norm" ->
+      s"""$enrichedCte, agg AS (
+         |  SELECT strftime(ts, '%a') AS dow, CAST(hour(ts) AS BIGINT) AS hr,
+         |    COUNT(*) AS cnt
+         |  FROM e GROUP BY 1, 2
+         |)
+         |SELECT dow, hr, cnt,
+         |  CASE WHEN MAX(cnt) OVER () = MIN(cnt) OVER () THEN NULL
+         |    ELSE (cnt - MIN(cnt) OVER ()) * 100.0
+         |      / (MAX(cnt) OVER () - MIN(cnt) OVER ()) END AS norm_0_100
+         |FROM agg ORDER BY dow, hr""".stripMargin,
+
+    "q_funnel" ->
+      s"""$enrichedCte, flags AS (
+         |  SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+         |  FROM e GROUP BY user_id
+         |), tot AS (
+         |  SELECT COUNT(*) AS n_all, SUM(v) AS n_v,
+         |    SUM(CASE WHEN v = 1 AND c = 1 THEN 1 ELSE 0 END) AS n_vc,
+         |    SUM(CASE WHEN v = 1 AND c = 1 AND p = 1 THEN 1 ELSE 0 END) AS n_vcp
+         |  FROM flags
+         |)
+         |SELECT CAST(1 AS BIGINT) AS stage_no, 'all_users' AS stage,
+         |  CAST(n_all AS BIGINT) AS users, CAST(NULL AS DOUBLE) AS pct_of_prev FROM tot
+         |UNION ALL SELECT 2, 'viewed', CAST(n_v AS BIGINT), n_v * 100.0 / n_all FROM tot
+         |UNION ALL SELECT 3, 'viewed_clicked', CAST(n_vc AS BIGINT), n_vc * 100.0 / n_v FROM tot
+         |UNION ALL SELECT 4, 'full_funnel', CAST(n_vcp AS BIGINT), n_vcp * 100.0 / n_vc FROM tot
+         |ORDER BY stage_no""".stripMargin,
+
+    "q_pivot" ->
+      s"""$enrichedCte
+         |SELECT event_type,
+         |  COUNT(CASE WHEN ab_grp = 'control' THEN 1 END) AS control,
+         |  COUNT(CASE WHEN ab_grp = 'treatment' THEN 1 END) AS treatment,
+         |  COUNT(CASE WHEN ab_grp = 'treatment' THEN 1 END) * 1.0
+         |    / COUNT(CASE WHEN ab_grp = 'control' THEN 1 END) AS t_over_c
+         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_cond_distinct" ->
+      s"""$enrichedCte
+         |SELECT strftime(d, '%Y-%m-%d') AS date_s,
+         |  COUNT(DISTINCT user_id) AS active_users,
+         |  COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS buyers,
+         |  COUNT(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS signups
+         |FROM e GROUP BY d ORDER BY date_s""".stripMargin,
+
+    "q_having" ->
+      s"""$enrichedCte
+         |SELECT user_id, COUNT(*) AS n, COUNT(DISTINCT d) AS active_days
+         |FROM e GROUP BY user_id HAVING COUNT(*) >= 70
+         |ORDER BY user_id""".stripMargin,
+
+    "q_collect_list" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  array_to_string(list_sort(list(DISTINCT source)), ', ') AS sources,
+        |  CAST(MIN(n_chars) AS VARCHAR) || '~' || CAST(MAX(n_chars) AS VARCHAR) AS chars_range
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_lift" ->
+      s"""$enrichedCte, stats AS (
+         |  SELECT user_segment, ab_grp, COUNT(DISTINCT user_id) AS users,
+         |    COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS buyers
+         |  FROM e GROUP BY user_segment, ab_grp
+         |  HAVING COUNT(DISTINCT user_id) >= 2
+         |), rated AS (SELECT *, buyers * 1.0 / users AS rate FROM stats)
+         |SELECT t.user_segment AS user_segment, t.rate AS t_rate, c.rate AS c_rate,
+         |  ABS(t.rate - c.rate) * 100.0 AS abs_diff_pct,
+         |  (t.rate - c.rate) * 100.0 / NULLIF(c.rate, 0.0) AS lift_pct,
+         |  CASE WHEN t.rate > c.rate THEN 'treatment'
+         |    WHEN c.rate > t.rate THEN 'control' ELSE 'tie' END AS winner
+         |FROM rated t JOIN rated c ON t.user_segment = c.user_segment
+         |WHERE t.ab_grp = 'treatment' AND c.ab_grp = 'control'
+         |ORDER BY user_segment""".stripMargin,
+
+    "q_scalar_subquery" ->
+      s"""$enrichedCte
+         |SELECT event_type, COUNT(*) AS n,
+         |  (SELECT COUNT(*) FROM e) AS total,
+         |  COUNT(*) * 100.0 / (SELECT COUNT(*) FROM e) AS share_pct
+         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_latest" ->
+      """SELECT event_id, event_type, user_id,
+        |  CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS ts_unix
+        |FROM events ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin
+  )
+}

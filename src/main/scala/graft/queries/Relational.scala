@@ -15,9 +15,10 @@ object Relational {
 
   /** Exact cross-engine money arithmetic: scalar math stays in double
     * (bit-identical IEEE ops in Spark and DuckDB), each row is snapped to
-    * decimal(18,4) (deterministic — decimal tie points are not
-    * binary-representable, so rounding mode can't diverge), the sum is
-    * exact decimal, and the result is emitted as double.
+    * decimal(18,4) (ties at the rounding point are vanishingly unlikely
+    * for 2-decimal-derived money values, so rounding-mode differences
+    * don't bite in practice), the sum is exact decimal, and the result is
+    * emitted as double.
     */
   private def moneySum(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
@@ -28,8 +29,12 @@ object Relational {
     // (silver_to_gold_processor.py:300-304, daily_events.sql).
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
+      // Cutoff chosen inside the data's range (1995..2001) so the
+      // predicate actually filters rows and is pushed to the parquet scan;
+      // both engines compare against the same naive-timestamp literal
+      // under a UTC-pinned session.
       load(s, dir, "lineitem")
-        .filter($"l_shipdate" <= lit("2000-09-02").cast(TimestampType))
+        .filter($"l_shipdate" <= lit("1997-06-30 00:00:00").cast(TimestampType))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           moneySum($"l_quantity").as("sum_qty"),
@@ -72,11 +77,15 @@ object Relational {
     },
 
     // J5 — left anti join (incremental dim upsert shape,
-    // replay_silver_to_gold.py:226-231): customers with no orders.
+    // replay_silver_to_gold.py:226-231): customers with no orders before
+    // the cutoff. The cutoff keeps the result non-empty AND non-trivial
+    // at every SF (every customer has *some* order, so an unfiltered
+    // anti-join would pass vacuously with 0 rows).
     "q4_anti_join" -> { (s, dir) =>
       import s.implicits._
       val c = load(s, dir, "customer")
       val o = load(s, dir, "orders")
+        .filter($"o_orderdate" < lit("1996-01-01 00:00:00").cast(TimestampType))
       c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name", $"c_nationkey")
         .orderBy($"c_custkey")
@@ -106,7 +115,7 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_star_join" ->
@@ -130,7 +139,8 @@ object Relational {
     "q4_anti_join" ->
       """SELECT c_custkey, c_name, c_nationkey
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
     "q5_semi_topk" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
