@@ -17,7 +17,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Medallion.queries ++
-      graft.queries.Analytics.queries
+      graft.queries.Analytics.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.VectorOps.queries ++
+      graft.queries.MultimodalQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -25,5 +28,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Medallion.oracles ++
-      graft.queries.Analytics.oracles
+      graft.queries.Analytics.oracles ++
+      graft.queries.TextOps.oracles ++
+      graft.queries.VectorOps.oracles ++
+      graft.queries.MultimodalQ.oracles
 }
