@@ -31,9 +31,19 @@ object BronzeToSilver {
   val PipelineVersion = "graft_v2.0"
 
   /** Pure transform: bronze rows (raw_event_string, source_file, ...) →
-    * silver rows. No I/O.
+    * silver rows (parse + derive + dedup). No I/O.
     */
-  def transform(bronze: DataFrame): DataFrame = {
+  def transform(bronze: DataFrame): DataFrame =
+    // A1 — at-least-once delivery dedup. One shuffle on event_id; at
+    // 100 TB this is a hash-partitioned exchange with map-side partial
+    // dedup (Catalyst plans dropDuplicates as a hash aggregate), which
+    // scales linearly and never collects to the driver.
+    parse(bronze).dropDuplicates("event_id")
+
+  /** Parse + derive without the final dedup — the streaming path applies
+    * watermarked dedup instead (bounded state).
+    */
+  def parse(bronze: DataFrame): DataFrame = {
     val parsed = bronze
       .withColumn("event_data", from_json(col("raw_event_string"), Schemas.jsonEventSchema))
       .withColumn("parsed_context", from_json(col("event_data.context"), Schemas.contextSchema))
@@ -72,10 +82,5 @@ object BronzeToSilver {
       col("source_file").as("data_source"))
       .withColumn("processed_at", current_timestamp())
       .withColumn("pipeline_version", lit(PipelineVersion))
-      // A1 — at-least-once delivery dedup. One shuffle on event_id; at
-      // 100 TB this is a hash-partitioned exchange with map-side partial
-      // dedup (Catalyst plans dropDuplicates as a hash aggregate), which
-      // scales linearly and never collects to the driver.
-      .dropDuplicates("event_id")
   }
 }

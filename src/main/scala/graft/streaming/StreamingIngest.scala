@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.pipeline.{BronzeToSilver, StagingToBronze}
+
+/** Structured-Streaming twin of the micro-batch ingest (SURVEY.md §2.9):
+  * file-source `readStream` over the staging directory, the same pure
+  * transforms, `Trigger.AvailableNow` so each invocation drains exactly
+  * the files present and exits — the streaming-native equivalent of the
+  * reference's Airflow-driven 15-minute ticks, with checkpointed
+  * exactly-once file tracking instead of hand-derived interval paths.
+  *
+  * Dedup semantics: batch `dropDuplicates("event_id")` is global per
+  * batch; the streaming path uses watermarked dedup (state is bounded by
+  * the watermark horizon — required at 100 TB, where unbounded dedup
+  * state would grow forever). Events later than the watermark can
+  * re-enter; the reference has the same at-least-once property across
+  * batches (SURVEY.md §7.5 risk 4).
+  */
+object StreamingIngest {
+
+  /** staging JSONL files → bronze parquet, streaming. Blocks until the
+    * AvailableNow drain finishes.
+    */
+  def runBronze(spark: SparkSession, stagingGlob: String, bronzePath: String,
+                checkpoint: String, ingestionDate: String): Unit = {
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", 1000)
+      .text(stagingGlob)
+    val bronze = StagingToBronze.enrich(raw, stagingGlob, ingestionDate)
+    val q = bronze.writeStream
+      .format("parquet")
+      .option("path", bronzePath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("ingestion_date")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** bronze parquet → silver parquet with watermarked streaming dedup. */
+  def runSilver(spark: SparkSession, bronzePath: String, silverPath: String,
+                checkpoint: String, watermark: String = "1 hour"): Unit = {
+    val bronzeSchema = spark.read.parquet(bronzePath).schema
+    val bronze = spark.readStream.schema(bronzeSchema).parquet(bronzePath)
+    val silver = BronzeToSilver.parse(bronze)
+      .withWatermark("kst_timestamp", watermark)
+      .dropDuplicates("event_id")
+    val q = silver.writeStream
+      .format("parquet")
+      .option("path", silverPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("year", "month", "day")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariants for the non-oracled LLM-data operators: MinHash/LSH recall
+  * against exact Jaccard, SimHash locality, ANN-LSH structure vs brute
+  * force, multimodal stub determinism. Runs on sf0.001 testdata (tiny).
+  */
+class TextVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash+LSH finds every bucketed exact near-dup pair (recall = 1 here)") {
+    val exact = SparkEntryAccess.run(spark, "q_neardup_jaccard", sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = SparkEntryAccess.run(spark, "q_minhash_lsh", sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // LSH searches globally (superset scope); it must cover the exact set
+    assert(exact.subsetOf(lsh), s"missed ${(exact -- lsh).size} of ${exact.size}")
+    // and every LSH pair it reports truly has jaccard >= 0.9 (verify stage)
+    assert(SparkEntryAccess.run(spark, "q_minhash_lsh", sf)
+      .where($"jac" < 0.9).count() == 0)
+  }
+
+  test("simhash: near-identical docs collide, fingerprints deterministic") {
+    val sims = SparkEntryAccess.run(spark, "q_simhash", sf)
+    val again = SparkEntryAccess.run(spark, "q_simhash", sf)
+    assert(sims.collect().toSeq == again.collect().toSeq)
+    // near-dup pairs (jaccard >= 0.9) should mostly share simhash bits
+    val exact = SparkEntryAccess.run(spark, "q_neardup_jaccard", sf).select("doc_a", "doc_b")
+    val withHashes = exact
+      .join(sims.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "ha"), "doc_a")
+      .join(sims.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "hb"), "doc_b")
+      .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")))
+    val avgNear = withHashes.agg(avg("hamming")).head.getDouble(0)
+    // random 16-bit pairs average 8 differing bits; near-dups must be well below
+    assert(avgNear < 4.0, s"avg hamming for near-dups was $avgNear")
+  }
+
+  test("ann-lsh: results are a valid subset ranking; multi-probe recall is useful") {
+    val brute = SparkEntryAccess.run(spark, "q_ann_topk", sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = SparkEntryAccess.run(spark, "q_ann_lsh", sf).cache()
+    // ranks are contiguous starting at 1 per query
+    val ranks = lsh.groupBy("query_id").agg(min("rank").as("mn"), max("rank").as("mx"),
+      count(lit(1)).as("n")).collect()
+    ranks.foreach { r =>
+      assert(r.getAs[Long]("mn") == 1L && r.getAs[Long]("mx") == r.getAs[Long]("n"))
+    }
+    val found = lsh.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & found).size.toDouble / brute.size
+    // uniform-random vectors: multi-probe over 5/16 buckets; structural floor
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
+  test("multimodal stub features are deterministic, bounded, and schema-typed") {
+    val media = graft.pipeline.Multimodal.fromText(
+      Seq((1L, "hello world"), (2L, "hello world"), (3L, "other")).toDF("id", "t"), "id", "t")
+    val feats = graft.pipeline.Multimodal.extract(media).cache()
+    assert(feats.schema("features").dataType.typeName == "array")
+    val rows = feats.orderBy("media_id").collect()
+    // identical payloads → identical features + sha; distinct payloads differ
+    assert(rows(0).getSeq[Double](rows(0).fieldIndex("features")).toList ==
+      rows(1).getSeq[Double](rows(1).fieldIndex("features")).toList)
+    assert(rows(0).getAs[String]("content_sha") == rows(1).getAs[String]("content_sha"))
+    assert(rows(0).getAs[String]("content_sha") != rows(2).getAs[String]("content_sha"))
+    assert(feats.withColumn("f", explode($"features"))
+      .where($"f" < 0.0 || $"f" > 1.0).count() == 0)
+  }
+}
+
+/** Test-only access to SparkEntry queries by name. */
+object SparkEntryAccess {
+  def run(spark: org.apache.spark.sql.SparkSession, name: String, dir: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+}
