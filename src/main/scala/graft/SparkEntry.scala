@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.Analytics.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.VectorOps.queries ++
-      graft.queries.MultimodalQ.queries
+      graft.queries.MultimodalQ.queries ++
+      graft.queries.Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.Analytics.oracles ++
       graft.queries.TextOps.oracles ++
       graft.queries.VectorOps.oracles ++
-      graft.queries.MultimodalQ.oracles
+      graft.queries.MultimodalQ.oracles ++
+      graft.queries.Formats.oracles
 }

@@ -85,7 +85,7 @@ object Medallion {
     // recency ordering, + deterministic SK assignment.
     "q_scd1_dim_user" -> { (s, dir) =>
       import s.implicits._
-      val silver = RefEventsAdapter.toSilver(load(s, dir, "events"))
+      val silver = RefEventsAdapter.toSilver(load(s, dir, "events"), duplicate = false)
       val w = Window.partitionBy("user_id")
         .orderBy(desc("kst_timestamp"), desc("event_id"))
       val skW = Window.orderBy("user_id", "anonymous_id")
@@ -142,7 +142,9 @@ object Medallion {
     // mark via global row_number.
     "q_dim_upsert" -> { (s, dir) =>
       import s.implicits._
-      val silver = RefEventsAdapter.toSilver(load(s, dir, "events")).cache()
+      // duplicate=false: dedup is already exercised by q_silver_parse;
+      // this query is about the upsert composition (halves the parse cost)
+      val silver = RefEventsAdapter.toSilver(load(s, dir, "events"), duplicate = false).cache()
       val existing = Dims.dimUser(silver.where($"event_name" === "auth_success"))
       val appended = Dims.dimUserUpsert(silver, existing)
       existing.withColumn("is_new", lit(false))

@@ -1,0 +1,57 @@
+package graft.runner
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+/** EP2 — bulk backfill (bulk_runner.py:86-110): whole-corpus rebuild in
+  * one pass — staging→bronze→silver (full re-partition by true event
+  * date), all dims overwritten, full fact rebuild.
+  *
+  * Used by [[graft.Bench]] as the end-to-end medallion benchmark: the
+  * reference's published envelope is a ~1M-event bulk pass on a single
+  * node in minutes (BASELINE.md).
+  */
+object Bulk {
+
+  /** Full medallion pass from raw JSON lines. Writes partitioned parquet
+    * into `warehouse` and returns (bronze, silver, fact) row counts.
+    */
+  def run(spark: SparkSession, rawLines: DataFrame, warehouse: String,
+          ingestionDate: String): (Long, Long, Long) = {
+    val bronze = StagingToBronze.enrich(rawLines, "bulk.jsonl", ingestionDate)
+    Warehouse.writeBronze(bronze, s"$warehouse/bronze_events")
+
+    val silver = BronzeToSilver.transform(
+      Warehouse.read(spark, s"$warehouse/bronze_events"))
+    Warehouse.writeSilver(silver, s"$warehouse/user_events_silver")
+
+    val silverAll = Warehouse.read(spark, s"$warehouse/user_events_silver").cache()
+    val dimUser = Dims.dimUser(silverAll)
+    val dimEvent = Dims.dimEvent(silverAll)
+    val dimPage = Dims.dimPage(silverAll)
+    val dimRecipe = silverAll.where(col("prop_recipe_id").isNotNull)
+      .select(col("prop_recipe_id").cast("string").as("recipe_id")).distinct()
+      .withColumn("recipe_sk", row_number().over(Window.orderBy("recipe_id")).cast("long"))
+    Seq("dim_user" -> dimUser, "dim_event" -> dimEvent, "dim_page" -> dimPage,
+      "dim_recipe" -> dimRecipe)
+      .foreach { case (n, df) => Warehouse.writeDim(df, s"$warehouse/$n") }
+
+    val fact = SilverToGold.buildFact(
+      silverAll,
+      Warehouse.read(spark, s"$warehouse/dim_user"),
+      Warehouse.read(spark, s"$warehouse/dim_recipe"),
+      Warehouse.read(spark, s"$warehouse/dim_event"),
+      Warehouse.read(spark, s"$warehouse/dim_page"))
+    Warehouse.writeFact(fact, s"$warehouse/fact_user_events")
+
+    val counts = (
+      Warehouse.read(spark, s"$warehouse/bronze_events").count(),
+      silverAll.count(),
+      Warehouse.read(spark, s"$warehouse/fact_user_events").count())
+    silverAll.unpersist()
+    counts
+  }
+}
