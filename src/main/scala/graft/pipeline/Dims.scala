@@ -61,6 +61,21 @@ object Dims {
   def dimEvent(silver: DataFrame): DataFrame =
     dimFromColumns(silver, Seq("event_name"), "event_sk")
 
+  /** W3 — the reference-parity SK path: `monotonically_increasing_id`
+    * (create_dims.py:78). Fully parallel (no global window/shuffle), but
+    * SKs are non-contiguous and partition-layout dependent — fine for a
+    * full rebuild where downstream only joins by natural key, wrong for
+    * anything that must be reproducible across runs. [[dimFromColumns]]
+    * is the deterministic default; this exists for bulk rebuilds where
+    * the window's single-partition pass on a huge dim would matter.
+    */
+  def dimFromColumnsFast(silver: DataFrame, idCols: Seq[String], sk: String): DataFrame =
+    silver.select(idCols.map(col): _*)
+      .where(col(idCols.head).isNotNull)
+      .distinct()
+      .withColumn(sk, monotonically_increasing_id() + 1L)
+      .select((sk +: idCols).map(col): _*)
+
   /** dim_page keeps rows where at least one of (page_name, page_url) is
     * set — matches the J4 join guard.
     */

@@ -225,6 +225,25 @@ object Analytics {
         .orderBy($"event_type")
     },
 
+    // J8 — left join of two aggregated CTEs on a shared grain, with real
+    // null rows on the right (daily_search_to_recipe_click.sql:40): daily
+    // purchase stats ⋈ daily high-value signup stats; the value cutoff
+    // makes some days miss.
+    "q_left_join_aggs" -> { (s, dir) =>
+      import s.implicits._
+      val e = enriched(s, dir)
+      val purchases = e.where($"event_type" === "purchase")
+        .groupBy($"d").agg(
+          count(lit(1)).as("purchases"),
+          sum($"value".cast("decimal(18,4)")).cast("double").as("purchase_rev"))
+      val bigSignups = e.where($"event_type" === "signup" && $"value" > 180.0)
+        .groupBy($"d").agg(count(lit(1)).as("big_signups"))
+      purchases.join(bigSignups, Seq("d"), "left")
+        .select($"d".cast("string").as("date_s"), $"purchases", $"purchase_rev",
+          $"big_signups", coalesce($"big_signups", lit(0L)).as("big_signups_filled"))
+        .orderBy($"date_s")
+    },
+
     // T3 — latest row: ORDER BY ts DESC LIMIT 1 with a deterministic
     // tiebreak (new_data_load_date.sql:28-30).
     "q_latest" -> { (s, dir) =>
@@ -359,6 +378,20 @@ object Analytics {
          |  (SELECT COUNT(*) FROM e) AS total,
          |  COUNT(*) * 100.0 / (SELECT COUNT(*) FROM e) AS share_pct
          |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_left_join_aggs" ->
+      s"""$enrichedCte, purchases AS (
+         |  SELECT d, COUNT(*) AS purchases,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_rev
+         |  FROM e WHERE event_type = 'purchase' GROUP BY d
+         |), big_signups AS (
+         |  SELECT d, COUNT(*) AS big_signups
+         |  FROM e WHERE event_type = 'signup' AND value > 180.0 GROUP BY d
+         |)
+         |SELECT strftime(p.d, '%Y-%m-%d') AS date_s, p.purchases, p.purchase_rev,
+         |  b.big_signups, COALESCE(b.big_signups, 0) AS big_signups_filled
+         |FROM purchases p LEFT JOIN big_signups b ON p.d = b.d
+         |ORDER BY date_s""".stripMargin,
 
     "q_latest" ->
       """SELECT event_id, event_type, user_id,

@@ -30,7 +30,9 @@ object Bulk {
 
     val silverAll = Warehouse.read(spark, s"$warehouse/user_events_silver").cache()
     val dimUser = Dims.dimUser(silverAll)
-    val dimEvent = Dims.dimEvent(silverAll)
+    // bulk rebuild: the W3 fast path (monotonically_increasing_id) — no
+    // global window; downstream joins only by natural key
+    val dimEvent = Dims.dimFromColumnsFast(silverAll, Seq("event_name"), "event_sk")
     val dimPage = Dims.dimPage(silverAll)
     val dimRecipe = silverAll.where(col("prop_recipe_id").isNotNull)
       .select(col("prop_recipe_id").cast("string").as("recipe_id")).distinct()

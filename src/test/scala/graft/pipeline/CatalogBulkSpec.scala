@@ -14,6 +14,7 @@ class CatalogBulkSpec extends SparkSpec {
   import spark.implicits._
 
   test("database DDL + partitioned table DDL + append/overwrite + refresh") {
+    spark.sql("DROP DATABASE IF EXISTS graft_test_db CASCADE")
     Catalog.ensureDatabase(spark, "graft_test_db")
     Catalog.ensureSilverTable(spark, "graft_test_db.silver_ddl")
     // dim overwrite sink
