@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: the properties that make these queries hold
+  * up at 100 TB must be visible in the plan, not assumed — filter
+  * pushdown to the scan, broadcast joins for dims, top-k without a global
+  * sort, no cartesian products anywhere.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the date filter into the parquet scan and prunes columns") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_comment"), "scan reads columns the query never uses")
+  }
+
+  test("q3_topk runs as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q3_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q2_star_join broadcasts dims; no cartesian anywhere") {
+    val p = plan("q2_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("fact build keeps all four dim joins broadcast left-outer") {
+    val p = plan("q_fact_build")
+    assert("LeftOuter, BuildRight".r.findAllIn(p).size >= 4)
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to a shuffle join")
+  }
+
+  test("brute-force ANN broadcasts the query set, never shuffles the corpus") {
+    val p = plan("q_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("no query in the registry plans a CartesianProduct") {
+    graft.SparkEntry.queries.keys.foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+}
