@@ -88,6 +88,35 @@ object Dims {
       .select("page_sk", "page_name", "page_url")
   }
 
+  /** dim_recipe with master attributes (create_dims.py:107-135 loads a
+    * parquet master file; here attributes derive deterministically from
+    * recipe_id — the stand-in master). Input: distinct recipe_id strings.
+    */
+  def dimRecipe(recipeIds: DataFrame): DataFrame = {
+    val w = Window.orderBy("recipe_id")
+    val id = col("recipe_id").cast("long")
+    recipeIds.distinct()
+      .withColumn("recipe_sk", row_number().over(w).cast("long"))
+      .withColumn("recipe_name", concat(lit("recipe_"), col("recipe_id")))
+      .withColumn("dish_type",
+        when(id % 5 === 0, "stew").when(id % 5 === 1, "noodle")
+          .when(id % 5 === 2, "rice").when(id % 5 === 3, "dessert")
+          .otherwise("salad"))
+      .withColumn("ingredient_type",
+        when(id % 3 === 0, "meat").when(id % 3 === 1, "seafood").otherwise("veg"))
+      .withColumn("method_type",
+        when(id % 4 === 0, "boil").when(id % 4 === 1, "fry")
+          .when(id % 4 === 2, "bake").otherwise("raw"))
+      .withColumn("situation_type",
+        when(id % 2 === 0, "daily").otherwise("party"))
+      .withColumn("difficulty",
+        when(id % 3 === 0, "easy").when(id % 3 === 1, "medium").otherwise("hard"))
+      .withColumn("cooking_time", ((id % 12) * 10 + 10).cast("int"))
+      .select("recipe_sk", "recipe_id", "recipe_name", "dish_type",
+        "ingredient_type", "method_type", "situation_type", "difficulty",
+        "cooking_time")
+  }
+
   /** dim_time: one row per hour over [start, end], generated with
     * explode(sequence(...)) (create_dims.py:160-180). Generated, not
     * scanned — cardinality is hours-in-range (17,520 for two years), so

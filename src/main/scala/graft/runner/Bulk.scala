@@ -34,9 +34,9 @@ object Bulk {
     // global window; downstream joins only by natural key
     val dimEvent = Dims.dimFromColumnsFast(silverAll, Seq("event_name"), "event_sk")
     val dimPage = Dims.dimPage(silverAll)
-    val dimRecipe = silverAll.where(col("prop_recipe_id").isNotNull)
-      .select(col("prop_recipe_id").cast("string").as("recipe_id")).distinct()
-      .withColumn("recipe_sk", row_number().over(Window.orderBy("recipe_id")).cast("long"))
+    val dimRecipe = Dims.dimRecipe(
+      silverAll.where(col("prop_recipe_id").isNotNull)
+        .select(col("prop_recipe_id").cast("string").as("recipe_id")))
     Seq("dim_user" -> dimUser, "dim_event" -> dimEvent, "dim_page" -> dimPage,
       "dim_recipe" -> dimRecipe)
       .foreach { case (n, df) => Warehouse.writeDim(df, s"$warehouse/$n") }
