@@ -64,11 +64,13 @@ def main():
                         i = int(np.argmax(~np.isclose(af, bf, rtol=1e-9, atol=1e-12, equal_nan=True))) if not close else int(np.argmax(af != bf))
                         probs.append(f"col {col}: exact=False close={close} e.g. row {i}: {af[i]!r} vs {bf[i]!r}")
                 else:
-                    astr = a[col].astype(str).to_numpy()
-                    bstr = b[col].astype(str).to_numpy()
-                    if not np.array_equal(astr, bstr):
-                        i = int(np.argmax(astr != bstr))
-                        probs.append(f"col {col}: row {i}: {astr[i]!r} vs {bstr[i]!r}")
+                    # normalize null encodings (None / nan / NaT / <NA>)
+                    # before stringify so dtype differences can't false-fail
+                    sa = a[col].where(a[col].notna(), None).astype(str).to_numpy()
+                    sb = b[col].where(b[col].notna(), None).astype(str).to_numpy()
+                    if not np.array_equal(sa, sb):
+                        i = int(np.argmax(sa != sb))
+                        probs.append(f"col {col}: row {i}: {sa[i]!r} vs {sb[i]!r}")
         if probs:
             print(f"FAIL {name}: " + "; ".join(probs[:3]))
             n_fail += 1

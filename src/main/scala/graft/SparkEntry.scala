@@ -9,9 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * both sides (driver sorts columns by name before hashing).
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The DAU rollup is the reference's headline dashboard shape
+    * (SURVEY.md §7.3): 4-level unionByName segment rollup + countDistinct.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_dau_rollup")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -42,12 +42,17 @@ object TextOps {
     */
   private val MaxBucket = 1000
 
-  /** doc_id + minhash signature array (one xxhash64 per permutation). */
+  /** doc_id + minhash signature array (one xxhash64 per permutation).
+    * Tokenization is staged into its own projection so the 16 signature
+    * expressions read the materialized array instead of re-tokenizing
+    * the text 16 times.
+    */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sigCols = (0 until NumPerms).map { i =>
-      array_min(transform(toks(col("text")), t => xxhash64(lit(i), t))).as(s"sig_$i")
+      array_min(transform(col("toks"), t => xxhash64(lit(i), t))).as(s"sig_$i")
     }
-    docs.select((col("doc_id") +: sigCols): _*)
+    docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .select((col("doc_id") +: sigCols): _*)
   }
 
   /** Candidate near-dup pairs via LSH banding over minhash signatures. */
@@ -188,14 +193,15 @@ object TextOps {
     // + ScalaTest invariants (hamming(simhash) small for near-dups).
     "q_simhash" -> { (s, dir) =>
       import s.implicits._
-      val hashes = transform(toks($"text"), t => xxhash64(lit(0), t))
       val bits = (0 until 16).map { b =>
         // +1 when bit b set, -1 otherwise; majority → bit in fingerprint
-        val vote = aggregate(hashes, lit(0L),
+        val vote = aggregate($"hashes", lit(0L),
           (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         when(vote > 0, lit(1L << b)).otherwise(0L)
       }
       load(s, dir, "documents")
+        // stage the hash array so the 16 bit votes don't re-tokenize
+        .select($"doc_id", transform(toks($"text"), t => xxhash64(lit(0), t)).as("hashes"))
         .select($"doc_id", bits.reduce(_ + _).as("simhash"))
         .orderBy($"doc_id")
     }
