@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions for SQL use. Activate with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, or call
+  * [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+}
+
+object GraftExtensions {
+  private val cosineSimDescriptor = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)))
+
+  /** Imperative twin of the extensions hook for already-built sessions. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+}

@@ -109,6 +109,23 @@ object VectorOps {
         .orderBy($"query_id", $"rank")
     },
 
+    // Embedding-cosine near-dup: exact all-pairs baseline scored by the
+    // native codegen'd CosineSimilarity expression (graft.functions) —
+    // the oracle-checkable twin of the LSH-bucketed scale path above.
+    // Output is ids only; membership at the threshold is float-robust
+    // because both engines compute the identical sequential fold.
+    "q_embed_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val emb = load(s, dir, "embeddings")
+        .select($"vec_id", asDouble($"embedding").as("v"))
+      val a = emb.select($"vec_id".as("id_a"), $"v".as("va"))
+      val b = emb.select($"vec_id".as("id_b"), $"v".as("vb"))
+      a.join(b, $"id_a" < $"id_b")
+        .where(graft.functions.CosineSimilarity($"va", $"vb") >= 0.3)
+        .select($"id_a", $"id_b")
+        .orderBy($"id_a", $"id_b")
+    },
+
     // Per-label embedding stats: element means via per-row decimal snap
     // (order-free exact sums), plus vector norms — the "is my embedding
     // column sane" profiling pass.
@@ -147,6 +164,15 @@ object VectorOps {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_embed_stats" ->
       """WITH emb AS (

@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted count equals plain count on a skewed key distribution") {
+    // 90% of rows on one hot key
+    val df = spark.range(10000)
+      .select(when($"id" % 10 === 0, concat(lit("cold_"), $"id" % 7))
+        .otherwise("hot").as("k"))
+    val plain = df.groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Scale.saltedCount(df, $"k").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(plain("hot") == 9000L)
+  }
+
+  test("salted distinct-count equals countDistinct") {
+    val df = spark.range(5000)
+      .select(($"id" % 3).cast("string").as("k"), ($"id" % 97).as("v"))
+    val expected = df.groupBy("k").agg(countDistinct("v").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Scale.saltedCountDistinct(df, $"k", $"v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("compaction bounds file count and preserves data + partitioning") {
+    val out = tmpDir("compact")
+    val df = spark.range(2000)
+      .select(($"id" % 3).cast("int").as("p"), $"id".as("v"))
+      .repartition(50) // simulate the 2,880-append small-file mess
+    Scale.compact(df, out, Seq("p"), maxRecordsPerFile = 500)
+    val files = new java.io.File(out).listFiles().filter(_.getName.startsWith("p="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    // ~667 rows per partition at <=500 records/file → 2 files each, not 50
+    assert(files.length <= 6, s"${files.length} files after compaction")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2000)
+    assert(back.select(sum("v")).head.getLong(0) == (0L until 2000L).sum)
+  }
+}
