@@ -44,10 +44,21 @@ object Bench {
     // silver (parse+dedup) → dims → fact, with partitioned-parquet I/O —
     // the reference's pipeline-latency envelope (BASELINE.md: ~1M events
     // in ≤20 min; here ~100k events at sf0.1).
+    // Optional scale multiplier (SPARK_GRAFT_MEDALLION_REPLICATE=10 at
+    // sf0.1 ≈ the reference's 1M-event bulk pass): replicas get distinct
+    // event_ids so the dedup keeps them.
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_MEDALLION_REPLICATE", "1").toInt
     val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh").toString
     results("medallion_e2e") = time {
-      val raw = graft.pipeline.RefEventsAdapter.toRawJson(
-        Tables.load(spark, sfDir, "events"))
+      import org.apache.spark.sql.functions._
+      val events0 = Tables.load(spark, sfDir, "events")
+      val events =
+        if (replicate <= 1) events0
+        else events0
+          .crossJoin(spark.range(replicate).select(col("id").as("rep")))
+          .withColumn("event_id", col("event_id") * replicate + col("rep"))
+          .drop("rep")
+      val raw = graft.pipeline.RefEventsAdapter.toRawJson(events)
       val (_, _, factN) = graft.runner.Bulk.run(spark, raw, wh, "2024-01-01")
       require(factN > 0)
     }

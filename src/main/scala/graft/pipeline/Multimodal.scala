@@ -61,4 +61,35 @@ object Multimodal {
       col("media_id"), col("meta"),
       sha2(col("payload"), 256).as("content_sha"),
       stubFeatures(col("payload")).as("features"))
+
+  /** Decoded-media record for the batch path. */
+  case class MediaFeatures(media_id: Long, n_bytes: Long, features: Array[Double])
+
+  /** Batch decode via mapPartitions — the Scala twin of a Pandas
+    * `mapInPandas` decode: one decoder instantiation per partition
+    * (codec/model init is expensive), rows streamed through it as an
+    * iterator so a partition never materializes in memory. The decode
+    * itself is the same clearly-marked STUB (content-hash projection);
+    * swap `decodeOne` for a real codec and the plumbing is unchanged.
+    */
+  def extractBatch(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition "decoder" init happens here, once
+        rows.map { case (id, payload) =>
+          MediaFeatures(id, payload.length.toLong, decodeOne(payload))
+        }
+      }
+      .toDF()
+  }
+
+  /** STUB single-payload decode (deterministic fake; see scaladoc). */
+  private def decodeOne(payload: Array[Byte]): Array[Double] = {
+    var h = 1125899906842597L
+    payload.foreach(b => h = 31 * h + b)
+    Array.tabulate(4)(i => ((h >>> (i * 16)) & 0xFFFFL).toDouble / 65535.0)
+  }
 }

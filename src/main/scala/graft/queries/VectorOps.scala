@@ -109,6 +109,64 @@ object VectorOps {
         .orderBy($"query_id", $"rank")
     },
 
+    // IVF-style ANN: deterministic coarse quantizer (first-k vectors as
+    // centroids, two Lloyd refinement passes — all DataFrame ops, no
+    // driver-side data loops beyond collecting k centroids), corpus
+    // assigned to nearest centroid, each query probes the `nprobe`
+    // closest cells. The scale path when hyperplane LSH recall is poor:
+    // cells adapt to the data distribution. No SQL oracle (centroids are
+    // iterative); ScalaTest checks recall vs brute force + cell sanity.
+    "q_ann_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val k = 8
+      val nprobe = 3
+      val emb = load(s, dir, "embeddings")
+        .select($"vec_id", asDouble($"embedding").as("v")).cache()
+
+      // seed centroids: first k vectors by id (deterministic)
+      var centroids = emb.orderBy($"vec_id").limit(k)
+        .select($"vec_id".cast("int").as("cell"), $"v".as("cv"))
+      // two Lloyd passes: assign → recompute means element-wise
+      for (_ <- 0 until 2) {
+        val assigned = emb.crossJoin(broadcast(centroids))
+          .withColumn("d", graft.functions.CosineSimilarity($"v", $"cv"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
+          .where($"rn" === 1)
+        centroids = assigned
+          .select($"cell", posexplode($"v").as(Seq("pos", "x")))
+          .groupBy($"cell", $"pos").agg(avg($"x").as("mx"))
+          .groupBy($"cell")
+          .agg(array_sort(collect_list(struct($"pos", $"mx"))).as("pairs"))
+          .select($"cell", transform($"pairs", p => p.getField("mx")).as("cv"))
+      }
+      val cents = broadcast(centroids)
+
+      val corpus = emb.crossJoin(cents)
+        .withColumn("d", graft.functions.CosineSimilarity($"v", $"cv"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
+        .where($"rn" === 1)
+        .select($"vec_id", $"v", $"cell")
+
+      val queryProbes = emb.where($"vec_id" < 3).crossJoin(cents)
+        .withColumn("d", graft.functions.CosineSimilarity($"v", $"cv"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
+        .where($"rn" <= nprobe)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"cell")
+
+      val scored = corpus.join(broadcast(queryProbes), Seq("cell"))
+        .where($"vec_id" =!= $"query_id")
+        .dropDuplicates("query_id", "vec_id")
+        .withColumn("cos", graft.functions.CosineSimilarity($"qv", $"v"))
+      val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"))
+        .orderBy($"query_id", $"rank")
+    },
+
     // Embedding-cosine near-dup: exact all-pairs baseline scored by the
     // native codegen'd CosineSimilarity expression (graft.functions) —
     // the oracle-checkable twin of the LSH-bucketed scale path above.

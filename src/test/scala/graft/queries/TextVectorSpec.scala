@@ -57,6 +57,22 @@ class TextVectorSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("ann-ivf: valid ranking, recall at least as useful as random cells") {
+    val brute = SparkEntryAccess.run(spark, "q_ann_topk", sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SparkEntryAccess.run(spark, "q_ann_ivf", sf).cache()
+    val ranks = ivf.groupBy("query_id").agg(min("rank").as("mn"), max("rank").as("mx"),
+      count(lit(1)).as("n")).collect()
+    ranks.foreach { r =>
+      assert(r.getAs[Long]("mn") == 1L && r.getAs[Long]("mx") == r.getAs[Long]("n"))
+    }
+    val found = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & found).size.toDouble / brute.size
+    // 3 of 8 cells probed → random-cell baseline recall ≈ 0.375; the
+    // quantizer must do at least that well on average
+    assert(recall >= 0.2, s"ivf recall $recall")
+  }
+
   test("multimodal stub features are deterministic, bounded, and schema-typed") {
     val media = graft.pipeline.Multimodal.fromText(
       Seq((1L, "hello world"), (2L, "hello world"), (3L, "other")).toDF("id", "t"), "id", "t")
@@ -70,6 +86,19 @@ class TextVectorSpec extends SparkSpec {
     assert(rows(0).getAs[String]("content_sha") != rows(2).getAs[String]("content_sha"))
     assert(feats.withColumn("f", explode($"features"))
       .where($"f" < 0.0 || $"f" > 1.0).count() == 0)
+  }
+
+  test("multimodal batch decode (mapPartitions) mirrors the columnar path's shape") {
+    val media = graft.pipeline.Multimodal.fromText(
+      Seq((1L, "hello world"), (2L, "other doc")).toDF("id", "t"), "id", "t")
+    val batch = graft.pipeline.Multimodal.extractBatch(media).cache()
+    assert(batch.columns.toSeq == Seq("media_id", "n_bytes", "features"))
+    assert(batch.count() == 2)
+    assert(batch.where(size($"features") =!= 4).count() == 0)
+    // byte lengths agree with the columnar metadata path
+    val meta = graft.pipeline.Multimodal.extract(media)
+      .select($"media_id", $"meta.n_bytes".as("n_bytes"))
+    assert(batch.select("media_id", "n_bytes").except(meta).count() == 0)
   }
 }
 
