@@ -40,6 +40,17 @@ object BronzeToSilver {
     // scales linearly and never collects to the driver.
     parse(bronze).dropDuplicates("event_id")
 
+  /** Parse-quality instrumentation (the reference logs counts at every
+    * stage boundary, bronze_to_silver_iceberg.py:112-113,195): totals,
+    * parse failures (unparseable envelope), and dedup-loss on a parsed
+    * frame — one aggregate pass, no extra scans.
+    */
+  def parseStats(parsed: DataFrame): DataFrame =
+    parsed.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("n_unparseable"),
+      countDistinct(col("event_id")).as("n_distinct_events"))
+
   /** Parse + derive without the final dedup — the streaming path applies
     * watermarked dedup instead (bounded state).
     */

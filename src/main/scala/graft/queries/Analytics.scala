@@ -248,6 +248,29 @@ object Analytics {
         .orderBy($"date_s")
     },
 
+    // Gap-based sessionization: per-user event stream → sessions split
+    // on >30-min inactivity (lag + cumulative-sum windows), then
+    // per-session aggregates. The window partitions by user — parallel
+    // across users, never a global sort.
+    "q_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sessions = load(s, dir, "events")
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L).otherwise(0L))
+        .withColumn("session_idx", sum($"new_session").over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions.groupBy($"user_id", $"session_idx")
+        .agg(
+          count(lit(1)).as("n_events"),
+          (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts"))).as("duration_sec"),
+          countDistinct($"event_type").as("n_event_types"))
+        .orderBy($"user_id", $"session_idx")
+    },
+
     // T3 — latest row: ORDER BY ts DESC LIMIT 1 with a deterministic
     // tiebreak (new_data_load_date.sql:28-30).
     "q_latest" -> { (s, dir) =>
@@ -396,6 +419,28 @@ object Analytics {
          |  b.big_signups, COALESCE(b.big_signups, 0) AS big_signups_filled
          |FROM purchases p LEFT JOIN big_signups b ON p.d = b.d
          |ORDER BY date_s""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)
+        |         - CAST(floor(epoch(date_trunc('second', lag(ts) OVER w))) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM marked
+        |)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  CAST(floor(epoch(date_trunc('second', MAX(ts)))) AS BIGINT)
+        |    - CAST(floor(epoch(date_trunc('second', MIN(ts)))) AS BIGINT) AS duration_sec,
+        |  COUNT(DISTINCT event_type) AS n_event_types
+        |FROM numbered
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     "q_latest" ->
       """SELECT event_id, event_type, user_id,

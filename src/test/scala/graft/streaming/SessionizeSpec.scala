@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Stateful streaming sessionization: gap-closed sessions emit as soon
+  * as a later event arrives; idle sessions close via event-time timeout
+  * once the watermark passes; state survives restarts via checkpoint.
+  */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEvents(dir: String, name: String,
+                          rows: Seq[(Long, String, String)]): Unit = {
+    val df = rows.toDF("user_id", "ts_s", "event_type")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"), $"event_type")
+    df.coalesce(1).write.mode("append").parquet(dir)
+    // marker so each call lands as at least one new file
+    Files.createDirectories(Paths.get(s"$dir/../markers"))
+    Files.write(Paths.get(s"$dir/../markers/$name"), Array.empty[Byte])
+  }
+
+  test("gap-split sessions close in-stream; idle ones close by watermark timeout") {
+    val base = tmpDir("sess")
+    val events = s"$base/events"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+
+    // batch 1: u1 has a 2-event session then a >30min gap; u2 one event
+    writeEvents(events, "b1", Seq(
+      (1L, "2025-09-15 10:00:00", "view"),
+      (1L, "2025-09-15 10:10:00", "click"),
+      (1L, "2025-09-15 11:00:00", "view"),
+      (2L, "2025-09-15 10:05:00", "signup")))
+    Sessionize.run(spark, events, out, ckpt)
+    val after1 = spark.read.parquet(out)
+    // u1's first session closed by the 11:00 arrival (gap > 30 min)
+    assert(after1.where($"user_id" === 1 && $"n_events" === 2 &&
+      $"duration_sec" === 600).count() == 1)
+
+    // batch 2: a much later event advances the watermark past both idle
+    // sessions' timeouts
+    writeEvents(events, "b2", Seq((1L, "2025-09-15 14:00:00", "view")))
+    Sessionize.run(spark, events, out, ckpt)
+    // batch 3: one more late event so the previous watermark's timeouts fire
+    writeEvents(events, "b3", Seq((1L, "2025-09-15 18:00:00", "view")))
+    Sessionize.run(spark, events, out, ckpt)
+
+    val sessions = spark.read.parquet(out).cache()
+    // u2's single-event session eventually closed with duration 0
+    assert(sessions.where($"user_id" === 2 && $"n_events" === 1 &&
+      $"duration_sec" === 0).count() == 1)
+    // u1's 11:00 singleton closed too
+    assert(sessions.where($"user_id" === 1 && $"n_events" === 1).count() >= 1)
+    assert(sessions.count() >= 3)
+  }
+}
