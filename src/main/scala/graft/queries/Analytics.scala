@@ -248,6 +248,22 @@ object Analytics {
         .orderBy($"date_s")
     },
 
+    // A5 at 100 TB: exact COUNT(DISTINCT) needs the full value set per
+    // group; HyperLogLog needs constant memory. Output pins the exact
+    // count and asserts the sketch lands within 5% — each engine checks
+    // its own sketch implementation against the same exact value, so
+    // the boolean (not the sketch) is the cross-engine contract.
+    "q_approx_dau" -> { (s, dir) =>
+      import s.implicits._
+      enriched(s, dir).groupBy($"d")
+        .agg(
+          countDistinct($"user_id").as("exact_dau"),
+          approx_count_distinct($"user_id", 0.02).as("approx"))
+        .select($"d".cast("string").as("date_s"), $"exact_dau",
+          (abs($"approx" - $"exact_dau") * 1.0 / $"exact_dau" <= 0.05).as("sketch_within_5pct"))
+        .orderBy($"date_s")
+    },
+
     // Gap-based sessionization: per-user event stream → sessions split
     // on >30-min inactivity (lag + cumulative-sum windows), then
     // per-session aggregates. The window partitions by user — parallel
@@ -419,6 +435,14 @@ object Analytics {
          |  b.big_signups, COALESCE(b.big_signups, 0) AS big_signups_filled
          |FROM purchases p LEFT JOIN big_signups b ON p.d = b.d
          |ORDER BY date_s""".stripMargin,
+
+    "q_approx_dau" ->
+      s"""$enrichedCte
+         |SELECT strftime(d, '%Y-%m-%d') AS date_s,
+         |  COUNT(DISTINCT user_id) AS exact_dau,
+         |  abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id)) * 1.0
+         |    / COUNT(DISTINCT user_id) <= 0.05 AS sketch_within_5pct
+         |FROM e GROUP BY d ORDER BY date_s""".stripMargin,
 
     "q_sessionize" ->
       """WITH marked AS (

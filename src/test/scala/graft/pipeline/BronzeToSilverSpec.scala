@@ -69,6 +69,14 @@ class BronzeToSilverSpec extends SparkSpec {
     assert(silver.where(col("event_id") === "good").count() == 1)
   }
 
+  test("parse-quality instrumentation counts totals, failures, distinct events") {
+    val lines = Seq(rawEvent("e1"), rawEvent("e1"), rawEvent("e2"), "garbage")
+    val stats = BronzeToSilver.parseStats(BronzeToSilver.parse(toBronze(lines))).head
+    assert(stats.getAs[Long]("n_total") == 4L)
+    assert(stats.getAs[Long]("n_unparseable") == 1L)
+    assert(stats.getAs[Long]("n_distinct_events") == 2L)
+  }
+
   test("null/absent nested payloads project as nulls") {
     val e = s"""{"event_id":"e9","event_name":"view_page","user_id":"u2",""" +
       s""""anonymous_id":"a2","session_id":"s2","timestamp":"2025-09-15T01:00:00.000+09:00"}"""

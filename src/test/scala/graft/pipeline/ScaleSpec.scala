@@ -28,6 +28,27 @@ class ScaleSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    spark.range(10000).select($"id".as("k"), ($"id" * 2).as("va"))
+      .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("graft_bucket_a")
+    spark.range(5000).select($"id".as("k"), ($"id" * 3).as("vb"))
+      .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("graft_bucket_b")
+    // disable broadcast so the co-location (not a broadcast) is what
+    // eliminates the shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join still shuffles:\n" + plan)
+      assert(joined.count() == 5000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("compaction bounds file count and preserves data + partitioning") {
     val out = tmpDir("compact")
     val df = spark.range(2000)
