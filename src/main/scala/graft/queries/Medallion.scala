@@ -153,6 +153,32 @@ object Medallion {
         .orderBy($"user_sk")
     },
 
+    // ArrayType JSON payloads (the raw events carry array-valued
+    // properties like selected_filters, SURVEY.md §1.2): encode → parse
+    // with an array schema → explode → aggregate. Covers from_json with
+    // ArrayType + explode over parsed arrays.
+    "q_array_props" -> { (s, dir) =>
+      import s.implicits._
+      val k = get_json_object($"props", "$.k").cast("int")
+      val json = to_json(struct(
+        array(concat(lit("f"), k % 3), concat(lit("f"), k % 5)).as("selected_filters"),
+        k.as("result_count")))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("selected_filters",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("result_count",
+          org.apache.spark.sql.types.IntegerType)))
+      load(s, dir, "events")
+        .select($"user_id", from_json(json, schema).as("p"))
+        .select($"user_id", $"p.result_count".as("k"),
+          explode($"p.selected_filters").as("filter"))
+        .groupBy($"filter")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("users"),
+          sum($"k").cast("long").as("sum_k"))
+        .orderBy($"filter")
+    },
+
     // explode(sequence(...)) hour spine — dim_time generator.
     "q_dim_time" -> { (s, _) =>
       import s.implicits._
@@ -238,6 +264,19 @@ object Medallion {
          |  u.user_id, u.anonymous_id, TRUE
          |FROM users u, mx WHERE NOT has_signup
          |ORDER BY user_sk""".stripMargin,
+
+    "q_array_props" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events
+        |), f AS (
+        |  SELECT 'f' || CAST(k % 3 AS VARCHAR) AS filter, user_id, k FROM e
+        |  UNION ALL
+        |  SELECT 'f' || CAST(k % 5 AS VARCHAR) AS filter, user_id, k FROM e
+        |)
+        |SELECT filter, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM f GROUP BY filter ORDER BY filter""".stripMargin,
 
     "q_dim_time" ->
       """WITH spine AS (

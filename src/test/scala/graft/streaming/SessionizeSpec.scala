@@ -56,5 +56,24 @@ class SessionizeSpec extends SparkSpec {
     // u1's 11:00 singleton closed too
     assert(sessions.where($"user_id" === 1 && $"n_events" === 1).count() >= 1)
     assert(sessions.count() >= 3)
+
+    // cross-check: every streaming-closed session matches a session the
+    // batch window logic derives from the same events (same gap rule)
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val batchSessions = spark.read.parquet(events)
+      .withColumn("prev", lag($"ts", 1).over(byUser))
+      .withColumn("new_s", when($"prev".isNull ||
+        unix_timestamp($"ts") - unix_timestamp($"prev") > 1800, 1L).otherwise(0L))
+      .withColumn("sidx", sum($"new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sidx")
+      .agg(min($"ts").as("start_ts"), count(lit(1)).as("n_events"),
+        (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts"))).as("duration_sec"))
+      .select("user_id", "start_ts", "n_events", "duration_sec")
+    val unmatched = sessions.select("user_id", "start_ts", "n_events", "duration_sec")
+      .except(batchSessions)
+    assert(unmatched.count() == 0,
+      s"streaming sessions not found in batch: ${unmatched.collect().mkString(", ")}")
   }
 }
