@@ -68,7 +68,9 @@ object Relational {
     "q3_topk" -> { (s, dir) =>
       import s.implicits._
       val li = load(s, dir, "lineitem")
-      val p = load(s, dir, "part")
+      // part stays ~2MB/SF — pin the broadcast rather than trusting the
+      // size estimate at every scale (VERDICT r1 plan audit)
+      val p = broadcast(load(s, dir, "part"))
       li.join(p, $"l_partkey" === $"p_partkey")
         .groupBy($"p_partkey", $"p_name")
         .agg(moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("part_revenue"))
