@@ -414,6 +414,40 @@ object GoldAnalytics {
       .orderBy(col("recipe_name"), col("interaction_count").desc)
   }
 
+  /** Register the star schema + every analytics query as temp views, so
+    * `spark.sql("SELECT * FROM dau")` works exactly like the reference's
+    * Trino dashboards querying gold_analytics tables.
+    */
+  def registerViews(g: Gold): Unit = {
+    g.fact.createOrReplaceTempView("fact_user_events")
+    g.dimUser.createOrReplaceTempView("dim_user")
+    g.dimRecipe.createOrReplaceTempView("dim_recipe")
+    g.dimEvent.createOrReplaceTempView("dim_event")
+    g.dimPage.createOrReplaceTempView("dim_page")
+    g.dimTime.createOrReplaceTempView("dim_time")
+    Seq(
+      "dau" -> dau(g), "wau" -> wau(g),
+      "ab_test_heatmap" -> abTestHeatmap(g),
+      "click_ads_funnel" -> clickAdsFunnel(g),
+      "ctr_advertisement" -> ctrAdvertisement(g),
+      "daily_ab_test" -> dailyAbTest(g),
+      "daily_engagement_score" -> dailyEngagementScore(g),
+      "daily_events" -> dailyEvents(g),
+      "daily_search_to_recipe_click" -> dailySearchToRecipeClick(g),
+      "event_distribution" -> eventDistribution(g),
+      "events_per_time" -> eventsPerTime(g),
+      "interactions_per_dish_type" -> interactionsPerDishType(g),
+      "lift" -> lift(g),
+      "new_data_load_date" -> newDataLoadDate(g),
+      "pages_views" -> pagesViews(g),
+      "time_x_day_events_heatmap" -> timeXDayEventsHeatmap(g),
+      "top_10_clicked_recipe" -> topRecipesByEvent(g, "click_recipe"),
+      "top_10_bookmarked_recipe" -> topRecipesByEvent(g, "click_bookmark"),
+      "top_10_interactions_per_events" -> top10InteractionsPerEvents(g),
+      "treatment_vs_control" -> treatmentVsControl(g)
+    ).foreach { case (name, df) => df.createOrReplaceTempView(name) }
+  }
+
   /** treatment_vs_control.sql — per segment × group performance + color. */
   def treatmentVsControl(g: Gold, conversionEvent: String = "click_ads",
                          minUsers: Long = 100): DataFrame =

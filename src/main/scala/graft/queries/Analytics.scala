@@ -248,6 +248,25 @@ object Analytics {
         .orderBy($"date_s")
     },
 
+    // Percentile aggregates (beyond the reference's AVG-only metrics):
+    // exact interpolated percentiles — both engines implement the same
+    // (1-f)*lo + f*hi definition over identical doubles. The scale note:
+    // exact percentile sorts per group; for 100 TB you'd switch to
+    // percentile_approx (t-digest sketch, constant memory) the same way
+    // q_approx_dau swaps countDistinct for HLL.
+    "q_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"),
+          min($"value").as("v_min"), max($"value").as("v_max"))
+        .orderBy($"event_type")
+    },
+
     // A5 at 100 TB: exact COUNT(DISTINCT) needs the full value set per
     // group; HyperLogLog needs constant memory. Output pins the exact
     // count and asserts the sketch lands within 5% — each engine checks
@@ -435,6 +454,14 @@ object Analytics {
          |  b.big_signups, COALESCE(b.big_signups, 0) AS big_signups_filled
          |FROM purchases p LEFT JOIN big_signups b ON p.d = b.d
          |ORDER BY date_s""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  quantile_cont(value, 0.99) AS p99,
+        |  MIN(value) AS v_min, MAX(value) AS v_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_approx_dau" ->
       s"""$enrichedCte

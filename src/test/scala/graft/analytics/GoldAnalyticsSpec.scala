@@ -167,6 +167,17 @@ class GoldAnalyticsSpec extends SparkSpec {
     assert(t.select("recipe_name").distinct().count() <= 10)
   }
 
+  test("registered SQL views serve the star schema and every query") {
+    GoldAnalytics.registerViews(gold)
+    assert(spark.sql("SELECT COUNT(*) FROM fact_user_events").head.getLong(0) == 1000L)
+    assert(spark.sql(
+      """SELECT COUNT(DISTINCT f.user_dim_key)
+        |FROM fact_user_events f JOIN dim_user u ON f.user_dim_key = u.user_sk
+        |WHERE f.user_dim_key != 0""".stripMargin).head.getLong(0) > 0)
+    assert(spark.sql("SELECT * FROM dau").count() > 0)
+    assert(spark.sql("SELECT * FROM top_10_clicked_recipe").count() > 0)
+  }
+
   test("treatment_vs_control: both groups per surviving segment") {
     val t = GoldAnalytics.treatmentVsControl(gold, conversionEvent = Convert,
       minUsers = 2).cache()
