@@ -248,6 +248,19 @@ object Analytics {
         .orderBy($"date_s")
     },
 
+    // Tumbling event-time windows via the window() function — the batch
+    // twin of the streaming hourly rollup (same grouping the watermark
+    // closes incrementally in streaming/StreamingIngest.runHourlyCounts).
+    "q_hourly_window" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), countDistinct($"user_id").as("users"))
+        .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("hour_start"),
+          $"event_type", $"n_events", $"users")
+        .orderBy($"hour_start", $"event_type")
+    },
+
     // Percentile aggregates (beyond the reference's AVG-only metrics):
     // exact interpolated percentiles — both engines implement the same
     // (1-f)*lo + f*hi definition over identical doubles. The scale note:
@@ -454,6 +467,11 @@ object Analytics {
          |  b.big_signups, COALESCE(b.big_signups, 0) AS big_signups_filled
          |FROM purchases p LEFT JOIN big_signups b ON p.d = b.d
          |ORDER BY date_s""".stripMargin,
+
+    "q_hourly_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+        |  event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS users
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -41,6 +41,33 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Watermarked tumbling-window aggregation over a silver stream:
+    * hourly event counts + distinct-ish user activity, emitted append-
+    * mode once the watermark closes each window — the streaming twin of
+    * the events_per_time rollup. State per open window is one aggregate
+    * row per (window, event_name): bounded by the watermark horizon.
+    */
+  def runHourlyCounts(spark: SparkSession, silverPath: String, outPath: String,
+                      checkpoint: String, watermark: String = "2 hours"): Unit = {
+    val schema = spark.read.parquet(silverPath).schema
+    val silver = spark.readStream.schema(schema).parquet(silverPath)
+    val agg = silver
+      .withWatermark("kst_timestamp", watermark)
+      .groupBy(window(col("kst_timestamp"), "1 hour"), col("event_name"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("hour_start"), col("event_name"),
+        col("n_events"), col("approx_users"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** bronze parquet → silver parquet with watermarked streaming dedup. */
   def runSilver(spark: SparkSession, bronzePath: String, silverPath: String,
                 checkpoint: String, watermark: String = "1 hour"): Unit = {

@@ -82,6 +82,33 @@ class MicroBatchSpec extends SparkSpec {
     assert(Warehouse.read(spark, mb.silverPath).count() == 2)
   }
 
+  test("streaming hourly windowed aggregation closes windows by watermark") {
+    val staging = tmpDir("staging4")
+    val wh = tmpDir("wh4")
+    // two hours of events, then a much later event to push the watermark
+    Files.write(Paths.get(s"$staging/a.jsonl"), Seq(
+      raw("w1", "u1", "2025-09-15T10:05:00.000+09:00"),
+      raw("w2", "u2", "2025-09-15T10:45:00.000+09:00"),
+      raw("w3", "u1", "2025-09-15T11:10:00.000+09:00")).mkString("\n").getBytes)
+    StreamingIngest.runBronze(spark, s"$staging/*.jsonl", s"$wh/bronze",
+      s"$wh/ckpt_b", "2025-09-15")
+    StreamingIngest.runSilver(spark, s"$wh/bronze", s"$wh/silver", s"$wh/ckpt_s")
+    StreamingIngest.runHourlyCounts(spark, s"$wh/silver", s"$wh/hourly", s"$wh/ckpt_h")
+    // first drain: watermark hasn't passed any window end yet → no output
+    // (append mode only emits closed windows); push it with a later file
+    Files.write(Paths.get(s"$staging/b.jsonl"),
+      Seq(raw("w4", "u1", "2025-09-15T16:00:00.000+09:00")).mkString("\n").getBytes)
+    StreamingIngest.runBronze(spark, s"$staging/*.jsonl", s"$wh/bronze",
+      s"$wh/ckpt_b", "2025-09-15")
+    StreamingIngest.runSilver(spark, s"$wh/bronze", s"$wh/silver", s"$wh/ckpt_s")
+    StreamingIngest.runHourlyCounts(spark, s"$wh/silver", s"$wh/hourly", s"$wh/ckpt_h")
+    StreamingIngest.runHourlyCounts(spark, s"$wh/silver", s"$wh/hourly", s"$wh/ckpt_h")
+    val hourly = spark.read.parquet(s"$wh/hourly")
+    // the 10:00 KST window (2 events) must be closed and emitted
+    assert(hourly.where($"n_events" === 2).count() == 1)
+    assert(hourly.count() >= 2) // 10:00 and 11:00 windows closed
+  }
+
   test("structured-streaming twin: AvailableNow drain + watermarked dedup") {
     val staging = tmpDir("staging3")
     val wh = tmpDir("wh3")
