@@ -122,8 +122,8 @@ object GoldAnalytics {
     val nSeg = winners.count()
     val tWins = winners.where(col("winner") === "Treatment").count()
     val winRate = if (nSeg > 0) tWins * 100.0 / nSeg else 0.0
-    val testUsers = inWindow.agg(countDistinct(col("user_dim_key"))).head.getLong(0)
-    val totalUsers = g.dimUser.agg(countDistinct(col("user_sk"))).head.getLong(0)
+    val testUsers = inWindow.agg(countDistinct(col("user_dim_key"))).head().getLong(0)
+    val totalUsers = g.dimUser.agg(countDistinct(col("user_sk"))).head().getLong(0)
     val signif = pivoted
       .where(abs(col("treatment_rate") - col("control_rate")) >= 0.1).count()
     val periodRow = inWindow.agg(min(col("date")).cast("string"),

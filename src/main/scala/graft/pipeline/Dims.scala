@@ -151,7 +151,7 @@ object Dims {
       existing.select("user_id", "anonymous_id"),
       Seq("user_id", "anonymous_id"), "left_anti")
     // A4 — scalar high-water mark; one tiny agg, broadcast back as a literal
-    val maxSk = existing.agg(coalesce(max("user_sk"), lit(0L))).head.getLong(0)
+    val maxSk = existing.agg(coalesce(max("user_sk"), lit(0L))).head().getLong(0)
     val w = Window.orderBy("user_id", "anonymous_id")
     newUsers
       .withColumn("user_sk", (row_number().over(w) + lit(maxSk)).cast("long"))

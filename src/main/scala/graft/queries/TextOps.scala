@@ -168,6 +168,26 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // Generic column profiling — the first pass a training-data pipeline
+    // runs on any new corpus: per column, totals, null counts, distinct
+    // counts, and lexicographic min/max, stacked as one row per column.
+    // One aggregate pass per column over a cached narrow frame.
+    "q_profile" -> { (s, dir) =>
+      import s.implicits._
+      val d = load(s, dir, "documents").cache()
+      def profile(c: String) =
+        d.agg(
+          count(lit(1)).as("n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c).cast("string")).as("min_s"),
+          max(col(c).cast("string")).as("max_s"))
+          .withColumn("column_name", lit(c))
+      Seq("doc_id", "lang", "source", "n_chars").map(profile).reduce(_ unionByName _)
+        .select($"column_name", $"n", $"n_null", $"n_distinct", $"min_s", $"max_s")
+        .orderBy($"column_name")
+    },
+
     // MinHash + LSH near-dup detection (banding → bucket join → exact
     // verify). No SQL oracle: xxhash64 signatures aren't expressible in
     // DuckDB; the ScalaTest suite checks recall against the exact
@@ -253,6 +273,28 @@ object TextOps {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_profile" ->
+      """WITH p AS (
+        |  SELECT 'doc_id' AS column_name, COUNT(*) AS n,
+        |    COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS n_null,
+        |    COUNT(DISTINCT doc_id) AS n_distinct,
+        |    MIN(CAST(doc_id AS VARCHAR)) AS min_s, MAX(CAST(doc_id AS VARCHAR)) AS max_s
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', COUNT(*), COUNT(CASE WHEN lang IS NULL THEN 1 END),
+        |    COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', COUNT(*), COUNT(CASE WHEN source IS NULL THEN 1 END),
+        |    COUNT(DISTINCT source), MIN(source), MAX(source) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', COUNT(*), COUNT(CASE WHEN n_chars IS NULL THEN 1 END),
+        |    COUNT(DISTINCT n_chars), MIN(CAST(n_chars AS VARCHAR)),
+        |    MAX(CAST(n_chars AS VARCHAR)) FROM documents
+        |)
+        |SELECT column_name, n, CAST(n_null AS BIGINT) AS n_null, n_distinct,
+        |  min_s, max_s
+        |FROM p ORDER BY column_name""".stripMargin,
 
     "q_quality_score" ->
       """WITH d AS (

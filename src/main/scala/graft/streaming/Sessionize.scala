@@ -30,7 +30,7 @@ object Sessionize {
       new Timestamp(s.last), s.nEvents, (s.last - s.start) / 1000)
 
     if (state.hasTimedOut) {
-      val out = state.getOption.map(close).toIterator
+      val out = state.getOption.map(close).iterator
       state.remove()
       return out
     }
