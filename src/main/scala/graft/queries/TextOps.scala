@@ -56,7 +56,12 @@ object TextOps {
   }
 
   /** Candidate near-dup pairs via LSH banding over minhash signatures. */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
+  def lshCandidates(sigs: DataFrame): DataFrame = lshCandidates(sigs, MaxBucket)
+
+  /** As [[lshCandidates]] with an explicit bucket cap — a test seam
+    * (package-private so production callers can't bypass the cap).
+    */
+  private[queries] def lshCandidates(sigs: DataFrame, maxBucket: Int): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until BandRows).map(r => col(s"sig_${b * BandRows + r}")): _*).as("bh"))
@@ -68,7 +73,7 @@ object TextOps {
     val counted = exploded
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .where(col("bucket_n") <= MaxBucket)
+      .where(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
     val a = counted.alias("a")
     val b = counted.alias("b")

@@ -57,6 +57,16 @@ class TextVectorSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("lsh bucket cap drops degenerate buckets before pair expansion") {
+    // 60 identical docs: every band bucket has all 60 → with a cap of 10
+    // no candidates survive; with a generous cap the full clique appears
+    val docs = (0L until 60L).map(i => (i, "same same text here every time"))
+      .toDF("doc_id", "text")
+    val sigs = graft.queries.TextOps.minhashSignatures(docs)
+    assert(graft.queries.TextOps.lshCandidates(sigs, 10).count() == 0)
+    assert(graft.queries.TextOps.lshCandidates(sigs, 1000).count() == 60L * 59 / 2)
+  }
+
   test("ann-ivf: valid ranking, recall at least as useful as random cells") {
     val brute = SparkEntryAccess.run(spark, "q_ann_topk", sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
