@@ -248,6 +248,20 @@ object Analytics {
         .orderBy($"date_s")
     },
 
+    // Per-group top-N: rank within partition then filter — unlike global
+    // top-k (TakeOrderedAndProject), this shuffles once on the group key
+    // and never sorts globally.
+    "q_topn_per_group" -> { (s, dir) =>
+      import s.implicits._
+      val daily = enriched(s, dir)
+        .groupBy($"event_type", $"d").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy(desc("cnt"), asc("d"))
+      daily.withColumn("rnk", row_number().over(w).cast("long"))
+        .where($"rnk" <= 3)
+        .select($"event_type", $"rnk", $"d".cast("string").as("date_s"), $"cnt")
+        .orderBy($"event_type", $"rnk")
+    },
+
     // Tumbling event-time windows via the window() function — the batch
     // twin of the streaming hourly rollup (same grouping the watermark
     // closes incrementally in streaming/StreamingIngest.runHourlyCounts).
@@ -467,6 +481,18 @@ object Analytics {
          |  b.big_signups, COALESCE(b.big_signups, 0) AS big_signups_filled
          |FROM purchases p LEFT JOIN big_signups b ON p.d = b.d
          |ORDER BY date_s""".stripMargin,
+
+    "q_topn_per_group" ->
+      s"""$enrichedCte, daily AS (
+         |  SELECT event_type, d, COUNT(*) AS cnt FROM e GROUP BY event_type, d
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY cnt DESC, d ASC) AS rnk FROM daily
+         |)
+         |SELECT event_type, CAST(rnk AS BIGINT) AS rnk,
+         |  strftime(d, '%Y-%m-%d') AS date_s, cnt
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY event_type, rnk""".stripMargin,
 
     "q_hourly_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
