@@ -28,7 +28,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only is not None:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -228,19 +228,19 @@ object Medallion {
          |SELECT s.event_name,
          |  COUNT(*) AS n,
          |  COUNT(DISTINCT CASE WHEN su.user_id IS NOT NULL THEN s.user_id END) AS joined_users,
-         |  SUM(CASE WHEN s.event_name IN ('auth_success','click_bookmark','create_comment')
-         |      THEN 1 ELSE 0 END) AS conversions,
-         |  SUM(CASE s.event_name WHEN 'auth_success' THEN 10.0
+         |  CAST(SUM(CASE WHEN s.event_name IN ('auth_success','click_bookmark','create_comment')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS conversions,
+         |  CAST(SUM(CASE s.event_name WHEN 'auth_success' THEN 10.0
          |      WHEN 'create_comment' THEN 9.0 WHEN 'click_bookmark' THEN 8.0
          |      WHEN 'click_recipe' THEN 7.0 WHEN 'search_recipe' THEN 5.0
          |      WHEN 'view_recipe' THEN 4.0 WHEN 'view_page' THEN 2.0
-         |      ELSE 1.0 END) AS eng_sum,
-         |  SUM(CASE WHEN s.prop_action LIKE 'dur:%'
-         |      THEN CAST(substr(s.prop_action, 5) AS BIGINT) ELSE 60 END) AS sess_sum,
-         |  SUM(CASE WHEN su.user_id IS NOT NULL THEN 1 ELSE 0 END) AS user_joined,
-         |  SUM(CASE WHEN s.prop_recipe_id IS NOT NULL THEN 1 ELSE 0 END) AS recipe_joined,
-         |  SUM(CASE WHEN s.page_name IS NOT NULL OR s.page_url IS NOT NULL
-         |      THEN 1 ELSE 0 END) AS page_joined,
+         |      ELSE 1.0 END) AS DOUBLE) AS eng_sum,
+         |  CAST(SUM(CASE WHEN s.prop_action LIKE 'dur:%'
+         |      THEN CAST(substr(s.prop_action, 5) AS BIGINT) ELSE 60 END) AS BIGINT) AS sess_sum,
+         |  CAST(SUM(CASE WHEN su.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_joined,
+         |  CAST(SUM(CASE WHEN s.prop_recipe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS recipe_joined,
+         |  CAST(SUM(CASE WHEN s.page_name IS NOT NULL OR s.page_url IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS page_joined,
          |  COUNT(*) AS event_joined,
          |  MIN(CAST(strftime(s.kst, '%Y%m%d%H') AS BIGINT)) AS time_key_min,
          |  MAX(CAST(strftime(s.kst, '%Y%m%d%H') AS BIGINT)) AS time_key_max
