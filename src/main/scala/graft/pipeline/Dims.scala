@@ -140,6 +140,29 @@ object Dims {
       date_format(col("ts"), "E").isin("Sat", "Sun").as("is_weekend"))
   }
 
+  /** The dim_user high-water-mark upsert pattern generalized to any small
+    * dim (replay_silver_to_gold.py:200-280 semantics): candidate natural
+    * keys are anti-joined NULL-SAFELY against the existing dim (dim_page
+    * naturals can be half-null — plain `===` would re-insert them every
+    * tick, forking SKs), and new keys get SKs continuing from the existing
+    * max. Returns only the rows to append — existing SKs are never
+    * renumbered, so fact partitions written under older dim states stay
+    * joinable forever. The global window runs over *new keys in this batch
+    * only* (per-tick cardinality), never over the full dim.
+    */
+  def dimUpsert(candidates: DataFrame, existing: DataFrame,
+                idCols: Seq[String], sk: String): DataFrame = {
+    val cand = candidates.select(idCols.map(col): _*).distinct()
+    val ex = existing.select(idCols.map(c => col(c).as(s"__ex_$c")): _*)
+    val cond = idCols.map(c => cand(c) <=> ex(s"__ex_$c")).reduce(_ && _)
+    val newKeys = cand.join(ex, cond, "left_anti")
+    val maxSk = existing.agg(coalesce(max(col(sk)), lit(0L))).head().getLong(0)
+    val w = Window.orderBy(idCols.map(asc_nulls_first): _*)
+    newKeys
+      .withColumn(sk, (row_number().over(w) + lit(maxSk)).cast("long"))
+      .select((sk +: idCols).map(col): _*)
+  }
+
   /** J5 + A4 + W2 — incremental dim_user upsert
     * (replay_silver_to_gold.py:200-280): new users = silver users anti-join
     * existing dim; SKs continue from the existing high-water mark via

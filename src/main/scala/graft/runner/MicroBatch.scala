@@ -4,7 +4,6 @@ import java.time.LocalDateTime
 import java.time.format.DateTimeFormatter
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -25,8 +24,11 @@ import graft.pipeline._
   *     true partition), so several intervals share a partition; a batch
   *     merges with the affected partitions' existing rows, deduped by
   *     event_id — re-runs converge to the same content.
-  * The only cross-batch state is the dim_user high-water mark, re-read
-  * from the sink (replay_silver_to_gold.py:239-243).
+  * The only cross-batch state is the four dims' SK high-water marks,
+  * re-read from their own sinks (replay_silver_to_gold.py:239-243) —
+  * all four dims (user/event/page/recipe) are persisted and upserted
+  * incrementally, so SKs are stable across ticks and fact partitions
+  * written at any tick remain joinable against the current dims.
   *
   * At 100 TB each tick touches only its own batch/date partitions;
   * nothing here scans or rewrites the full table.
@@ -37,6 +39,9 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String) {
   val silverPath = s"$warehouse/user_events_silver"
   val factPath = s"$warehouse/fact_user_events"
   val dimUserPath = s"$warehouse/dim_user"
+  val dimEventPath = s"$warehouse/dim_event"
+  val dimPagePath = s"$warehouse/dim_page"
+  val dimRecipePath = s"$warehouse/dim_recipe"
 
   private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
   private val batchFmt = DateTimeFormatter.ofPattern("yyyyMMddHHmm")
@@ -52,6 +57,40 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String) {
     StructField("user_sk", LongType), StructField("user_id", StringType),
     StructField("anonymous_id", StringType), StructField("user_segment", StringType),
     StructField("cooking_style", StringType), StructField("ab_test_group", StringType)))
+
+  private val dimEventSchema = StructType(Seq(
+    StructField("event_sk", LongType), StructField("event_name", StringType)))
+  private val dimPageSchema = StructType(Seq(
+    StructField("page_sk", LongType), StructField("page_name", StringType),
+    StructField("page_url", StringType)))
+  private val dimRecipeSchema = StructType(Seq(
+    StructField("recipe_sk", LongType), StructField("recipe_id", StringType)))
+
+  /** Incremental upsert of one persisted dim: append new natural keys from
+    * this batch with SKs above the stored high-water mark. Existing rows
+    * are never renumbered, so fact partitions written by earlier ticks
+    * remain joinable against the current dim — and no tick ever scans the
+    * full silver table to rebuild a dim.
+    */
+  private def upsertDim(path: String, schema: StructType, idCols: Seq[String],
+                        sk: String, candidates: DataFrame): DataFrame = {
+    val existing = readOrEmpty(path, schema)
+    val appended = Dims.dimUpsert(candidates, existing, idCols, sk)
+    // materialize before overwriting the file we just read
+    val merged = existing.unionByName(appended).localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(path)
+    merged
+  }
+
+  /** Static partition predicate over a batch's affected (year,month,day)
+    * set — package-visible so the spec can assert a tick's silver scans
+    * carry PartitionFilters built from exactly this predicate.
+    */
+  private[runner] def affectedFilterOf(keys: Seq[(Int, Int, Int)]): org.apache.spark.sql.Column =
+    if (keys.isEmpty) lit(false)
+    else keys.map { case (y, m, d) =>
+      col("year") === y && col("month") === m && col("day") === d
+    }.reduce(_ || _)
 
   /** One 15-minute tick. Returns (bronzeRows, silverRows, factRowsTotal). */
   def runInterval(start: LocalDateTime): (Long, Long, Long) = {
@@ -75,10 +114,14 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String) {
       .where(col("ingestion_date") === lit(ingestionDate) && col("batch_id") === lit(batchId))
     val silverNew = BronzeToSilver.transform(bronzeBatch)
 
-    // merge with affected event-date partitions, dedup by event_id
-    val affected = silverNew.select("year", "month", "day").distinct()
-    val silverExisting = readOrEmpty(silverPath, silverNew.schema)
-      .join(broadcast(affected), Seq("year", "month", "day"), "left_semi")
+    // merge with affected event-date partitions, dedup by event_id.
+    // The affected set is tiny (a 15-min batch touches 1-2 event dates),
+    // so collect it and filter STATICALLY — the existing-silver scan then
+    // carries PartitionFilters instead of relying on runtime DPP.
+    val affectedKeys = silverNew.select("year", "month", "day").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    val affectedFilter = affectedFilterOf(affectedKeys)
+    val silverExisting = readOrEmpty(silverPath, silverNew.schema).where(affectedFilter)
     val silverMerged = silverNew.unionByName(silverExisting)
       .dropDuplicates("event_id")
       // materialize before overwriting partitions we just read
@@ -86,35 +129,50 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String) {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     silverMerged.write.mode("overwrite")
       .partitionBy("year", "month", "day").parquet(silverPath)
-    val silverBatch = spark.read.parquet(silverPath)
-      .join(broadcast(affected), Seq("year", "month", "day"), "left_semi")
+    val silverBatch = spark.read.parquet(silverPath).where(affectedFilter)
 
-    // --- dim_user incremental upsert (J5 + A4 + W2)
-    val existing = readOrEmpty(dimUserPath, dimUserSchema)
-    val appended = Dims.dimUserUpsert(silverBatch, existing)
-    val dimUser = existing.unionByName(appended).localCheckpoint(true)
+    // --- incremental dim upserts, from this batch's rows ONLY — never a
+    // full-silver rebuild. SKs are append-only with a persisted high-water
+    // mark, so every tick's fact partitions share one stable numbering.
+    // dim_user keys on (user_id, anonymous_id) alone — attributes ride
+    // along and must not fork a new SK when they change — so it keeps its
+    // dedicated upsert (J5 + A4 + W2).
+    val existingUser = readOrEmpty(dimUserPath, dimUserSchema)
+    val dimUser = existingUser
+      .unionByName(Dims.dimUserUpsert(silverBatch, existingUser))
+      .localCheckpoint(true)
     dimUser.write.mode("overwrite").parquet(dimUserPath)
+    val dimEvent = upsertDim(dimEventPath, dimEventSchema,
+      Seq("event_name"), "event_sk",
+      silverBatch.where(col("event_name").isNotNull).select("event_name"))
+    val dimPage = upsertDim(dimPagePath, dimPageSchema,
+      Seq("page_name", "page_url"), "page_sk",
+      silverBatch.where(col("page_name").isNotNull || col("page_url").isNotNull)
+        .select("page_name", "page_url"))
+    val dimRecipe = upsertDim(dimRecipePath, dimRecipeSchema,
+      Seq("recipe_id"), "recipe_sk",
+      silverBatch.where(col("prop_recipe_id").isNotNull)
+        .select(col("prop_recipe_id").cast("string").as("recipe_id")))
 
-    // --- silver → gold for the affected dates (merge-dedup by event_id)
-    val silverAll = spark.read.parquet(silverPath)
-    val dimUserNow = spark.read.parquet(dimUserPath)
-    val dimEvent = Dims.dimEvent(silverAll)
-    val dimPage = Dims.dimPage(silverAll)
-    val dimRecipe = silverAll.where(col("prop_recipe_id").isNotNull)
-      .select(col("prop_recipe_id").cast("string").as("recipe_id")).distinct()
-      .withColumn("recipe_sk", row_number().over(Window.orderBy("recipe_id")).cast("long"))
+    // --- silver → gold for the affected dates (merge-dedup by event_id).
+    // created_at = kst_timestamp and silver's (year,month,day) derive from
+    // the same timestamp, so the affected fact dates ARE the affected
+    // silver keys — no extra pass over factNew needed.
     val factNew = SilverToGold
-      .buildFact(silverBatch, dimUserNow, dimRecipe, dimEvent, dimPage)
+      .buildFact(silverBatch, dimUser, dimRecipe, dimEvent, dimPage)
       .withColumn("created_date", to_date(col("created_at")))
+    val factDates = affectedKeys.map { case (y, m, d) =>
+      java.sql.Date.valueOf(java.time.LocalDate.of(y, m, d)) }
     val factExisting = readOrEmpty(factPath, factNew.schema)
-      .join(broadcast(factNew.select("created_date").distinct()),
-        Seq("created_date"), "left_semi")
+      .where(if (factDates.isEmpty) lit(false)
+             else col("created_date").isin(factDates.toSeq: _*))
     val factMerged = factNew.unionByName(factExisting)
       .dropDuplicates("event_id").localCheckpoint(true)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     factMerged.write.mode("overwrite").partitionBy("created_date").parquet(factPath)
 
-    (bronze.count(), silverMerged.count(), factMerged.count())
+    // bronzeBatch reads the partition just written — no staging re-read
+    (bronzeBatch.count(), silverMerged.count(), factMerged.count())
   }
 
   /** Run a sequence of 15-min intervals in order (the DAG's catchup loop). */

@@ -66,6 +66,71 @@ class MicroBatchSpec extends SparkSpec {
     assert(mb.runInterval(LocalDateTime.of(2025, 9, 15, 11, 0)) == ((0L, 0L, 0L)))
   }
 
+  test("dim SKs stay stable across ticks; old fact partitions stay joinable") {
+    val staging = tmpDir("staging5")
+    val wh = tmpDir("wh5")
+    // tick 1 (event date 15): two event names, a page, a recipe
+    writeStagingFile(staging, 2025, 9, 15, 10, 0, Seq(
+      raw("d1", "u1", "2025-09-15T10:01:00.000+09:00", "view_recipe"),
+      raw("d2", "u2", "2025-09-15T10:02:00.000+09:00", "auth_success")))
+    // tick 2 (event date 16): a lexicographically EARLIER event name shows
+    // up — under a full rebuild it would renumber every later SK
+    writeStagingFile(staging, 2025, 9, 16, 10, 0, Seq(
+      raw("d3", "u3", "2025-09-16T10:01:00.000+09:00", "click_recipe")))
+
+    val mb = new MicroBatch(spark, staging, wh)
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+    val before = spark.read.parquet(mb.dimEventPath)
+      .select("event_sk", "event_name").as[(Long, String)].collect().toMap
+    mb.runInterval(LocalDateTime.of(2025, 9, 16, 10, 0))
+    val after = spark.read.parquet(mb.dimEventPath)
+      .select("event_sk", "event_name").as[(Long, String)].collect().toMap
+
+    // existing names keep their SKs; the new name is appended above the
+    // high-water mark
+    before.foreach { case (sk, name) => assert(after(sk) == name) }
+    assert(after.size == before.size + 1)
+    assert(after.keys.max > before.keys.max)
+    assert(after.values.toSet.contains("click_recipe"))
+
+    // fact rows written at tick 1 resolve through the CURRENT dim_event:
+    // with a tick-2 full rebuild view_recipe's SK would have shifted and
+    // d1 would resolve to the wrong name
+    val fact = spark.read.parquet(mb.factPath)
+    val dimE = spark.read.parquet(mb.dimEventPath)
+    val resolved = fact.join(dimE, fact("event_dim_key") === dimE("event_sk"))
+      .select("event_id", "event_name").as[(String, String)].collect().toMap
+    assert(resolved("d1") == "view_recipe")
+    assert(resolved("d2") == "auth_success")
+    assert(resolved("d3") == "click_recipe")
+
+    // same stability for dim_page and dim_recipe (persisted, append-only)
+    assert(spark.read.parquet(mb.dimPagePath).select("page_sk").distinct().count() ==
+      spark.read.parquet(mb.dimPagePath).count())
+    assert(spark.read.parquet(mb.dimRecipePath).select("recipe_sk").distinct().count() ==
+      spark.read.parquet(mb.dimRecipePath).count())
+  }
+
+  test("a tick's silver reads prune to the batch's affected partitions") {
+    val staging = tmpDir("staging6")
+    val wh = tmpDir("wh6")
+    writeStagingFile(staging, 2025, 9, 15, 10, 0, Seq(
+      raw("g1", "u1", "2025-09-15T10:01:00.000+09:00")))
+    writeStagingFile(staging, 2025, 9, 16, 10, 0, Seq(
+      raw("g2", "u2", "2025-09-16T10:01:00.000+09:00")))
+    val mb = new MicroBatch(spark, staging, wh)
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+    mb.runInterval(LocalDateTime.of(2025, 9, 16, 10, 0))
+
+    // the exact predicate runInterval builds for a day-16 batch statically
+    // prunes the silver scan to that partition
+    val pruned = spark.read.parquet(mb.silverPath)
+      .where(mb.affectedFilterOf(Seq((2025, 9, 16))))
+    assert(Warehouse.hasPartitionFilters(pruned))
+    assert(pruned.count() == 1)
+    assert(pruned.select("event_id").as[String].head() == "g2")
+  }
+
   test("partitioned silver scan prunes by event date") {
     val staging = tmpDir("staging2")
     val wh = tmpDir("wh2")
