@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Headline benchmark: every registered query + the end-to-end medallion
   * bulk pass, one JSON line to stdout (driver contract).
@@ -9,6 +9,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local-iteration filter: bench only these queries, skip the medallion
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,6 +24,13 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Drive each query through the noop sink, not .count(): count() lets
+    // Catalyst prune unprojected expression work (a narrow map query would
+    // time the scan, not its sha256/simhash columns); noop materializes
+    // every output column without sink I/O.
+    def exec(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // JVM/session warm-up outside the timings (the driver measures steady
     // state, not first-query class-loading)
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
@@ -28,39 +38,52 @@ object Bench {
     // Two passes per query, report the faster: the first execution pays
     // one-off whole-stage-codegen/JIT compilation of the generated
     // classes (tens of seconds for the widest expression trees), which
-    // a steady-state pipeline amortizes away.
+    // a steady-state pipeline amortizes away. A query that fails on every
+    // attempt records the -1 sentinel — never the failed attempt's wall
+    // time, which would silently shrink the headline total.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
-        time {
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        val runs = (1 to 2).flatMap { _ =>
+          try Some(time(exec(fn(spark, sfDir))))
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name: ${e.getMessage}"); None
+          }
         }
+        results(name) = if (runs.isEmpty) -1.0 else runs.min
       }
-      results(name) = runs.min
-    }
 
     // End-to-end medallion bulk pass (EP2): raw JSON lines → bronze →
     // silver (parse+dedup) → dims → fact, with partitioned-parquet I/O —
     // the reference's pipeline-latency envelope (BASELINE.md: ~1M events
-    // in ≤20 min; here ~100k events at sf0.1).
-    // Optional scale multiplier (SPARK_GRAFT_MEDALLION_REPLICATE=10 at
-    // sf0.1 ≈ the reference's 1M-event bulk pass): replicas get distinct
-    // event_ids so the dedup keeps them.
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_MEDALLION_REPLICATE", "1").toInt
-    val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh").toString
-    results("medallion_e2e") = time {
+    // in ≤20 min). Run once at the sf's native size (~100k events at
+    // sf0.1) and once replicated to the reference's 1M-event bulk scale,
+    // so the baseline comparison is a measurement, not an extrapolation.
+    // Replicas get distinct event_ids so the dedup keeps them.
+    def medallion(replicate: Int): Double = {
       import org.apache.spark.sql.functions._
-      val events0 = Tables.load(spark, sfDir, "events")
-      val events =
-        if (replicate <= 1) events0
-        else events0
-          .crossJoin(spark.range(replicate).select(col("id").as("rep")))
-          .withColumn("event_id", col("event_id") * replicate + col("rep"))
-          .drop("rep")
-      val raw = graft.pipeline.RefEventsAdapter.toRawJson(events)
-      val (_, _, factN) = graft.runner.Bulk.run(spark, raw, wh, "2024-01-01")
-      require(factN > 0)
+      val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh").toString
+      val t = time {
+        val events0 = Tables.load(spark, sfDir, "events")
+        val events =
+          if (replicate <= 1) events0
+          else events0
+            .crossJoin(spark.range(replicate).select(col("id").as("rep")))
+            .withColumn("event_id", col("event_id") * replicate + col("rep"))
+            .drop("rep")
+        val raw = graft.pipeline.RefEventsAdapter.toRawJson(events)
+        val (_, _, factN) = graft.runner.Bulk.run(spark, raw, wh, "2024-01-01")
+        require(factN > 0)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+      t
+    }
+    if (only.isEmpty) {
+      results("medallion_e2e") = medallion(1)
+      results("medallion_e2e_1m") =
+        medallion(sys.env.getOrElse("SPARK_GRAFT_MEDALLION_REPLICATE", "10").toInt)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

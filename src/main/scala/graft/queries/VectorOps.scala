@@ -61,110 +61,140 @@ object VectorOps {
     bits.reduce(_ + _)
   }
 
+  /** Corpus as (vec_id, v: array<double>). */
+  private def corpusOf(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** The fixed small query set (vec_id < 3) as (query_id, qv). */
+  private def querySetOf(emb: DataFrame): DataFrame =
+    emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** Brute-force cosine top-k: broadcast queries × corpus scan, per-query
+    * top-k via window. Linear in corpus size — the per-query baseline.
+    */
+  def annBruteForce(emb: DataFrame, k: Int): DataFrame = {
+    val scored = emb.join(broadcast(querySetOf(emb)), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("v")))
+    topK(scored, k)
+  }
+
+  /** LSH-bucketed ANN with multi-probe: corpus vectors hashed to sign-bit
+    * buckets once; each query probes its own bucket plus every Hamming-1
+    * neighbor. Scoring touches only probed buckets — candidate set ≈
+    * (1+planes)/2^planes of the corpus, the scale path vs a full scan.
+    */
+  def annLsh(emb: DataFrame, k: Int): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col("v")))
+    val probes = (0 until NumPlanes).map(p => col("bucket").bitwiseXOR(1L << p))
+    val queriesDf = bucketed.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(array((col("bucket") +: probes): _*)).as("bucket"))
+    val scored = bucketed.join(broadcast(queriesDf), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      // a neighbor can surface via several probes — dedup before ranking
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos", dot(col("qv"), col("v")))
+    topK(scored, k)
+  }
+
+  /** IVF-style ANN: deterministic coarse quantizer (first-k vectors as
+    * seeds, two Lloyd refinement passes — all DataFrame ops, only the k
+    * centroids ever touch the driver), corpus assigned to its nearest
+    * centroid, each query probes the `nprobe` closest cells. The scale
+    * path when hyperplane LSH recall is poor: cells adapt to the data.
+    */
+  def annIvf(emb: DataFrame, k: Int, cells: Int = 8, nprobe: Int = 3): DataFrame = {
+    val cached = emb.cache()
+    // seed centroids: first `cells` vectors by id (deterministic)
+    var centroids = cached.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    // two Lloyd passes: assign → recompute means element-wise
+    for (_ <- 0 until 2) {
+      val assigned = cached.crossJoin(broadcast(centroids))
+        .withColumn("d", graft.functions.CosineSimilarity(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
+        .where(col("rn") === 1)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("mx"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pairs"))
+        .select(col("cell"), transform(col("pairs"), p => p.getField("mx")).as("cv"))
+    }
+    val cents = broadcast(centroids)
+
+    val corpus = cached.crossJoin(cents)
+      .withColumn("d", graft.functions.CosineSimilarity(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+
+    val queryProbes = cached.where(col("vec_id") < 3).crossJoin(cents)
+      .withColumn("d", graft.functions.CosineSimilarity(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
+      .where(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+
+    val scored = corpus.join(broadcast(queryProbes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos", graft.functions.CosineSimilarity(col("qv"), col("v")))
+    topK(scored, k)
+  }
+
+  /** Recall contract vs the in-query brute-force baseline: per query,
+    * the ANN path must return exactly k rows and hit at least `minHits`
+    * of the true top-k. DuckDB can compute the query set but not the
+    * ANN internals, so the boolean (plus the pinned k) is the
+    * cross-engine contract — the q_approx_dau pattern.
+    */
+  private def recallContract(ann: DataFrame, bf: DataFrame, minHits: Int): DataFrame = {
+    val hits = ann
+      .join(bf.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    ann.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Brute-force cosine top-5 for a small query set: broadcast queries ×
-    // corpus scan, per-query top-k via window. Output ids only — rank
-    // order is float-robust (neighbor gaps >> ulp), values are not.
+    // Brute-force cosine top-5. Output ids only — rank order is
+    // float-robust (neighbor gaps >> ulp), values are not.
     "q_ann_topk" -> { (s, dir) =>
-      import s.implicits._
-      val emb = load(s, dir, "embeddings")
-        .select($"vec_id", asDouble($"embedding").as("v"))
-      val queriesDf = emb.where($"vec_id" < 3)
-        .select($"vec_id".as("query_id"), $"v".as("qv"))
-      val scored = emb.join(broadcast(queriesDf), $"vec_id" =!= $"query_id")
-        .withColumn("cos", dot($"qv", $"v"))
-      val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .where($"rank" <= 5)
-        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"))
-        .orderBy($"query_id", $"rank")
+      annBruteForce(corpusOf(s, dir), 5).orderBy(col("query_id"), col("rank"))
     },
 
-    // LSH-bucketed ANN with multi-probe: corpus vectors are hashed to
-    // sign-bit buckets once; each query probes its own bucket plus every
-    // Hamming-1 neighbor (flip one plane's bit). Scoring touches only
-    // probed buckets — candidate set ≈ (1+planes)/2^planes of the corpus,
-    // the scale path vs. a full scan. No SQL oracle (bucket ids come from
-    // the integer-mix planes); ScalaTest checks recall vs brute force.
-    // Driver records a rows-only check.
+    // LSH ANN recall contract: ≥1 of the true top-5 per query. Random
+    // 64-dim unit vectors are near-orthogonal, so 4 hyperplanes +
+    // Hamming-1 probing recalls 20–80% here — the floor pins "the bucket
+    // routing finds true neighbors", the plane count is the scaling knob.
     "q_ann_lsh" -> { (s, dir) =>
-      import s.implicits._
-      val emb = load(s, dir, "embeddings")
-        .select($"vec_id", asDouble($"embedding").as("v"))
-        .withColumn("bucket", lshBucket($"v"))
-      val probes = (0 until NumPlanes).map(p => $"bucket".bitwiseXOR(1L << p))
-      val queriesDf = emb.where($"vec_id" < 3)
-        .select($"vec_id".as("query_id"), $"v".as("qv"),
-          explode(array(($"bucket" +: probes): _*)).as("bucket"))
-      val scored = emb.join(broadcast(queriesDf),
-          Seq("bucket")).where($"vec_id" =!= $"query_id")
-        // a neighbor can surface via several probes — dedup before ranking
-        .dropDuplicates("query_id", "vec_id")
-        .withColumn("cos", dot($"qv", $"v"))
-      val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .where($"rank" <= 5)
-        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"))
-        .orderBy($"query_id", $"rank")
+      val emb = corpusOf(s, dir)
+      recallContract(annLsh(emb, 5), annBruteForce(emb, 5), minHits = 1)
     },
 
-    // IVF-style ANN: deterministic coarse quantizer (first-k vectors as
-    // centroids, two Lloyd refinement passes — all DataFrame ops, no
-    // driver-side data loops beyond collecting k centroids), corpus
-    // assigned to nearest centroid, each query probes the `nprobe`
-    // closest cells. The scale path when hyperplane LSH recall is poor:
-    // cells adapt to the data distribution. No SQL oracle (centroids are
-    // iterative); ScalaTest checks recall vs brute force + cell sanity.
+    // IVF ANN recall contract: ≥4 of the true top-5 per query (the
+    // data-adaptive quantizer recalls far better than hyperplane LSH on
+    // this corpus — that is the point of having both).
     "q_ann_ivf" -> { (s, dir) =>
-      import s.implicits._
-      val k = 8
-      val nprobe = 3
-      val emb = load(s, dir, "embeddings")
-        .select($"vec_id", asDouble($"embedding").as("v")).cache()
-
-      // seed centroids: first k vectors by id (deterministic)
-      var centroids = emb.orderBy($"vec_id").limit(k)
-        .select($"vec_id".cast("int").as("cell"), $"v".as("cv"))
-      // two Lloyd passes: assign → recompute means element-wise
-      for (_ <- 0 until 2) {
-        val assigned = emb.crossJoin(broadcast(centroids))
-          .withColumn("d", graft.functions.CosineSimilarity($"v", $"cv"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
-          .where($"rn" === 1)
-        centroids = assigned
-          .select($"cell", posexplode($"v").as(Seq("pos", "x")))
-          .groupBy($"cell", $"pos").agg(avg($"x").as("mx"))
-          .groupBy($"cell")
-          .agg(array_sort(collect_list(struct($"pos", $"mx"))).as("pairs"))
-          .select($"cell", transform($"pairs", p => p.getField("mx")).as("cv"))
-      }
-      val cents = broadcast(centroids)
-
-      val corpus = emb.crossJoin(cents)
-        .withColumn("d", graft.functions.CosineSimilarity($"v", $"cv"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
-        .where($"rn" === 1)
-        .select($"vec_id", $"v", $"cell")
-
-      val queryProbes = emb.where($"vec_id" < 3).crossJoin(cents)
-        .withColumn("d", graft.functions.CosineSimilarity($"v", $"cv"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
-        .where($"rn" <= nprobe)
-        .select($"vec_id".as("query_id"), $"v".as("qv"), $"cell")
-
-      val scored = corpus.join(broadcast(queryProbes), Seq("cell"))
-        .where($"vec_id" =!= $"query_id")
-        .dropDuplicates("query_id", "vec_id")
-        .withColumn("cos", graft.functions.CosineSimilarity($"qv", $"v"))
-      val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .where($"rank" <= 5)
-        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"))
-        .orderBy($"query_id", $"rank")
+      val emb = corpusOf(s, dir)
+      recallContract(annIvf(emb, 5), annBruteForce(emb, 5), minHits = 4)
     },
 
     // Embedding-cosine near-dup: exact all-pairs baseline scored by the
@@ -222,6 +252,17 @@ object VectorOps {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Recall contracts: DuckDB pins the query set, the returned k, and
+    // the recall boolean — the ANN internals (hyperplane buckets / Lloyd
+    // cells) are Spark-side only.
+    "q_ann_lsh" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin,
+
+    "q_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH emb AS (

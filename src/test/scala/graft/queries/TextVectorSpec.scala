@@ -27,9 +27,11 @@ class TextVectorSpec extends SparkSpec {
   }
 
   test("simhash: near-identical docs collide, fingerprints deterministic") {
-    val sims = SparkEntryAccess.run(spark, "q_simhash", sf)
-    val again = SparkEntryAccess.run(spark, "q_simhash", sf)
-    assert(sims.collect().toSeq == again.collect().toSeq)
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val sims = TextOps.simhashFingerprints(docs)
+    val again = TextOps.simhashFingerprints(docs)
+    assert(sims.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
     // near-dup pairs (jaccard >= 0.9) should mostly share simhash bits
     val exact = SparkEntryAccess.run(spark, "q_neardup_jaccard", sf).select("doc_a", "doc_b")
     val withHashes = exact
@@ -39,12 +41,31 @@ class TextVectorSpec extends SparkSpec {
     val avgNear = withHashes.agg(avg("hamming")).head.getDouble(0)
     // random 16-bit pairs average 8 differing bits; near-dups must be well below
     assert(avgNear < 4.0, s"avg hamming for near-dups was $avgNear")
+    // the registered locality-contract query is non-vacuous and all-green
+    val contract = SparkEntryAccess.run(spark, "q_simhash", sf).cache()
+    assert(contract.count() > 0)
+    assert(contract.where(!$"hamming_ok").count() == 0)
+  }
+
+  test("neardup-jaccard bucket cap drops degenerate (lang,source) buckets") {
+    // 40 identical docs in one (lang, source) bucket: with a cap of 10 the
+    // pair join never sees them; with a generous cap the clique appears
+    val docs = (0L until 40L).map(i => (i, "same same text here", "en", "web", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextOps.neardupJaccard(docs, 10).count() == 0)
+    assert(TextOps.neardupJaccard(docs, 1000).count() == 40L * 39 / 2)
+  }
+
+  private def embCorpus = {
+    import org.apache.spark.sql.functions.transform
+    graft.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
   }
 
   test("ann-lsh: results are a valid subset ranking; multi-probe recall is useful") {
-    val brute = SparkEntryAccess.run(spark, "q_ann_topk", sf)
+    val brute = VectorOps.annBruteForce(embCorpus, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val lsh = SparkEntryAccess.run(spark, "q_ann_lsh", sf).cache()
+    val lsh = VectorOps.annLsh(embCorpus, 5).cache()
     // ranks are contiguous starting at 1 per query
     val ranks = lsh.groupBy("query_id").agg(min("rank").as("mn"), max("rank").as("mx"),
       count(lit(1)).as("n")).collect()
@@ -55,6 +76,10 @@ class TextVectorSpec extends SparkSpec {
     val recall = (brute & found).size.toDouble / brute.size
     // uniform-random vectors: multi-probe over 5/16 buckets; structural floor
     assert(recall >= 0.2, s"recall $recall")
+    // the registered contract query reports k=5, recall_ok for every query
+    val contract = SparkEntryAccess.run(spark, "q_ann_lsh", sf)
+    assert(contract.count() == 3)
+    assert(contract.where(!$"recall_ok" || $"k" =!= 5).count() == 0)
   }
 
   test("lsh bucket cap drops degenerate buckets before pair expansion") {
@@ -68,9 +93,9 @@ class TextVectorSpec extends SparkSpec {
   }
 
   test("ann-ivf: valid ranking, recall at least as useful as random cells") {
-    val brute = SparkEntryAccess.run(spark, "q_ann_topk", sf)
+    val brute = VectorOps.annBruteForce(embCorpus, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val ivf = SparkEntryAccess.run(spark, "q_ann_ivf", sf).cache()
+    val ivf = VectorOps.annIvf(embCorpus, 5).cache()
     val ranks = ivf.groupBy("query_id").agg(min("rank").as("mn"), max("rank").as("mx"),
       count(lit(1)).as("n")).collect()
     ranks.foreach { r =>
@@ -81,6 +106,10 @@ class TextVectorSpec extends SparkSpec {
     // 3 of 8 cells probed → random-cell baseline recall ≈ 0.375; the
     // quantizer must do at least that well on average
     assert(recall >= 0.2, s"ivf recall $recall")
+    // the registered contract query reports k=5, recall_ok for every query
+    val contract = SparkEntryAccess.run(spark, "q_ann_ivf", sf)
+    assert(contract.count() == 3)
+    assert(contract.where(!$"recall_ok" || $"k" =!= 5).count() == 0)
   }
 
   test("multimodal stub features are deterministic, bounded, and schema-typed") {
