@@ -338,10 +338,16 @@ object GoldAnalytics {
       .orderBy(col("relative_lift_pct").desc)
   }
 
-  /** new_data_load_date.sql — latest load instant in KST (T3). */
+  /** new_data_load_date.sql — latest load instant in KST (T3).
+    * `created_at` (= kst_timestamp) already HOLDS the KST wall clock
+    * under this repo's UTC-session convention (BronzeToSilver adds the
+    * +9h offset when parsing), so the reference's
+    * `created_at AT TIME ZONE 'Asia/Seoul'` is the identity here —
+    * re-shifting with from_utc_timestamp would double-apply the offset.
+    */
   def newDataLoadDate(g: Gold): DataFrame =
     g.fact.orderBy(col("created_at").desc).limit(1)
-      .select(from_utc_timestamp(col("created_at"), "Asia/Seoul").as("kst_time"))
+      .select(col("created_at").as("kst_time"))
 
   /** pages_views.sql — 2-level rollup by page_name. */
   def pagesViews(g: Gold): DataFrame =

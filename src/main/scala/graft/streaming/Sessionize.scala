@@ -41,7 +41,11 @@ object Sessionize {
       val t = e.ts.getTime
       open match {
         case Some(s) if t - s.last <= GapMs =>
-          open = Some(s.copy(last = math.max(s.last, t), nEvents = s.nEvents + 1))
+          // out-of-order events (t < s.last, admitted by the watermark)
+          // merge too — extend BOTH ends so start/duration agree with the
+          // batch-window twin's gap rule, which sees events sorted
+          open = Some(s.copy(start = math.min(s.start, t),
+            last = math.max(s.last, t), nEvents = s.nEvents + 1))
         case Some(s) =>
           closed ::= close(s)
           open = Some(OpenSession(t, t, 1, 1))

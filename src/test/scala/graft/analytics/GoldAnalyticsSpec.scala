@@ -140,9 +140,18 @@ class GoldAnalyticsSpec extends SparkSpec {
     assert(l.where($"treatment_users" < 2 || $"control_users" < 2).count() == 0)
   }
 
-  test("new_data_load_date: single latest row, shifted to KST") {
+  test("new_data_load_date: single latest row, KST wall clock NOT re-shifted") {
     val n = GoldAnalytics.newDataLoadDate(gold).collect()
     assert(n.length == 1 && n(0).getTimestamp(0) != null)
+    // created_at already holds the KST wall clock — the query must return
+    // it unchanged (a from_utc_timestamp here would double-apply +9h)
+    val expected = gold.fact.agg(max($"created_at")).head.getTimestamp(0)
+    assert(n(0).getTimestamp(0) == expected)
+    // and that wall clock is exactly event-utc + 9h (ms-truncated by the
+    // adapter's JSON round trip)
+    val maxUtcMs = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .agg(max(date_trunc("millisecond", $"ts"))).head.getTimestamp(0)
+    assert(n(0).getTimestamp(0).getTime == maxUtcMs.getTime + 9L * 3600 * 1000)
   }
 
   test("time_x_day heatmap: normalized intensity spans [0, 100]") {

@@ -76,4 +76,27 @@ class SessionizeSpec extends SparkSpec {
     assert(unmatched.count() == 0,
       s"streaming sessions not found in batch: ${unmatched.collect().mkString(", ")}")
   }
+
+  test("late out-of-order event within gap merges and extends session start") {
+    val base = tmpDir("sess_ooo")
+    val events = s"$base/events"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+
+    writeEvents(events, "b1", Seq((3L, "2025-09-15 12:00:00", "view")))
+    Sessionize.run(spark, events, out, ckpt)
+    // 11:45 arrives late (before the open session's start, within the
+    // 30-min gap and above the watermark) — must merge AND move start back
+    writeEvents(events, "b2", Seq((3L, "2025-09-15 11:45:00", "click")))
+    Sessionize.run(spark, events, out, ckpt)
+    // a later event past the gap closes the merged session
+    writeEvents(events, "b3", Seq((3L, "2025-09-15 14:00:00", "view")))
+    Sessionize.run(spark, events, out, ckpt)
+
+    val s = spark.read.parquet(out).where($"user_id" === 3 && $"n_events" === 2)
+    assert(s.count() == 1)
+    val row = s.head()
+    assert(row.getAs[java.sql.Timestamp]("start_ts").toString.startsWith("2025-09-15 11:45:00"))
+    assert(row.getAs[Long]("duration_sec") == 900L)
+  }
 }
