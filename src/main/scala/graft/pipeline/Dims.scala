@@ -88,16 +88,40 @@ object Dims {
       .select("page_sk", "page_name", "page_url")
   }
 
-  /** dim_recipe with master attributes (create_dims.py:107-135 loads a
-    * parquet master file; here attributes derive deterministically from
-    * recipe_id — the stand-in master). Input: distinct recipe_id strings.
+  /** dim_recipe from a Parquet master file, reference shape
+    * (create_dims.py:107-135 reads total_recipes.parquet with columns
+    * id, name, dish_type, ingredient_type, method_type, situation_type,
+    * difficulty, cooking_time and renames id/name). SKs by deterministic
+    * row_number over recipe_id — the repo's reproducible-SK convention
+    * (the reference's monotonically_increasing_id is layout-dependent);
+    * master cardinality is ~10^4, far under window-bottleneck scale.
     */
-  def dimRecipe(recipeIds: DataFrame): DataFrame = {
+  def dimRecipeFromMaster(master: DataFrame): DataFrame = {
     val w = Window.orderBy("recipe_id")
-    val id = col("recipe_id").cast("long")
-    recipeIds.distinct()
+    master.select(
+        col("id").cast("string").as("recipe_id"),
+        col("name").as("recipe_name"),
+        col("dish_type"), col("ingredient_type"), col("method_type"),
+        col("situation_type"), col("difficulty"),
+        col("cooking_time").cast("int").as("cooking_time"))
       .withColumn("recipe_sk", row_number().over(w).cast("long"))
-      .withColumn("recipe_name", concat(lit("recipe_"), col("recipe_id")))
+      .select("recipe_sk", "recipe_id", "recipe_name", "dish_type",
+        "ingredient_type", "method_type", "situation_type", "difficulty",
+        "cooking_time")
+  }
+
+  /** Deterministic recipe-master FIXTURE with the reference master file's
+    * schema (total_recipes.parquet shape) — the zero-egress stand-in for
+    * the S3 master: attributes derive reproducibly from the id. Written
+    * as a real parquet file so the master-read path
+    * ([[dimRecipeFromMaster]]) is always exercised, never special-cased.
+    * Input: any frame with a `recipe_id` column (string or numeric).
+    */
+  def writeRecipeMasterFixture(recipeIds: DataFrame, path: String): Unit = {
+    val id = col("id")
+    recipeIds.select(col("recipe_id").cast("long").as("id"))
+      .where(col("id").isNotNull).distinct()
+      .withColumn("name", concat(lit("recipe_"), col("id")))
       .withColumn("dish_type",
         when(id % 5 === 0, "stew").when(id % 5 === 1, "noodle")
           .when(id % 5 === 2, "rice").when(id % 5 === 3, "dessert")
@@ -112,9 +136,7 @@ object Dims {
       .withColumn("difficulty",
         when(id % 3 === 0, "easy").when(id % 3 === 1, "medium").otherwise("hard"))
       .withColumn("cooking_time", ((id % 12) * 10 + 10).cast("int"))
-      .select("recipe_sk", "recipe_id", "recipe_name", "dish_type",
-        "ingredient_type", "method_type", "situation_type", "difficulty",
-        "cooking_time")
+      .write.mode("overwrite").parquet(path)
   }
 
   /** dim_time: one row per hour over [start, end], generated with

@@ -18,9 +18,16 @@ object Bulk {
 
   /** Full medallion pass from raw JSON lines. Writes partitioned parquet
     * into `warehouse` and returns (bronze, silver, fact) row counts.
+    *
+    * `recipeMasterPath`: parquet master file for dim_recipe
+    * (create_dims.py:107-135 reads it from S3). When absent, a
+    * deterministic fixture master is generated from the silver's recipe
+    * ids first — either way dim_recipe is built by READING a master
+    * parquet, the reference's actual path.
     */
   def run(spark: SparkSession, rawLines: DataFrame, warehouse: String,
-          ingestionDate: String): (Long, Long, Long) = {
+          ingestionDate: String,
+          recipeMasterPath: Option[String] = None): (Long, Long, Long) = {
     val bronze = StagingToBronze.enrich(rawLines, "bulk.jsonl", ingestionDate)
     Warehouse.writeBronze(bronze, s"$warehouse/bronze_events")
 
@@ -34,9 +41,13 @@ object Bulk {
     // global window; downstream joins only by natural key
     val dimEvent = Dims.dimFromColumnsFast(silverAll, Seq("event_name"), "event_sk")
     val dimPage = Dims.dimPage(silverAll)
-    val dimRecipe = Dims.dimRecipe(
-      silverAll.where(col("prop_recipe_id").isNotNull)
-        .select(col("prop_recipe_id").cast("string").as("recipe_id")))
+    val masterPath = recipeMasterPath.getOrElse {
+      val p = s"$warehouse/recipe_master.parquet"
+      Dims.writeRecipeMasterFixture(
+        silverAll.select(col("prop_recipe_id").as("recipe_id")), p)
+      p
+    }
+    val dimRecipe = Dims.dimRecipeFromMaster(spark.read.parquet(masterPath))
     Seq("dim_user" -> dimUser, "dim_event" -> dimEvent, "dim_page" -> dimPage,
       "dim_recipe" -> dimRecipe)
       .foreach { case (n, df) => Warehouse.writeDim(df, s"$warehouse/$n") }

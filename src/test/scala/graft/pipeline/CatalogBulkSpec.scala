@@ -54,5 +54,32 @@ class CatalogBulkSpec extends SparkSpec {
     val fact = Warehouse.read(spark, s"$wh/fact_user_events")
     assert(fact.where($"event_dim_key" === 0).count() == 0)
     assert(fact.where($"user_dim_key" === 0).count() == 0)
+    // dim_recipe was built by READING the master parquet: one dim row per
+    // master row, attributes carried through the rename
+    val master = spark.read.parquet(s"$wh/recipe_master.parquet")
+    val dr = Warehouse.read(spark, s"$wh/dim_recipe")
+    assert(dr.count() == master.count() && dr.count() > 0)
+    val joined = dr.join(master, dr("recipe_id") === master("id").cast("string"))
+    assert(joined.count() == dr.count())
+    assert(joined.where(dr("recipe_name") =!= master("name") ||
+      dr("dish_type") =!= master("dish_type") ||
+      dr("cooking_time") =!= master("cooking_time")).count() == 0)
+  }
+
+  test("dimRecipeFromMaster reproduces the reference master rename + shape") {
+    val master = Seq(
+      (7L, "bibimbap", "rice", "veg", "raw", "daily", "easy", 20),
+      (3L, "kimchi_stew", "stew", "meat", "boil", "party", "hard", 60))
+      .toDF("id", "name", "dish_type", "ingredient_type", "method_type",
+        "situation_type", "difficulty", "cooking_time")
+    val dim = Dims.dimRecipeFromMaster(master)
+    assert(dim.columns.toSeq == Seq("recipe_sk", "recipe_id", "recipe_name",
+      "dish_type", "ingredient_type", "method_type", "situation_type",
+      "difficulty", "cooking_time"))
+    val rows = dim.orderBy("recipe_sk").collect()
+    // deterministic SKs: row_number over recipe_id (string order)
+    assert(rows.map(_.getString(1)).toSeq == Seq("3", "7"))
+    assert(rows(0).getString(2) == "kimchi_stew" && rows(1).getString(2) == "bibimbap")
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 }
