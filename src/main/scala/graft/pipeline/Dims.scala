@@ -76,6 +76,52 @@ object Dims {
       .withColumn(sk, monotonically_increasing_id() + 1L)
       .select((sk +: idCols).map(col): _*)
 
+  /** The sorted stage of [[withSequentialSk]], exposed package-private so
+    * the spec can assert its physical plan parallelizes (range exchange +
+    * local sort — never an `Exchange SinglePartition` or a global window).
+    */
+  private[pipeline] def sortedForSk(df: DataFrame, orderCols: Seq[String]): DataFrame =
+    df.repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+
+  /** Sequential surrogate keys WITHOUT a single-partition window: range
+    * repartition by the natural key, sort within partitions, then a
+    * zipWithIndex pass (per-partition counts + cumulative offsets — the
+    * classic two-pass dense-rank). SK = global sort rank, bit-identical
+    * to `row_number().over(Window.orderBy(orderCols))`, but every stage
+    * is parallel — this is the 10⁸-row-dim path (a 100 TB clickstream's
+    * user dim), where the global-window variant would funnel the whole
+    * dim through one task.
+    */
+  def withSequentialSk(df: DataFrame, orderCols: Seq[String], sk: String): DataFrame = {
+    val sorted = sortedForSk(df, orderCols)
+    val spark = df.sparkSession
+    val indexed = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq((i + 1L) +: row.toSeq)
+    }
+    spark.createDataFrame(indexed,
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField(sk,
+          org.apache.spark.sql.types.LongType, nullable = false) +: sorted.schema.fields))
+  }
+
+  /** [[dimFromColumns]] semantics on the scalable SK path. */
+  def dimFromColumnsScalable(silver: DataFrame, idCols: Seq[String], sk: String): DataFrame =
+    withSequentialSk(
+      silver.select(idCols.map(col): _*)
+        .where(col(idCols.head).isNotNull)
+        .distinct(),
+      idCols, sk)
+      .select((sk +: idCols).map(col): _*)
+
+  /** [[dimUser]] semantics (SCD-1 + deterministic SK) on the scalable SK
+    * path — same (user_sk, user_id) mapping, no single-partition stage.
+    */
+  def dimUserScalable(silver: DataFrame): DataFrame =
+    withSequentialSk(latestPerUser(silver), Seq("user_id", "anonymous_id"), "user_sk")
+      .select("user_sk", "user_id", "anonymous_id", "user_segment",
+        "cooking_style", "ab_test_group")
+
   /** dim_page keeps rows where at least one of (page_name, page_url) is
     * set — matches the J4 join guard.
     */

@@ -36,7 +36,10 @@ object Bulk {
     Warehouse.writeSilver(silver, s"$warehouse/user_events_silver")
 
     val silverAll = Warehouse.read(spark, s"$warehouse/user_events_silver").cache()
-    val dimUser = Dims.dimUser(silverAll)
+    // dim_user on the scalable SK path: same (user_sk, user_id) mapping as
+    // the window variant, but per-partition-offset assignment — a bulk
+    // user dim is the one dim that can reach 10⁸ rows at 100 TB
+    val dimUser = Dims.dimUserScalable(silverAll)
     // bulk rebuild: the W3 fast path (monotonically_increasing_id) — no
     // global window; downstream joins only by natural key
     val dimEvent = Dims.dimFromColumnsFast(silverAll, Seq("event_name"), "event_sk")

@@ -49,6 +49,31 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("scalable SKs are dense, unique, deterministic, and window-identical") {
+    val df = spark.range(20000)
+      .select(concat(lit("u"), format_string("%06d", ($"id" * 7919) % 20000)).as("k"))
+      .distinct()
+    val scalable = Dims.dimFromColumnsScalable(df, Seq("k"), "sk").cache()
+    val n = scalable.count()
+    // dense 1..n, unique
+    assert(scalable.select("sk").distinct().count() == n)
+    assert(scalable.agg(min("sk"), max("sk")).head() ==
+      org.apache.spark.sql.Row(1L, n))
+    // identical mapping to the global-window variant (SK = sort rank)
+    val window = Dims.dimFromColumns(df, Seq("k"), "sk")
+    assert(scalable.except(window).count() == 0)
+    assert(window.except(scalable).count() == 0)
+    // deterministic across runs
+    val again = Dims.dimFromColumnsScalable(df, Seq("k"), "sk")
+    assert(scalable.except(again).count() == 0)
+    // and the SQL stage of the assignment never funnels the dim through a
+    // single partition: range exchange + local sort, no global window
+    val plan = Dims.sortedForSk(df, Seq("k")).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), "single-partition exchange:\n" + plan)
+    assert(!plan.contains("Window"), "window in scalable SK plan:\n" + plan)
+    assert(plan.contains("rangepartitioning"), "expected range partitioning:\n" + plan)
+  }
+
   test("compaction bounds file count and preserves data + partitioning") {
     val out = tmpDir("compact")
     val df = spark.range(2000)
