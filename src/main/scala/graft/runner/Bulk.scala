@@ -27,15 +27,17 @@ object Bulk {
     */
   def run(spark: SparkSession, rawLines: DataFrame, warehouse: String,
           ingestionDate: String,
-          recipeMasterPath: Option[String] = None): (Long, Long, Long) = {
+          recipeMasterPath: Option[String] = None,
+          tableSuffix: String = ""): (Long, Long, Long) = {
+    val sfx = tableSuffix
     val bronze = StagingToBronze.enrich(rawLines, "bulk.jsonl", ingestionDate)
-    Warehouse.writeBronze(bronze, s"$warehouse/bronze_events")
+    Warehouse.writeBronze(bronze, s"$warehouse/bronze_events$sfx")
 
     val silver = BronzeToSilver.transform(
-      Warehouse.read(spark, s"$warehouse/bronze_events"))
-    Warehouse.writeSilver(silver, s"$warehouse/user_events_silver")
+      Warehouse.read(spark, s"$warehouse/bronze_events$sfx"))
+    Warehouse.writeSilver(silver, s"$warehouse/user_events_silver$sfx")
 
-    val silverAll = Warehouse.read(spark, s"$warehouse/user_events_silver").cache()
+    val silverAll = Warehouse.read(spark, s"$warehouse/user_events_silver$sfx").cache()
     // dim_user on the scalable SK path: same (user_sk, user_id) mapping as
     // the window variant, but per-partition-offset assignment — a bulk
     // user dim is the one dim that can reach 10⁸ rows at 100 TB
@@ -45,7 +47,7 @@ object Bulk {
     val dimEvent = Dims.dimFromColumnsFast(silverAll, Seq("event_name"), "event_sk")
     val dimPage = Dims.dimPage(silverAll)
     val masterPath = recipeMasterPath.getOrElse {
-      val p = s"$warehouse/recipe_master.parquet"
+      val p = s"$warehouse/recipe_master$sfx.parquet"
       Dims.writeRecipeMasterFixture(
         silverAll.select(col("prop_recipe_id").as("recipe_id")), p)
       p
@@ -53,20 +55,20 @@ object Bulk {
     val dimRecipe = Dims.dimRecipeFromMaster(spark.read.parquet(masterPath))
     Seq("dim_user" -> dimUser, "dim_event" -> dimEvent, "dim_page" -> dimPage,
       "dim_recipe" -> dimRecipe)
-      .foreach { case (n, df) => Warehouse.writeDim(df, s"$warehouse/$n") }
+      .foreach { case (n, df) => Warehouse.writeDim(df, s"$warehouse/$n$sfx") }
 
     val fact = SilverToGold.buildFact(
       silverAll,
-      Warehouse.read(spark, s"$warehouse/dim_user"),
-      Warehouse.read(spark, s"$warehouse/dim_recipe"),
-      Warehouse.read(spark, s"$warehouse/dim_event"),
-      Warehouse.read(spark, s"$warehouse/dim_page"))
-    Warehouse.writeFact(fact, s"$warehouse/fact_user_events")
+      Warehouse.read(spark, s"$warehouse/dim_user$sfx"),
+      Warehouse.read(spark, s"$warehouse/dim_recipe$sfx"),
+      Warehouse.read(spark, s"$warehouse/dim_event$sfx"),
+      Warehouse.read(spark, s"$warehouse/dim_page$sfx"))
+    Warehouse.writeFact(fact, s"$warehouse/fact_user_events$sfx")
 
     val counts = (
-      Warehouse.read(spark, s"$warehouse/bronze_events").count(),
+      Warehouse.read(spark, s"$warehouse/bronze_events$sfx").count(),
       silverAll.count(),
-      Warehouse.read(spark, s"$warehouse/fact_user_events").count())
+      Warehouse.read(spark, s"$warehouse/fact_user_events$sfx").count())
     silverAll.unpersist()
     counts
   }

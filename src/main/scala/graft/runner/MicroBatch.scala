@@ -33,15 +33,16 @@ import graft.pipeline._
   * At 100 TB each tick touches only its own batch/date partitions;
   * nothing here scans or rewrites the full table.
   */
-class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String) {
+class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
+                 tableSuffix: String = "") {
 
-  val bronzePath = s"$warehouse/bronze_events"
-  val silverPath = s"$warehouse/user_events_silver"
-  val factPath = s"$warehouse/fact_user_events"
-  val dimUserPath = s"$warehouse/dim_user"
-  val dimEventPath = s"$warehouse/dim_event"
-  val dimPagePath = s"$warehouse/dim_page"
-  val dimRecipePath = s"$warehouse/dim_recipe"
+  val bronzePath = s"$warehouse/bronze_events$tableSuffix"
+  val silverPath = s"$warehouse/user_events_silver$tableSuffix"
+  val factPath = s"$warehouse/fact_user_events$tableSuffix"
+  val dimUserPath = s"$warehouse/dim_user$tableSuffix"
+  val dimEventPath = s"$warehouse/dim_event$tableSuffix"
+  val dimPagePath = s"$warehouse/dim_page$tableSuffix"
+  val dimRecipePath = s"$warehouse/dim_recipe$tableSuffix"
 
   private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
   private val batchFmt = DateTimeFormatter.ofPattern("yyyyMMddHHmm")
@@ -178,4 +179,33 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String) {
   /** Run a sequence of 15-min intervals in order (the DAG's catchup loop). */
   def runRange(start: LocalDateTime, ticks: Int): Seq[(Long, Long, Long)] =
     (0 until ticks).map(i => runInterval(start.plusMinutes(15L * i)))
+
+  /** Highest interval stamp already present in the bronze sink (None when
+    * the sink doesn't exist) — the catch-up high-water mark, recovered
+    * from the sink itself rather than scheduler state (the stateless
+    * pattern of replay_silver_to_gold.py:239-243). Partition-column-only
+    * read; partition type inference turns the numeric stamp into a long,
+    * hence the cast back.
+    */
+  def lastProcessedInterval(): Option[LocalDateTime] =
+    try {
+      val stamps = spark.read.parquet(bronzePath)
+        .select(col("batch_id").cast("string")).distinct()
+        .collect().map(_.getString(0))
+      if (stamps.isEmpty) None
+      else Some(LocalDateTime.parse(stamps.max, batchFmt))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Missed-tick recovery with the reference DAG's ordering guarantees
+    * (catchup=True + max_active_runs=1, replay_september_15min_dag.py:
+    * 43-56): process every 15-minute interval after the sink's high-water
+    * mark, strictly in order, up to but excluding `until`. A fresh
+    * warehouse seeds from `default`. Ticks are idempotent, so a crash
+    * mid-catch-up simply resumes from the last durably written batch.
+    */
+  def catchUp(default: LocalDateTime, until: LocalDateTime): Seq[(Long, Long, Long)] = {
+    val first = lastProcessedInterval().map(_.plusMinutes(15)).getOrElse(default)
+    val ticks = java.time.Duration.between(first, until).toMinutes / 15
+    (0L until math.max(ticks, 0L)).map(i => runInterval(first.plusMinutes(15 * i)))
+  }
 }

@@ -131,6 +131,50 @@ class MicroBatchSpec extends SparkSpec {
     assert(pruned.select("event_id").as[String].head() == "g2")
   }
 
+  test("catchUp resumes after the sink's high-water interval, in order") {
+    val staging = tmpDir("staging7")
+    val wh = tmpDir("wh7")
+    writeStagingFile(staging, 2025, 9, 15, 10, 0, Seq(
+      raw("c1", "u1", "2025-09-15T10:01:00.000+09:00")))
+    writeStagingFile(staging, 2025, 9, 15, 10, 15, Seq(
+      raw("c2", "u1", "2025-09-15T10:16:00.000+09:00")))
+    writeStagingFile(staging, 2025, 9, 15, 10, 30, Seq(
+      raw("c3", "u2", "2025-09-15T10:31:00.000+09:00")))
+
+    val mb = new MicroBatch(spark, staging, wh)
+    // fresh warehouse: no high-water mark yet
+    assert(mb.lastProcessedInterval().isEmpty)
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+    assert(mb.lastProcessedInterval().contains(LocalDateTime.of(2025, 9, 15, 10, 0)))
+
+    // the scheduler missed 10:15 and 10:30 — catch up to (excl.) 10:45
+    val res = mb.catchUp(LocalDateTime.of(2025, 9, 15, 10, 0),
+      LocalDateTime.of(2025, 9, 15, 10, 45))
+    assert(res.length == 2)
+    assert(Warehouse.read(spark, mb.silverPath).count() == 3)
+    assert(mb.lastProcessedInterval().contains(LocalDateTime.of(2025, 9, 15, 10, 30)))
+    // caught up: nothing left to do
+    assert(mb.catchUp(LocalDateTime.of(2025, 9, 15, 10, 0),
+      LocalDateTime.of(2025, 9, 15, 10, 45)).isEmpty)
+  }
+
+  test("test-mode table suffix isolates sinks from the production paths") {
+    val staging = tmpDir("staging8")
+    val wh = tmpDir("wh8")
+    writeStagingFile(staging, 2025, 9, 15, 10, 0, Seq(
+      raw("t1", "u1", "2025-09-15T10:01:00.000+09:00")))
+    val mbTest = new MicroBatch(spark, staging, wh, RunnerEnv.tableSuffix(testMode = true))
+    mbTest.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+    assert(mbTest.silverPath.endsWith("_test"))
+    assert(Warehouse.read(spark, mbTest.silverPath).count() == 1)
+    // the production-path sinks were never created
+    val prod = new MicroBatch(spark, staging, wh)
+    assert(!new java.io.File(prod.silverPath).exists())
+    assert(!new java.io.File(prod.factPath).exists())
+    assert(RunnerEnv.warehouse("/w", testMode = true) == "/w_test_warehouse")
+    assert(RunnerEnv.split(Array("a", "--test-mode", "b"))._1.sameElements(Array("a", "b")))
+  }
+
   test("partitioned silver scan prunes by event date") {
     val staging = tmpDir("staging2")
     val wh = tmpDir("wh2")
