@@ -130,6 +130,9 @@ object VectorOps {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pairs"))
         .select(col("cell"), transform(col("pairs"), p => p.getField("mx")).as("cv"))
+        // k rows — materialize so the next Lloyd pass (and the final
+        // assignment) doesn't re-execute this pass's whole lineage
+        .localCheckpoint(true)
     }
     val cents = broadcast(centroids)
 

@@ -42,9 +42,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("no query in the registry plans a CartesianProduct") {
+  test("no query plans an unbounded quadratic join (cartesian or unlisted BNLJ)") {
+    // BroadcastNestedLoopJoin is quadratic in general; it is legitimate
+    // ONLY where one side is intentionally tiny/bounded. Anything not on
+    // this list that plans a BNLJ is a scale bug, not an optimization.
+    val bnljIntended = Set(
+      // broadcast 3-query set × corpus scan — the documented linear
+      // per-query baseline (and the recall-contract baseline inside the
+      // ANN queries, whose probe/centroid sides are broadcast k-row tables)
+      "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
+      // documented all-pairs oracle baseline of the LSH path — must never
+      // become the production composition
+      "q_embed_neardup",
+      // J10: 1-row aggregate broadcast into the select
+      "q_scalar_subquery")
     graft.SparkEntry.queries.keys.foreach { q =>
-      assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian product")
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      if (!bnljIntended(q))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q plans a BroadcastNestedLoopJoin outside the intended set")
     }
   }
 }
