@@ -127,7 +127,7 @@ object GoldAnalytics {
     val signif = pivoted
       .where(abs(col("treatment_rate") - col("control_rate")) >= 0.1).count()
     val periodRow = inWindow.agg(min(col("date")).cast("string"),
-      max(col("date")).cast("string")).head
+      max(col("date")).cast("string")).head()
     val period =
       if (periodRow.isNullAt(0)) "no data"
       else s"${periodRow.getString(0)} ~ ${periodRow.getString(1)}"

@@ -96,7 +96,7 @@ object Dims {
   def withSequentialSk(df: DataFrame, orderCols: Seq[String], sk: String): DataFrame = {
     val sorted = sortedForSk(df, orderCols)
     val spark = df.sparkSession
-    val indexed = sorted.rdd.zipWithIndex.map { case (row, i) =>
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq((i + 1L) +: row.toSeq)
     }
     spark.createDataFrame(indexed,

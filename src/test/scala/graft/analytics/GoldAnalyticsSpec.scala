@@ -145,19 +145,19 @@ class GoldAnalyticsSpec extends SparkSpec {
     assert(n.length == 1 && n(0).getTimestamp(0) != null)
     // created_at already holds the KST wall clock — the query must return
     // it unchanged (a from_utc_timestamp here would double-apply +9h)
-    val expected = gold.fact.agg(max($"created_at")).head.getTimestamp(0)
+    val expected = gold.fact.agg(max($"created_at")).head().getTimestamp(0)
     assert(n(0).getTimestamp(0) == expected)
     // and that wall clock is exactly event-utc + 9h (ms-truncated by the
     // adapter's JSON round trip)
     val maxUtcMs = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
-      .agg(max(date_trunc("millisecond", $"ts"))).head.getTimestamp(0)
+      .agg(max(date_trunc("millisecond", $"ts"))).head().getTimestamp(0)
     assert(n(0).getTimestamp(0).getTime == maxUtcMs.getTime + 9L * 3600 * 1000)
   }
 
   test("time_x_day heatmap: normalized intensity spans [0, 100]") {
     val h = GoldAnalytics.timeXDayEventsHeatmap(gold).cache()
     assert(h.where($"normalized_intensity" < 0 || $"normalized_intensity" > 100).count() == 0)
-    val mm = h.agg(min("normalized_intensity"), max("normalized_intensity")).head
+    val mm = h.agg(min("normalized_intensity"), max("normalized_intensity")).head()
     assert(mm.getDouble(0) == 0.0 && mm.getDouble(1) == 100.0)
   }
 
@@ -178,11 +178,11 @@ class GoldAnalyticsSpec extends SparkSpec {
 
   test("registered SQL views serve the star schema and every query") {
     GoldAnalytics.registerViews(gold)
-    assert(spark.sql("SELECT COUNT(*) FROM fact_user_events").head.getLong(0) == 1000L)
+    assert(spark.sql("SELECT COUNT(*) FROM fact_user_events").head().getLong(0) == 1000L)
     assert(spark.sql(
       """SELECT COUNT(DISTINCT f.user_dim_key)
         |FROM fact_user_events f JOIN dim_user u ON f.user_dim_key = u.user_sk
-        |WHERE f.user_dim_key != 0""".stripMargin).head.getLong(0) > 0)
+        |WHERE f.user_dim_key != 0""".stripMargin).head().getLong(0) > 0)
     assert(spark.sql("SELECT * FROM dau").count() > 0)
     assert(spark.sql("SELECT * FROM top_10_clicked_recipe").count() > 0)
   }

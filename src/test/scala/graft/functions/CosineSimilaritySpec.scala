@@ -18,7 +18,7 @@ class CosineSimilaritySpec extends SparkSpec {
     val pairs = a.join(b, $"ia" < $"ib")
     val hof = graft.queries.VectorOps.cosine($"va", $"vb")
     val diff = pairs.select(
-      (CosineSimilarity($"va", $"vb") - hof).as("d")).agg(max(abs($"d"))).head.getDouble(0)
+      (CosineSimilarity($"va", $"vb") - hof).as("d")).agg(max(abs($"d"))).head().getDouble(0)
     assert(diff == 0.0, s"native vs HOF diverged by $diff")
   }
 
@@ -36,7 +36,7 @@ class CosineSimilaritySpec extends SparkSpec {
   test("SQL registration via extensions hook") {
     GraftExtensions.register(spark)
     val r = spark.sql(
-      "SELECT cosine_sim(array(1.0d, 0.0d), array(0.6d, 0.8d)) AS c").head.getDouble(0)
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(0.6d, 0.8d)) AS c").head().getDouble(0)
     assert(math.abs(r - 0.6) < 1e-15)
   }
 
@@ -47,7 +47,7 @@ class CosineSimilaritySpec extends SparkSpec {
         |  cosine_sim(array(0.0d, 0.0d), array(1.0d, 1.0d)) AS zero_norm,
         |  cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS null_side,
         |  cosine_sim(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 1.0d)) AS null_elem
-        |""".stripMargin).head
+        |""".stripMargin).head()
     assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
     assert(math.abs(rows.getDouble(3) - 1.0 / math.sqrt(2)) < 1e-15)
   }

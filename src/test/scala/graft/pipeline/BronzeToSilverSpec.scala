@@ -71,7 +71,7 @@ class BronzeToSilverSpec extends SparkSpec {
 
   test("parse-quality instrumentation counts totals, failures, distinct events") {
     val lines = Seq(rawEvent("e1"), rawEvent("e1"), rawEvent("e2"), "garbage")
-    val stats = BronzeToSilver.parseStats(BronzeToSilver.parse(toBronze(lines))).head
+    val stats = BronzeToSilver.parseStats(BronzeToSilver.parse(toBronze(lines))).head()
     assert(stats.getAs[Long]("n_total") == 4L)
     assert(stats.getAs[Long]("n_unparseable") == 1L)
     assert(stats.getAs[Long]("n_distinct_events") == 2L)

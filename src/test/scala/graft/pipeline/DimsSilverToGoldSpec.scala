@@ -30,7 +30,7 @@ class DimsSilverToGoldSpec extends SparkSpec {
     val du = Dims.dimUser(silver())
     assert(du.count() == 3)
     // u1's latest event (e2, 11:00) carries segment 'casual'
-    assert(du.where($"user_id" === "u1").select("user_segment").head.getString(0) == "casual")
+    assert(du.where($"user_id" === "u1").select("user_segment").head().getString(0) == "casual")
     val sks = du.select("user_sk").as[Long].collect().sorted
     assert(sks.sameElements(Array(1L, 2L, 3L)))
   }
@@ -66,13 +66,13 @@ class DimsSilverToGoldSpec extends SparkSpec {
 
     assert(fact.count() == 4) // left joins on unique dim keys never fan out
     // u3 not in dim_user → SK 0
-    assert(fact.where($"event_id" === "e4").select("user_dim_key").head.getLong(0) == 0L)
+    assert(fact.where($"event_id" === "e4").select("user_dim_key").head().getLong(0) == 0L)
     // e4 has both page fields null → guard false → page SK 0
-    assert(fact.where($"event_id" === "e4").select("page_dim_key").head.getLong(0) == 0L)
+    assert(fact.where($"event_id" === "e4").select("page_dim_key").head().getLong(0) == 0L)
     // e3 has null page_name but non-null url → coalesce join succeeds
-    assert(fact.where($"event_id" === "e3").select("page_dim_key").head.getLong(0) != 0L)
+    assert(fact.where($"event_id" === "e3").select("page_dim_key").head().getLong(0) != 0L)
     // engagement chain + conversion set + session seconds
-    def one(id: String, c: String) = fact.where($"event_id" === id).select(c).head
+    def one(id: String, c: String) = fact.where($"event_id" === id).select(c).head()
     assert(one("e3", "engagement_score").getDouble(0) == 10.0)
     assert(one("e1", "engagement_score").getDouble(0) == 5.0)
     assert(one("e3", "is_conversion").getBoolean(0))
@@ -81,7 +81,7 @@ class DimsSilverToGoldSpec extends SparkSpec {
     assert(one("e2", "session_duration_seconds").getLong(0) == 60L) // "cl" → default
     assert(one("e4", "session_duration_seconds").getLong(0) == 60L) // "badformat" → default
 
-    val js = SilverToGold.joinSuccess(fact).head
+    val js = SilverToGold.joinSuccess(fact).head()
     assert(js.getAs[Long]("n_rows") == 4L)
     assert(js.getAs[Long]("user_joined") == 3L)
     assert(js.getAs[Long]("event_joined") == 4L)

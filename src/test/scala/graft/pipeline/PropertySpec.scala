@@ -63,7 +63,7 @@ class PropertySpec extends SparkSpec {
             min($"ts").as("start"), max($"ts").as("end"))
           .cache()
         // partition property: every event in exactly one session
-        assert(sessions.agg(sum($"n")).head.getLong(0) == distinct.size.toLong)
+        assert(sessions.agg(sum($"n")).head().getLong(0) == distinct.size.toLong)
         // no session outlives its event span; single-event sessions have 0 duration
         assert(sessions.where($"dur" < 0).count() == 0)
         assert(sessions.where($"n" === 1 && $"dur" =!= 0).count() == 0)

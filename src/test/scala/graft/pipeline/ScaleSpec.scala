@@ -86,6 +86,6 @@ class ScaleSpec extends SparkSpec {
     assert(files.length <= 6, s"${files.length} files after compaction")
     val back = spark.read.parquet(out)
     assert(back.count() == 2000)
-    assert(back.select(sum("v")).head.getLong(0) == (0L until 2000L).sum)
+    assert(back.select(sum("v")).head().getLong(0) == (0L until 2000L).sum)
   }
 }

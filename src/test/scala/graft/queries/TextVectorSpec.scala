@@ -38,7 +38,7 @@ class TextVectorSpec extends SparkSpec {
       .join(sims.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "ha"), "doc_a")
       .join(sims.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "hb"), "doc_b")
       .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")))
-    val avgNear = withHashes.agg(avg("hamming")).head.getDouble(0)
+    val avgNear = withHashes.agg(avg("hamming")).head().getDouble(0)
     // random 16-bit pairs average 8 differing bits; near-dups must be well below
     assert(avgNear < 4.0, s"avg hamming for near-dups was $avgNear")
     // the registered locality-contract query is non-vacuous and all-green
