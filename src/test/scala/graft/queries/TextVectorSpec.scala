@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Invariants for the non-oracled LLM-data operators: MinHash/LSH recall
-  * against exact Jaccard, SimHash locality, ANN-LSH structure vs brute
-  * force, multimodal stub determinism. Runs on sf0.001 testdata (tiny).
+/** ScalaTest invariants for the LLM-data operators, beyond their DuckDB
+  * contract oracles: MinHash/LSH recall against exact Jaccard, SimHash
+  * locality, ANN rank structure vs brute force, bucket-cap behavior,
+  * multimodal stub determinism. Runs on sf0.001 testdata (tiny).
   */
 class TextVectorSpec extends SparkSpec {
   import spark.implicits._
