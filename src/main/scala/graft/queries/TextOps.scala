@@ -315,6 +315,81 @@ object TextOps {
       expandGroupPairs(groups, repPairs).orderBy($"doc_a", $"doc_b")
     },
 
+    // Deterministic train/val/test split by content-independent hash:
+    // the first hex digit of md5(seed || doc_id) routes 12/2/2 of 16
+    // buckets to train/val/test. Pure narrow map — no shuffle until the
+    // bounded-key report aggregate — and the SAME assignment on any
+    // engine or cluster layout (md5 is the cross-engine contract; no
+    // RNG, no partition dependence). The report pins per-(split, lang)
+    // counts and sizes.
+    "q_split_hash" -> { (s, dir) =>
+      import s.implicits._
+      val h = substring(md5(concat(lit("graft-split-v1:"), $"doc_id".cast("string"))), 1, 1)
+      load(s, dir, "documents")
+        .withColumn("split",
+          when(h.isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
+            .when(h.isin("c", "d"), "val")
+            .otherwise("test"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_sum"))
+        .orderBy($"split", $"lang")
+    },
+
+    // Greedy contiguous sequence packing: documents stream in doc_id
+    // order per language and fill fixed 512-token context windows; a
+    // doc's bin = exclusive-prefix-sum(tokens) div 512. One window per
+    // language partition (parallel across languages — at 100 TB the
+    // packing key would be (lang, shard)), then a bounded-key aggregate
+    // per bin. The per-bin fill stats are what a pretraining data loader
+    // needs to size batches.
+    "q_pack_sequences" -> { (s, dir) =>
+      import s.implicits._
+      val ctx = 512
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      load(s, dir, "documents")
+        .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("n_toks"))
+        .withColumn("pre_sum", coalesce(sum($"n_toks").over(w), lit(0L)))
+        .withColumn("bin", ($"pre_sum" / ctx).cast("long"))
+        .groupBy($"lang", $"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_toks").as("tokens_in_bin"),
+          (sum($"n_toks") * 1.0 / ctx).as("fill_ratio"))
+        .orderBy($"lang", $"bin")
+    },
+
+    // Eval-set contamination check: does any training doc share a
+    // 3-token shingle with the held-out eval set? (Shingle width is the
+    // sensitivity knob — real pipelines run 8-13 on natural text; this
+    // corpus has randomized word order, so a conservative width keeps the
+    // check meaningful.) Eval is small by
+    // construction → its distinct shingles BROADCAST; the train side is
+    // one narrow explode + broadcast semi-ish join + per-doc aggregate.
+    // Linear in corpus size; at 100 TB the eval shingle set is the only
+    // state shipped to executors. (Eval here = doc_id % 97 == 0, a
+    // deterministic stand-in for an external eval file.)
+    "q_contamination" -> { (s, dir) =>
+      import s.implicits._
+      val grams = {
+        val t = split($"text", " ")
+        when(size(t) >= 3,
+          transform(sequence(lit(1), size(t) - 2),
+            i => array_join(slice(t, i, lit(3)), " ")))
+          .otherwise(array().cast("array<string>"))
+      }
+      val docs = load(s, dir, "documents").select($"doc_id", grams.as("grams"))
+      val evalGrams = docs.where($"doc_id" % 97 === 0)
+        .select(explode($"grams").as("gram")).distinct()
+      docs.where($"doc_id" % 97 =!= 0)
+        .select($"doc_id", explode($"grams").as("gram"))
+        .join(broadcast(evalGrams), Seq("gram"))
+        .groupBy($"doc_id")
+        .agg(countDistinct($"gram").as("n_shared_grams"))
+        .orderBy(desc("n_shared_grams"), $"doc_id")
+        .limit(100)
+    },
+
     // SimHash locality contract: fingerprint the WHOLE corpus (16-bit
     // per-bit majority vote over token hashes), then assert the locality
     // property that makes SimHash useful — near-identical docs (exact
@@ -439,6 +514,54 @@ object TextOps {
         |SELECT column_name, n, CAST(n_null AS BIGINT) AS n_null, n_distinct,
         |  min_s, max_s
         |FROM p ORDER BY column_name""".stripMargin,
+
+    "q_split_hash" ->
+      """WITH d AS (
+        |  SELECT *,
+        |    substr(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 1) AS h
+        |  FROM documents
+        |)
+        |SELECT CASE
+        |    WHEN h IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+        |    WHEN h IN ('c','d') THEN 'val' ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        |FROM d GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), p AS (
+        |  SELECT lang, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_sum
+        |  FROM d
+        |)
+        |SELECT lang, CAST(pre_sum // 512 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS tokens_in_bin,
+        |  SUM(n_toks) * 1.0 / 512 AS fill_ratio
+        |FROM p GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "q_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks) - 2),
+        |         i -> array_to_string(toks[i:i+2], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS gram
+        |  FROM t
+        |), e AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        |)
+        |SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+        |FROM g JOIN e ON g.gram = e.gram
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY g.doc_id
+        |ORDER BY n_shared_grams DESC, doc_id
+        |LIMIT 100""".stripMargin,
 
     // DuckDB computes the same adjacent-id near-dup pair set + jac and
     // pins the locality boolean TRUE: the Spark side must produce a
