@@ -371,18 +371,24 @@ object TextOps {
     // deterministic stand-in for an external eval file.)
     "q_contamination" -> { (s, dir) =>
       import s.implicits._
-      val grams = {
-        val t = split($"text", " ")
-        when(size(t) >= 3,
-          transform(sequence(lit(1), size(t) - 2),
-            i => array_join(slice(t, i, lit(3)), " ")))
+      // Two performance rules meet here: the token array must be staged
+      // in its own projection (split() inside the transform lambda would
+      // re-run once per shingle index — quadratic per document), but the
+      // gram ARRAY must NOT be staged as an aliased column below the
+      // explode (materializing it between operators instead of generating
+      // inline measured 6× slower) — so `grams` is inlined into each
+      // explode over the staged `t`.
+      val grams =
+        when(size($"t") >= 3,
+          transform(sequence(lit(1), size($"t") - 2),
+            i => array_join(slice($"t", i, lit(3)), " ")))
           .otherwise(array().cast("array<string>"))
-      }
-      val docs = load(s, dir, "documents").select($"doc_id", grams.as("grams"))
-      val evalGrams = docs.where($"doc_id" % 97 === 0)
-        .select(explode($"grams").as("gram")).distinct()
-      docs.where($"doc_id" % 97 =!= 0)
-        .select($"doc_id", explode($"grams").as("gram"))
+      val base = load(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("t"))
+      val evalGrams = base.where($"doc_id" % 97 === 0)
+        .select(explode(grams).as("gram")).distinct()
+      base.where($"doc_id" % 97 =!= 0)
+        .select($"doc_id", explode(grams).as("gram"))
         .join(broadcast(evalGrams), Seq("gram"))
         .groupBy($"doc_id")
         .agg(countDistinct($"gram").as("n_shared_grams"))
