@@ -396,6 +396,31 @@ object TextOps {
         .limit(100)
     },
 
+    // Intra-document repetition (a Gopher-style quality rule): the share
+    // of a doc's 3-token shingles that are duplicates of an earlier
+    // shingle in the same doc. Pure narrow map over the staged token
+    // array — no shuffle, no explode; repeated-content docs are what a
+    // pretraining quality filter drops first.
+    "q_repetition" -> { (s, dir) =>
+      import s.implicits._
+      val grams =
+        when(size($"t") >= 3,
+          transform(sequence(lit(1), size($"t") - 2),
+            i => array_join(slice($"t", i, lit(3)), " ")))
+          .otherwise(array().cast("array<string>"))
+      load(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("t"))
+        .select($"doc_id", grams.as("grams"))
+        .select($"doc_id",
+          size($"grams").cast("long").as("n_grams"),
+          size(array_distinct($"grams")).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          when($"n_grams" > 0, ($"n_grams" - $"n_distinct") * 1.0 / $"n_grams")
+            .otherwise(0.0))
+        .withColumn("has_repetition", $"n_distinct" < $"n_grams")
+        .orderBy($"doc_id")
+    },
+
     // SimHash locality contract: fingerprint the WHOLE corpus (16-bit
     // per-bit majority vote over token hashes), then assert the locality
     // property that makes SimHash useful — near-identical docs (exact
@@ -568,6 +593,25 @@ object TextOps {
         |GROUP BY g.doc_id
         |ORDER BY n_shared_grams DESC, doc_id
         |LIMIT 100""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks) - 2),
+        |         i -> array_to_string(toks[i:i+2], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END AS grams
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(grams) > 0
+        |    THEN (len(grams) - len(list_distinct(grams))) * 1.0 / len(grams)
+        |    ELSE 0.0 END AS rep_ratio,
+        |  len(list_distinct(grams)) < len(grams) AS has_repetition
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // DuckDB computes the same adjacent-id near-dup pair set + jac and
     // pins the locality boolean TRUE: the Spark side must produce a
