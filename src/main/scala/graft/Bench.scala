@@ -80,11 +80,11 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
       t
     }
-    if (only.isEmpty) {
+    if (only.forall(_.contains("medallion_e2e")))
       results("medallion_e2e") = medallion(1)
+    if (only.forall(_.contains("medallion_e2e_1m")))
       results("medallion_e2e_1m") =
         medallion(sys.env.getOrElse("SPARK_GRAFT_MEDALLION_REPLICATE", "10").toInt)
-    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.sum
