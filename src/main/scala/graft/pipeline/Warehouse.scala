@@ -45,6 +45,32 @@ object Warehouse {
       .write.mode("overwrite").partitionBy("created_date").parquet(path)
   }
 
+  /** Bulk-rebuild variant of [[writeSilver]]: cluster rows to their target
+    * partition before writing. Without this every shuffle task holds rows
+    * of every date and the write sprays tasks × dates tiny files (the
+    * reference's 3.74 MB small-file problem, README.md:226). The salt
+    * bounds files per date at `filesPerPartition` while keeping a hot
+    * date from serializing through a single task — raise it with scale so
+    * file sizes stay near the 128 MB compaction target.
+    */
+  def writeSilverClustered(df: DataFrame, path: String,
+                           filesPerPartition: Int = 2): Unit = {
+    dynamicOverwrite(df.sparkSession)
+    df.repartition(col("year"), col("month"), col("day"),
+        pmod(xxhash64(col("event_id")), lit(filesPerPartition)))
+      .write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
+  }
+
+  /** Bulk-rebuild variant of [[writeFact]] — same clustering rationale. */
+  def writeFactClustered(df: DataFrame, path: String,
+                         filesPerPartition: Int = 2): Unit = {
+    dynamicOverwrite(df.sparkSession)
+    df.withColumn("created_date", to_date(col("created_at")))
+      .repartition(col("created_date"),
+        pmod(xxhash64(col("event_id")), lit(filesPerPartition)))
+      .write.mode("overwrite").partitionBy("created_date").parquet(path)
+  }
+
   /** Small dims: full overwrite (SCD-1 rebuild). */
   def writeDim(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

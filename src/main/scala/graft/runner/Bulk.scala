@@ -35,7 +35,7 @@ object Bulk {
 
     val silver = BronzeToSilver.transform(
       Warehouse.read(spark, s"$warehouse/bronze_events$sfx"))
-    Warehouse.writeSilver(silver, s"$warehouse/user_events_silver$sfx")
+    Warehouse.writeSilverClustered(silver, s"$warehouse/user_events_silver$sfx")
 
     val silverAll = Warehouse.read(spark, s"$warehouse/user_events_silver$sfx").cache()
     // dim_user on the scalable SK path: same (user_sk, user_id) mapping as
@@ -63,7 +63,7 @@ object Bulk {
       Warehouse.read(spark, s"$warehouse/dim_recipe$sfx"),
       Warehouse.read(spark, s"$warehouse/dim_event$sfx"),
       Warehouse.read(spark, s"$warehouse/dim_page$sfx"))
-    Warehouse.writeFact(fact, s"$warehouse/fact_user_events$sfx")
+    Warehouse.writeFactClustered(fact, s"$warehouse/fact_user_events$sfx")
 
     val counts = (
       Warehouse.read(spark, s"$warehouse/bronze_events$sfx").count(),

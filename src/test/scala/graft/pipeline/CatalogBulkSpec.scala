@@ -54,6 +54,19 @@ class CatalogBulkSpec extends SparkSpec {
     val fact = Warehouse.read(spark, s"$wh/fact_user_events")
     assert(fact.where($"event_dim_key" === 0).count() == 0)
     assert(fact.where($"user_dim_key" === 0).count() == 0)
+    // clustered bulk writes bound the small-file spray: at most
+    // filesPerPartition (2) parquet files per date partition, instead of
+    // one per (shuffle task × date)
+    def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) parquetFiles(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val silverDates = Warehouse.read(spark, s"$wh/user_events_silver")
+      .select("year", "month", "day").distinct().count()
+    val nSilverFiles = parquetFiles(new java.io.File(s"$wh/user_events_silver")).size
+    assert(nSilverFiles <= silverDates * 2,
+      s"$nSilverFiles silver files for $silverDates date partitions")
     // dim_recipe was built by READING the master parquet: one dim row per
     // master row, attributes carried through the rename
     val master = spark.read.parquet(s"$wh/recipe_master.parquet")
