@@ -78,6 +78,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental dim upsert: SKs append-only, dense, unique; nulls never re-insert") {
+    val keyGen = Gen.zip(
+      Gen.oneOf("p1", "p2", "p3", "p4", null.asInstanceOf[String]),
+      Gen.oneOf("u1", "u2", null.asInstanceOf[String]))
+    forSamples(Gen.listOfN(60, keyGen)) { pairs =>
+      {
+        val batches = pairs.grouped(20).toList
+        var existing = Seq.empty[(Long, String, String)].toDF("sk", "a", "b")
+        var prevRows = Set.empty[(Long, Option[String], Option[String])]
+        batches.foreach { batch =>
+          val cand = batch.toDF("a", "b")
+          val appended = Dims.dimUpsert(cand, existing, Seq("a", "b"), "sk")
+          existing = existing.unionByName(appended).localCheckpoint(true)
+          val rows = existing.collect().map(r =>
+            (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)))).toSet
+          // append-only: every previously assigned (sk, key) row survives
+          // unchanged — existing keys are never renumbered
+          assert(prevRows.subsetOf(rows))
+          prevRows = rows
+        }
+        val rows = prevRows.toSeq
+        // one row per distinct natural key (null-SAFE: half-null keys must
+        // not re-insert on later batches)
+        val distinctKeys = pairs.map { case (a, b) => (Option(a), Option(b)) }.distinct
+        assert(rows.map(r => (r._2, r._3)).toSet == distinctKeys.toSet)
+        assert(rows.size == distinctKeys.size)
+        // SKs dense 1..n and unique
+        assert(rows.map(_._1).sorted == (1L to rows.size.toLong))
+      }
+    }
+  }
+
   test("salted count agrees with plain count on arbitrary key skew") {
     forSamples(Gen.listOfN(300, Gen.choose(0, 3))) { keys =>
       {
