@@ -53,6 +53,10 @@ object Bench {
           }
         }
         results(name) = if (runs.isEmpty) -1.0 else runs.min
+        // drop this query's cached/checkpointed blocks so 49 queries × 2
+        // runs don't accumulate block-manager pressure that skews later
+        // timings (each query's second run can still reuse its own cache)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
 
     // End-to-end medallion bulk pass (EP2): raw JSON lines → bronze →
