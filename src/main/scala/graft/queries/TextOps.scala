@@ -396,6 +396,41 @@ object TextOps {
         .limit(100)
     },
 
+    // The preprocessing funnel end-to-end: raw corpus → quality filter
+    // (length + lexical-diversity rules) → exact dedup by token set →
+    // train-split selection, reporting doc/token retention per stage —
+    // the one number sheet a training-data pipeline owner reads daily.
+    // Composes the individually-verified operators in their production
+    // order; every stage is a narrow filter or a keyed aggregate.
+    "q_data_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val d = load(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("t"))
+        .select($"doc_id",
+          size($"t").cast("long").as("n_tokens"),
+          size(array_distinct($"t")).cast("long").as("n_uniq"),
+          md5(array_join(array_sort(array_distinct($"t")), " ")).as("set_key"),
+          substring(md5(concat(lit("graft-split-v1:"), $"doc_id".cast("string"))), 1, 1).as("h"))
+        .localCheckpoint(true) // four stage aggregates read this narrow frame
+      val quality = d.where($"n_tokens" >= 30 && $"n_uniq" * 4 >= $"n_tokens")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("set_key").orderBy("doc_id")
+      val deduped = quality.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      val train = deduped.where($"h".isin(
+        "0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"))
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tokens_sum"))
+          .withColumn("stage", lit(name))
+      stage("1_raw", d)
+        .unionByName(stage("2_quality", quality))
+        .unionByName(stage("3_dedup", deduped))
+        .unionByName(stage("4_train", train))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("raw_n"))))
+        .select($"stage", $"n_docs", $"tokens_sum",
+          ($"n_docs" * 100.0 / $"raw_n").as("retention_pct"))
+        .orderBy($"stage")
+    },
+
     // Intra-document repetition (a Gopher-style quality rule): the share
     // of a doc's 3-token shingles that are duplicates of an earlier
     // shingle in the same doc. Pure narrow map over the staged token
@@ -593,6 +628,33 @@ object TextOps {
         |GROUP BY g.doc_id
         |ORDER BY n_shared_grams DESC, doc_id
         |LIMIT 100""".stripMargin,
+
+    "q_data_funnel" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS set_key,
+        |    substr(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 1) AS h
+        |  FROM documents
+        |), quality AS (
+        |  SELECT * FROM d WHERE n_tokens >= 30 AND n_uniq * 4 >= n_tokens
+        |), dedup AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY set_key
+        |      ORDER BY doc_id) AS rn FROM quality) WHERE rn = 1
+        |), train AS (
+        |  SELECT * FROM dedup
+        |  WHERE h IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |), stages AS (
+        |  SELECT '1_raw' AS stage, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tokens_sum FROM d
+        |  UNION ALL SELECT '2_quality', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM quality
+        |  UNION ALL SELECT '3_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM dedup
+        |  UNION ALL SELECT '4_train', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM train
+        |)
+        |SELECT stage, n_docs, tokens_sum,
+        |  n_docs * 100.0 / (SELECT COUNT(*) FROM d) AS retention_pct
+        |FROM stages ORDER BY stage""".stripMargin,
 
     "q_repetition" ->
       """WITH t AS (

@@ -64,7 +64,9 @@ class PlanSpec extends SparkSpec {
       // whose in-query recall contract computes that same baseline
       "q_embed_neardup", "q_embed_neardup_lsh",
       // J10: 1-row aggregate broadcast into the select
-      "q_scalar_subquery")
+      "q_scalar_subquery",
+      // same 1-row pattern: the funnel's raw_n denominator
+      "q_data_funnel")
     graft.SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
