@@ -396,6 +396,25 @@ object TextOps {
         .limit(100)
     },
 
+    // Token counting, whitespace vs BPE-ish pre-tokenization (letter /
+    // digit / symbol runs — the GPT-2 pre-tokenizer shape without byte
+    // fallback). The corpus has no punctuation, so the query first
+    // synthesizes some deterministically (", " before each "the") —
+    // the two counts then genuinely diverge wherever punctuation lands.
+    // Narrow map; regexp_extract_all is codegen'd.
+    "q_token_regex" -> { (s, dir) =>
+      import s.implicits._
+      val punct = regexp_replace($"text", " the ", ", the ")
+      load(s, dir, "documents")
+        .select($"doc_id",
+          size(split($"text", " ")).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(punct,
+            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"), lit(0)))
+            .cast("long").as("n_regex_tokens"))
+        .withColumn("differs", $"n_regex_tokens" =!= $"n_ws_tokens")
+        .orderBy($"doc_id")
+    },
+
     // The preprocessing funnel end-to-end: raw corpus → quality filter
     // (length + lexical-diversity rules) → exact dedup by token set →
     // train-split selection, reporting doc/token retention per stage —
@@ -628,6 +647,17 @@ object TextOps {
         |GROUP BY g.doc_id
         |ORDER BY n_shared_grams DESC, doc_id
         |LIMIT 100""".stripMargin,
+
+    "q_token_regex" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(
+        |      regexp_replace(text, ' the ', ', the ', 'g'),
+        |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_regex_tokens,
+        |  len(regexp_extract_all(regexp_replace(text, ' the ', ', the ', 'g'),
+        |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+        |    <> len(string_split(text, ' ')) AS differs
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_data_funnel" ->
       """WITH d AS (
