@@ -132,9 +132,23 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
       .partitionBy("year", "month", "day").parquet(silverPath)
     val silverBatch = spark.read.parquet(silverPath).where(affectedFilter)
 
-    // --- incremental dim upserts, from this batch's rows ONLY — never a
-    // full-silver rebuild. SKs are append-only with a persisted high-water
-    // mark, so every tick's fact partitions share one stable numbering.
+    val factTotal = goldFromSilverBatch(silverBatch, affectedKeys)
+
+    // bronzeBatch reads the partition just written — no staging re-read
+    (bronzeBatch.count(), silverMerged.count(), factTotal)
+  }
+
+  /** The gold stage for one batch of silver rows: incremental dim
+    * upserts from the batch ONLY (never a full-silver rebuild — SKs are
+    * append-only above each dim's persisted high-water mark, so every
+    * batch's fact partitions share one stable numbering) followed by the
+    * fact merge over the batch's affected dates. Shared by the batch tick
+    * ([[runInterval]]) and the Structured Streaming twin
+    * (StreamingIngest.runGold's foreachBatch). Returns total fact rows
+    * written for the affected dates.
+    */
+  def goldFromSilverBatch(silverBatch: DataFrame,
+                          affectedKeys: Seq[(Int, Int, Int)]): Long = {
     // dim_user keys on (user_id, anonymous_id) alone — attributes ride
     // along and must not fork a new SK when they change — so it keeps its
     // dedicated upsert (J5 + A4 + W2).
@@ -155,7 +169,7 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
       silverBatch.where(col("prop_recipe_id").isNotNull)
         .select(col("prop_recipe_id").cast("string").as("recipe_id")))
 
-    // --- silver → gold for the affected dates (merge-dedup by event_id).
+    // silver → gold for the affected dates (merge-dedup by event_id).
     // created_at = kst_timestamp and silver's (year,month,day) derive from
     // the same timestamp, so the affected fact dates ARE the affected
     // silver keys — no extra pass over factNew needed.
@@ -171,9 +185,7 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
       .dropDuplicates("event_id").localCheckpoint(true)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     factMerged.write.mode("overwrite").partitionBy("created_date").parquet(factPath)
-
-    // bronzeBatch reads the partition just written — no staging re-read
-    (bronzeBatch.count(), silverMerged.count(), factMerged.count())
+    factMerged.count()
   }
 
   /** Run a sequence of 15-min intervals in order (the DAG's catchup loop). */

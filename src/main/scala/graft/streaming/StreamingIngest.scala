@@ -68,6 +68,37 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Structured Streaming twin of the silver → gold stage: stream the
+    * silver directory and run the SAME incremental dim-upsert + fact-merge
+    * per micro-batch through `foreachBatch` — the sink pattern for
+    * multi-table transactional-ish writes that a declarative streaming
+    * sink can't express. SKs stay append-only across micro-batches
+    * because the batch path's persisted high-water marks are reused
+    * verbatim.
+    */
+  def runGold(spark: SparkSession, silverPath: String, warehouse: String,
+              checkpoint: String): Unit = {
+    val schema = spark.read.parquet(silverPath).schema
+    val mb = new graft.runner.MicroBatch(spark, stagingBase = "", warehouse)
+    val q = spark.readStream.schema(schema).parquet(silverPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // pin the streamed micro-batch before the multi-action gold
+          // stage (each dim upsert + the fact merge re-reads it)
+          val pinned = batch.localCheckpoint(true)
+          val keys = pinned.select("year", "month", "day").distinct()
+            .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+          mb.goldFromSilverBatch(pinned, keys)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** bronze parquet → silver parquet with watermarked streaming dedup. */
   def runSilver(spark: SparkSession, bronzePath: String, silverPath: String,
                 checkpoint: String, watermark: String = "1 hour"): Unit = {

@@ -218,6 +218,42 @@ class MicroBatchSpec extends SparkSpec {
     assert(hourly.count() >= 2) // 10:00 and 11:00 windows closed
   }
 
+  test("foreachBatch streaming gold: same incremental stage, SKs stable across drains") {
+    val staging = tmpDir("staging9")
+    val wh = tmpDir("wh9")
+    Files.write(Paths.get(s"$staging/a.jsonl"), Seq(
+      raw("sg1", "u1", "2025-09-15T10:01:00.000+09:00", "view_recipe"),
+      raw("sg2", "u2", "2025-09-15T10:02:00.000+09:00", "auth_success")).mkString("\n").getBytes)
+    StreamingIngest.runBronze(spark, s"$staging/*.jsonl", s"$wh/bronze",
+      s"$wh/ckpt_b", "2025-09-15")
+    StreamingIngest.runSilver(spark, s"$wh/bronze", s"$wh/silver", s"$wh/ckpt_s")
+    StreamingIngest.runGold(spark, s"$wh/silver", wh, s"$wh/ckpt_g")
+
+    val factPath = s"$wh/fact_user_events"
+    assert(spark.read.parquet(factPath).count() == 2)
+    val skBefore = spark.read.parquet(s"$wh/dim_event")
+      .select("event_sk", "event_name").as[(Long, String)].collect().toMap
+
+    // second drain: a lexicographically earlier event name arrives — SKs
+    // must append, never renumber, exactly like the batch tick path
+    Files.write(Paths.get(s"$staging/b.jsonl"), Seq(
+      raw("sg3", "u3", "2025-09-15T10:20:00.000+09:00", "click_recipe")).mkString("\n").getBytes)
+    StreamingIngest.runBronze(spark, s"$staging/*.jsonl", s"$wh/bronze",
+      s"$wh/ckpt_b", "2025-09-15")
+    StreamingIngest.runSilver(spark, s"$wh/bronze", s"$wh/silver", s"$wh/ckpt_s")
+    StreamingIngest.runGold(spark, s"$wh/silver", wh, s"$wh/ckpt_g")
+
+    val fact = spark.read.parquet(factPath)
+    assert(fact.count() == 3)
+    val skAfter = spark.read.parquet(s"$wh/dim_event")
+      .select("event_sk", "event_name").as[(Long, String)].collect().toMap
+    skBefore.foreach { case (sk, name) => assert(skAfter(sk) == name) }
+    val dimE = spark.read.parquet(s"$wh/dim_event")
+    val resolved = fact.join(dimE, fact("event_dim_key") === dimE("event_sk"))
+      .select("event_id", "event_name").as[(String, String)].collect().toMap
+    assert(resolved("sg1") == "view_recipe" && resolved("sg3") == "click_recipe")
+  }
+
   test("structured-streaming twin: AvailableNow drain + watermarked dedup") {
     val staging = tmpDir("staging3")
     val wh = tmpDir("wh3")
