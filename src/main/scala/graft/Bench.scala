@@ -91,7 +91,9 @@ object Bench {
         medallion(sys.env.getOrElse("SPARK_GRAFT_MEDALLION_REPLICATE", "10").toInt)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.sum
+    // -1 sentinels mark failed queries; they must not subtract from the
+    // headline total (the per-query map still shows them)
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -241,9 +241,15 @@ object Dims {
     */
   def dimUserUpsert(silver: DataFrame, existing: DataFrame): DataFrame = {
     val candidates = latestPerUser(silver)
-    val newUsers = candidates.join(
-      existing.select("user_id", "anonymous_id"),
-      Seq("user_id", "anonymous_id"), "left_anti")
+    // NULL-SAFE anti-join: anonymous_id can be null, and plain equality
+    // would re-insert such users with a fresh SK on every batch (the
+    // SK-forking failure mode; see dimUpsert)
+    val ex = existing.select(col("user_id").as("__ex_user_id"),
+      col("anonymous_id").as("__ex_anonymous_id"))
+    val newUsers = candidates.join(ex,
+      (candidates("user_id") <=> ex("__ex_user_id")) &&
+        (candidates("anonymous_id") <=> ex("__ex_anonymous_id")),
+      "left_anti")
     // A4 — scalar high-water mark; one tiny agg, broadcast back as a literal
     val maxSk = existing.agg(coalesce(max("user_sk"), lit(0L))).head().getLong(0)
     val w = Window.orderBy("user_id", "anonymous_id")

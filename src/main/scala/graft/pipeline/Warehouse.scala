@@ -22,10 +22,17 @@ object Warehouse {
   private def dynamicOverwrite(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-  /** Bronze: partitioned by ingestion_date. */
-  def writeBronze(df: DataFrame, path: String): Unit = {
+  /** Bronze: partitioned by (ingestion_date, batch_id) — the SAME layout
+    * the micro-batch runner writes, so a bulk-seeded bronze dir and later
+    * incremental ticks coexist (mixed partition depths break parquet
+    * partition discovery). A bulk load stamps the whole day's batch id
+    * (yyyyMMdd0000), which also seeds the catch-up high-water mark at the
+    * load date.
+    */
+  def writeBronze(df: DataFrame, path: String, batchId: String): Unit = {
     dynamicOverwrite(df.sparkSession)
-    df.write.mode("overwrite").partitionBy("ingestion_date").parquet(path)
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("ingestion_date", "batch_id").parquet(path)
   }
 
   /** Silver: event-time partitioned (year, month, day) — late events land

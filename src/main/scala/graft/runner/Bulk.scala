@@ -31,7 +31,8 @@ object Bulk {
           tableSuffix: String = ""): (Long, Long, Long) = {
     val sfx = tableSuffix
     val bronze = StagingToBronze.enrich(rawLines, "bulk.jsonl", ingestionDate)
-    Warehouse.writeBronze(bronze, s"$warehouse/bronze_events$sfx")
+    Warehouse.writeBronze(bronze, s"$warehouse/bronze_events$sfx",
+      batchId = ingestionDate.replace("-", "") + "0000")
 
     val silver = BronzeToSilver.transform(
       Warehouse.read(spark, s"$warehouse/bronze_events$sfx"))

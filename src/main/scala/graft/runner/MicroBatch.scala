@@ -77,8 +77,13 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
                         sk: String, candidates: DataFrame): DataFrame = {
     val existing = readOrEmpty(path, schema)
     val appended = Dims.dimUpsert(candidates, existing, idCols, sk)
-    // materialize before overwriting the file we just read
-    val merged = existing.unionByName(appended).localCheckpoint(true)
+    // allowMissingColumns: a bulk-seeded dim can carry attribute columns
+    // beyond (sk, naturals) — e.g. dim_recipe's master attributes — and
+    // the incremental append must not break that handoff; newly observed
+    // naturals get null attributes until the next master refresh
+    val merged = existing.unionByName(appended, allowMissingColumns = true)
+      // materialize before overwriting the file we just read
+      .localCheckpoint(true)
     merged.write.mode("overwrite").parquet(path)
     merged
   }
@@ -210,13 +215,17 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
 
   /** Missed-tick recovery with the reference DAG's ordering guarantees
     * (catchup=True + max_active_runs=1, replay_september_15min_dag.py:
-    * 43-56): process every 15-minute interval after the sink's high-water
-    * mark, strictly in order, up to but excluding `until`. A fresh
-    * warehouse seeds from `default`. Ticks are idempotent, so a crash
-    * mid-catch-up simply resumes from the last durably written batch.
+    * 43-56): re-run the sink's high-water interval itself, then every
+    * later 15-minute interval strictly in order, up to but excluding
+    * `until`. Starting AT (not after) the high-water mark matters: bronze
+    * is written before silver/fact within a tick, so a crash mid-tick
+    * leaves the bronze marker without the downstream writes — re-running
+    * that one interval heals it, and ticks are idempotent so the re-run
+    * converges when nothing was lost. A fresh warehouse seeds from
+    * `default`.
     */
   def catchUp(default: LocalDateTime, until: LocalDateTime): Seq[(Long, Long, Long)] = {
-    val first = lastProcessedInterval().map(_.plusMinutes(15)).getOrElse(default)
+    val first = lastProcessedInterval().getOrElse(default)
     val ticks = java.time.Duration.between(first, until).toMinutes / 15
     (0L until math.max(ticks, 0L)).map(i => runInterval(first.plusMinutes(15 * i)))
   }

@@ -40,10 +40,16 @@ object Sessionize {
     sorted.foreach { e =>
       val t = e.ts.getTime
       open match {
+        case Some(s) if t < s.start - GapMs =>
+          // a late event more than a gap BEFORE the open session cannot
+          // belong to it — the batch twin (sorted events) would split
+          // there. Its own predecessors were already emitted, so it
+          // closes immediately as a single-event session.
+          closed ::= ClosedSession(userId, new Timestamp(t), new Timestamp(t), 1, 0)
         case Some(s) if t - s.last <= GapMs =>
-          // out-of-order events (t < s.last, admitted by the watermark)
-          // merge too — extend BOTH ends so start/duration agree with the
-          // batch-window twin's gap rule, which sees events sorted
+          // out-of-order events within the gap (t < s.last, admitted by
+          // the watermark) merge — extend BOTH ends so start/duration
+          // agree with the batch-window twin's gap rule
           open = Some(s.copy(start = math.min(s.start, t),
             last = math.max(s.last, t), nEvents = s.nEvents + 1))
         case Some(s) =>

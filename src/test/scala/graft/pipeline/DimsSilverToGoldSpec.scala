@@ -47,6 +47,18 @@ class DimsSilverToGoldSpec extends SparkSpec {
     assert(Dims.dimUserUpsert(s, dimAfter).count() == 0)
   }
 
+  test("dim_user upsert is null-safe: null anonymous_id never re-inserts") {
+    val s = Seq(
+      ("e1", "u1", null.asInstanceOf[String], "power", "korean", "t",
+        ts("2025-09-15 10:00:00")))
+      .toDF("event_id", "user_id", "anonymous_id", "user_segment",
+        "cooking_style", "ab_test_group", "kst_timestamp")
+    val existing = Dims.dimUser(s)
+    assert(existing.count() == 1)
+    // plain-equality anti-join would treat ('u1', null) as new forever
+    assert(Dims.dimUserUpsert(s, existing).count() == 0)
+  }
+
   test("dim_time spine: hourly grain, correct weekend flags") {
     val dt = Dims.dimTime(spark, "2025-09-13 00:00:00", "2025-09-15 23:00:00")
     assert(dt.count() == 72)

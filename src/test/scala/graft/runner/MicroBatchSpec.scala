@@ -6,7 +6,7 @@ import java.time.LocalDateTime
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.pipeline.Warehouse
+import graft.pipeline.{RefEventsAdapter, Warehouse}
 import graft.streaming.StreamingIngest
 
 /** End-to-end micro-batch runner semantics: interval→path binding,
@@ -147,15 +147,49 @@ class MicroBatchSpec extends SparkSpec {
     mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
     assert(mb.lastProcessedInterval().contains(LocalDateTime.of(2025, 9, 15, 10, 0)))
 
-    // the scheduler missed 10:15 and 10:30 — catch up to (excl.) 10:45
+    // the scheduler missed 10:15 and 10:30 — catch up to (excl.) 10:45.
+    // The high-water interval (10:00) re-runs first: bronze lands before
+    // silver/fact within a tick, so the last recorded interval may be
+    // partial and re-running it (idempotent) heals a mid-tick crash.
     val res = mb.catchUp(LocalDateTime.of(2025, 9, 15, 10, 0),
       LocalDateTime.of(2025, 9, 15, 10, 45))
-    assert(res.length == 2)
+    assert(res.length == 3)
     assert(Warehouse.read(spark, mb.silverPath).count() == 3)
     assert(mb.lastProcessedInterval().contains(LocalDateTime.of(2025, 9, 15, 10, 30)))
-    // caught up: nothing left to do
+    // caught up: only the (idempotent) high-water re-run remains, and it
+    // changes nothing
     assert(mb.catchUp(LocalDateTime.of(2025, 9, 15, 10, 0),
-      LocalDateTime.of(2025, 9, 15, 10, 45)).isEmpty)
+      LocalDateTime.of(2025, 9, 15, 10, 45)).length == 1)
+    assert(Warehouse.read(spark, mb.silverPath).count() == 3)
+    assert(Warehouse.read(spark, mb.factPath).count() == 3)
+  }
+
+  test("bulk-seeded warehouse hands off to incremental ticks (dim_recipe attrs)") {
+    val staging = tmpDir("staging10")
+    val wh = tmpDir("wh10")
+    // EP2 bulk seed: master-built dim_recipe carries 9 attribute columns
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    graft.runner.Bulk.run(spark, RefEventsAdapter.toRawJson(events), wh, "2024-01-01")
+    val before = spark.read.parquet(s"$wh/dim_recipe")
+    assert(before.columns.length == 9)
+    val nBefore = before.count()
+
+    // EP1 incremental tick on the same warehouse must not break on the
+    // wider dim schema; new recipe ids append with null attributes
+    writeStagingFile(staging, 2025, 9, 15, 10, 0, Seq(
+      s"""{"event_id":"h1","event_name":"click_recipe","user_id":"u1","anonymous_id":"a-u1",""" +
+        s""""session_id":"s1","timestamp":"2025-09-15T10:01:00.000+09:00","context":"{}",""" +
+        s""""event_properties":"{\\"recipe_id\\":\\"999999\\"}"}"""))
+    val mb = new MicroBatch(spark, staging, wh)
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+    val after = spark.read.parquet(mb.dimRecipePath)
+    assert(after.columns.length == 9)
+    assert(after.count() == nBefore + 1)
+    val newRow = after.where($"recipe_id" === "999999")
+    assert(newRow.count() == 1)
+    assert(newRow.select("recipe_name").head().isNullAt(0)) // unknown until master refresh
+    // bulk-assigned rows keep their attributes
+    assert(after.where($"recipe_id" =!= "999999" && $"recipe_name".isNull).count() == 0)
   }
 
   test("test-mode table suffix isolates sinks from the production paths") {

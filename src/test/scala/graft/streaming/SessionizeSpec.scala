@@ -99,4 +99,32 @@ class SessionizeSpec extends SparkSpec {
     assert(row.getAs[java.sql.Timestamp]("start_ts").toString.startsWith("2025-09-15 11:45:00"))
     assert(row.getAs[Long]("duration_sec") == 900L)
   }
+
+  test("late event more than a gap before the open session becomes its own session") {
+    val base = tmpDir("sess_oog")
+    val events = s"$base/events"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+
+    writeEvents(events, "b1", Seq((4L, "2025-09-15 12:00:00", "view")))
+    Sessionize.run(spark, events, out, ckpt)
+    // 11:15 is 45 min before the open session's start (> 30-min gap) and
+    // above the watermark: it cannot merge — the batch twin would split
+    // there — so it closes immediately as a single-event session
+    writeEvents(events, "b2", Seq((4L, "2025-09-15 11:15:00", "click")))
+    Sessionize.run(spark, events, out, ckpt)
+
+    val singleton = spark.read.parquet(out).where($"user_id" === 4)
+    assert(singleton.count() == 1)
+    val r = singleton.head()
+    assert(r.getAs[java.sql.Timestamp]("start_ts").toString.startsWith("2025-09-15 11:15:00"))
+    assert(r.getAs[Long]("n_events") == 1L && r.getAs[Long]("duration_sec") == 0L)
+    // the open 12:00 session is untouched: a later event closes it alone
+    writeEvents(events, "b3", Seq((4L, "2025-09-15 15:00:00", "view")))
+    Sessionize.run(spark, events, out, ckpt)
+    val noon = spark.read.parquet(out)
+      .where($"user_id" === 4 && $"start_ts".cast("string").startsWith("2025-09-15 12:00:00"))
+    assert(noon.count() == 1)
+    assert(noon.head().getAs[Long]("n_events") == 1L)
+  }
 }
