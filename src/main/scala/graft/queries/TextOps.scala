@@ -137,11 +137,15 @@ object TextOps {
 
   /** SimHash locality: two docs at unigram Jaccard ≥ 0.9 differ in at
     * most this many of the 16 fingerprint bits. Deterministic for the
-    * fixed hash family; pinned empirically over every testdata sf
-    * (observed max 4 / 3 / 5 at sf0.001/0.01/0.1, mean ≈ 1.4 vs 8 for
-    * random pairs) and property-tested in TextVectorSpec.
+    * fixed hash family; observed max 4 / 3 / 5 at sf0.001/0.01/0.1
+    * (mean ≈ 1.4 vs 8 for random pairs). The ORACLE bound carries margin
+    * above the observed max — the DuckDB row pins hamming_ok=TRUE, so a
+    * zero-margin bound would flip the pinned boolean on any new corpus/sf
+    * that lands one pair a bit higher; the tight empirical bound lives in
+    * TextVectorSpec's locality invariant, where a regression is
+    * diagnosable instead of a silent correctness red.
     */
-  private val HammingBound = 5
+  private val HammingBound = 7
 
   /** 16-bit SimHash per doc: per-bit majority vote over the token-hash
     * array (hash staged once per token so the 16 bit votes don't

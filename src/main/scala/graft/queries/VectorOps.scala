@@ -239,8 +239,12 @@ object VectorOps {
       val hits = lshPairs.join(exact, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        // n_exact = 0 would make the ratio null (Spark's x/0), not TRUE —
+        // an empty exact pair set is vacuously recalled on both engines
         .select(col("n_exact"),
-          (col("n_hits") * 1.0 / col("n_exact") >= EmbedLshRecallFloor).as("recall_ok"))
+          when(col("n_exact") > 0,
+            col("n_hits") * 1.0 / col("n_exact") >= EmbedLshRecallFloor)
+            .otherwise(lit(true)).as("recall_ok"))
     },
 
     // Embedding-cosine near-dup: exact all-pairs baseline scored by the

@@ -227,6 +227,21 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
   def catchUp(default: LocalDateTime, until: LocalDateTime): Seq[(Long, Long, Long)] = {
     val first = lastProcessedInterval().getOrElse(default)
     val ticks = java.time.Duration.between(first, until).toMinutes / 15
-    (0L until math.max(ticks, 0L)).map(i => runInterval(first.plusMinutes(15 * i)))
+    // Skip intervals with no staging files via a driver-side glob probe
+    // (µs on any FS) instead of a full runInterval whose empty-read
+    // short-circuit still costs a Spark read attempt — a catch-up far past
+    // a bulk seed would otherwise pay tens of thousands of no-op ticks.
+    // The high-water tick itself always re-runs (mid-tick crash healing).
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def stagingExists(t: LocalDateTime): Boolean = {
+      val glob = new org.apache.hadoop.fs.Path(
+        StagingToBronze.stagingPathFor(stagingBase, t))
+      val hits = glob.getFileSystem(hconf).globStatus(glob)
+      hits != null && hits.nonEmpty
+    }
+    (0L until math.max(ticks, 0L)).iterator
+      .map(i => (i, first.plusMinutes(15 * i)))
+      .collect { case (i, t) if i == 0L || stagingExists(t) => runInterval(t) }
+      .toSeq
   }
 }

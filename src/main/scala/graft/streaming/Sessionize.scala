@@ -10,60 +10,61 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `flatMapGroupsWithState` — the KeyValueGroupedDataset state API the
   * batch windows can't express incrementally.
   *
-  * State per user is O(1) (open-session accumulator, not the events),
-  * and event-time timeout closes sessions when the watermark passes
-  * gap minutes beyond the last seen event — so state is bounded no
-  * matter how long the stream runs. Emits one row per closed session.
+  * Sessions are intervals of events where consecutive (time-sorted)
+  * events are ≤ gap apart. State per user is the list of open sessions —
+  * interval accumulators, never the events. A session is emitted only
+  * once the WATERMARK seals it (watermark > session end + gap): until
+  * then an admissible late event could still extend it, or even BRIDGE
+  * it with a neighboring session, and an eager emit would diverge from
+  * the batch twin. Sealed output therefore equals the batch-window
+  * sessionization of the same events, exactly, for any arrival order the
+  * watermark admits. The open-session count per user is bounded by
+  * (watermark delay / gap) + 1 — intervals further apart than that are
+  * sealed — so state stays O(1) no matter how long the stream runs.
   */
 object Sessionize {
 
   case class Event(user_id: Long, ts: Timestamp, event_type: String)
-  case class OpenSession(start: Long, last: Long, nEvents: Long, nTypesApprox: Long)
+  case class OpenSession(start: Long, last: Long, nEvents: Long)
+  case class OpenSessions(open: Seq[OpenSession])
   case class ClosedSession(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
                            n_events: Long, duration_sec: Long)
 
   val GapMs: Long = 30L * 60 * 1000
 
+  /** Merge one event time into the open-session set: it joins every
+    * session whose gap-extended interval covers it (possibly bridging
+    * two), or opens a new one.
+    */
+  private def mergeEvent(sessions: List[OpenSession], t: Long): List[OpenSession] = {
+    val (near, far) = sessions.partition(s => t >= s.start - GapMs && t <= s.last + GapMs)
+    near.foldLeft(OpenSession(t, t, 1)) { (acc, s) =>
+      OpenSession(math.min(acc.start, s.start), math.max(acc.last, s.last),
+        acc.nEvents + s.nEvents)
+    } :: far
+  }
+
   private def updateState(userId: Long, events: Iterator[Event],
-                          state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+                          state: GroupState[OpenSessions]): Iterator[ClosedSession] = {
     def close(s: OpenSession) = ClosedSession(userId, new Timestamp(s.start),
       new Timestamp(s.last), s.nEvents, (s.last - s.start) / 1000)
 
-    if (state.hasTimedOut) {
-      val out = state.getOption.map(close).iterator
-      state.remove()
-      return out
+    var sessions = state.getOption.map(_.open.toList).getOrElse(Nil)
+    if (!state.hasTimedOut)
+      events.foreach(e => sessions = mergeEvent(sessions, e.ts.getTime))
+
+    // seal every session no admissible future event (ts ≥ watermark) can
+    // reach: its gap-extended end lies strictly before the watermark
+    val wm = state.getCurrentWatermarkMs()
+    val (sealedNow, stillOpen) = sessions.partition(_.last + GapMs < wm)
+    if (stillOpen.isEmpty) state.remove()
+    else {
+      state.update(OpenSessions(stillOpen))
+      // earliest possible seal point; clamped — Spark rejects a timeout
+      // at/under the current watermark
+      state.setTimeoutTimestamp(math.max(stillOpen.map(_.last).min + GapMs, wm + 1))
     }
-    val sorted = events.toSeq.sortBy(_.ts.getTime)
-    var closed = List.empty[ClosedSession]
-    var open = state.getOption
-    sorted.foreach { e =>
-      val t = e.ts.getTime
-      open match {
-        case Some(s) if t < s.start - GapMs =>
-          // a late event more than a gap BEFORE the open session cannot
-          // belong to it — the batch twin (sorted events) would split
-          // there. Its own predecessors were already emitted, so it
-          // closes immediately as a single-event session.
-          closed ::= ClosedSession(userId, new Timestamp(t), new Timestamp(t), 1, 0)
-        case Some(s) if t - s.last <= GapMs =>
-          // out-of-order events within the gap (t < s.last, admitted by
-          // the watermark) merge — extend BOTH ends so start/duration
-          // agree with the batch-window twin's gap rule
-          open = Some(s.copy(start = math.min(s.start, t),
-            last = math.max(s.last, t), nEvents = s.nEvents + 1))
-        case Some(s) =>
-          closed ::= close(s)
-          open = Some(OpenSession(t, t, 1, 1))
-        case None =>
-          open = Some(OpenSession(t, t, 1, 1))
-      }
-    }
-    open.foreach { s =>
-      state.update(s)
-      state.setTimeoutTimestamp(s.last + GapMs)
-    }
-    closed.reverseIterator
+    sealedNow.sortBy(_.start).map(close).iterator
   }
 
   /** events stream (user_id, ts, event_type) → closed-session stream. */

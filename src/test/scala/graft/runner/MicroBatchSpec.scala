@@ -164,6 +164,27 @@ class MicroBatchSpec extends SparkSpec {
     assert(Warehouse.read(spark, mb.factPath).count() == 3)
   }
 
+  test("catchUp skips intervals with no staging files (driver-side glob probe)") {
+    val staging = tmpDir("staging11")
+    val wh = tmpDir("wh11")
+    writeStagingFile(staging, 2025, 9, 15, 10, 0, Seq(
+      raw("s1", "u1", "2025-09-15T10:01:00.000+09:00")))
+    // three days of dead air, then one more interval with data
+    writeStagingFile(staging, 2025, 9, 18, 10, 0, Seq(
+      raw("s2", "u2", "2025-09-18T10:01:00.000+09:00")))
+
+    val mb = new MicroBatch(spark, staging, wh)
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+    // 3 days ≈ 288 15-min ticks between the high-water mark and `until`;
+    // only the (idempotent) high-water re-run and the one interval that
+    // actually has staging may execute Spark work
+    val res = mb.catchUp(LocalDateTime.of(2025, 9, 15, 10, 0),
+      LocalDateTime.of(2025, 9, 18, 10, 15))
+    assert(res.length == 2)
+    assert(Warehouse.read(spark, mb.silverPath).count() == 2)
+    assert(mb.lastProcessedInterval().contains(LocalDateTime.of(2025, 9, 18, 10, 0)))
+  }
+
   test("bulk-seeded warehouse hands off to incremental ticks (dim_recipe attrs)") {
     val staging = tmpDir("staging10")
     val wh = tmpDir("wh10")
