@@ -26,8 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] runs driver + all 32 executor threads in this one JVM; the
-  // bench executes the full 51-query suite in it, so an undersized heap
-  // GC-thrashes the late queries (measured 7-10x inflation at 8g).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // local[32] runs driver + all 32 executor threads in this one JVM.
+  // A/B'd under the bench gate's environment (r5, with blocking cache
+  // release between queries): 8g = 106.7s total, 48g = 111.3s — the big
+  // heap only deferred collection into long late-run mixed GCs (the r4
+  // regression); with per-query cache hygiene the small heap is
+  // equal-or-faster and keeps pauses short. Override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.VectorOps.queries ++
       graft.queries.MultimodalQ.queries ++
-      graft.queries.Formats.queries
+      graft.queries.Formats.queries ++
+      graft.queries.GoldE2E.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.TextOps.oracles ++
       graft.queries.VectorOps.oracles ++
       graft.queries.MultimodalQ.oracles ++
-      graft.queries.Formats.oracles
+      graft.queries.Formats.oracles ++
+      graft.queries.GoldE2E.oracles
 }

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.analytics.{Gold, GoldAnalytics}
+import graft.pipeline.{Dims, RefEventsAdapter, Warehouse}
+import graft.runner.Bulk
+
+/** Composed end-to-end gold dashboard under the oracle gate: adapter
+  * events → the REAL bulk medallion build (staging→bronze→silver→dims→
+  * fact, partitioned parquet I/O, [[graft.runner.Bulk.run]]) → the
+  * reference's DAU dashboard ([[GoldAnalytics.dau]], sql_queries/DAU.sql:
+  * 4-54) over the warehouse the build just wrote. The DuckDB twin rebuilds
+  * the same star-schema semantics in SQL from the raw events — so a hash
+  * match verifies the DASHBOARD over the gold layer, not just the
+  * operator shapes it composes (the round-4 verdict's last verification
+  * gap).
+  *
+  * Oracle derivation (why the SQL twin can skip the physical star schema):
+  * every adapter event has a non-null user_id, and dim_user keys on
+  * (user_id, anonymous_id) with anonymous_id a pure function of user_id —
+  * so every fact row joins (user_dim_key != 0 drops nothing here) and
+  * COUNT(DISTINCT user_dim_key) == COUNT(DISTINCT user_id). Segment
+  * attributes are SCD-1 latest-per-user, and the adapter derives them as
+  * pure functions of user_id, so event-level == user-level. The dim_time
+  * spine covers every event hour (events span Jan 2024; spine runs through
+  * Feb), so its inner join drops nothing either.
+  */
+object GoldE2E {
+
+  /** One bulk-built warehouse per (session, sfDir), memoized: every
+    * q_gold_* dashboard reads the SAME star schema, paying the medallion
+    * build once per verify run instead of once per query. (Driver-local
+    * state only — the map holds a temp-dir path, not DataFrames.)
+    */
+  private val builtWh = scala.collection.concurrent.TrieMap[(String, String), String]()
+
+  private def gold(s: SparkSession, dir: String): Gold = {
+    val wh = builtWh.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val w = java.nio.file.Files.createTempDirectory("graft_gold_e2e").toString
+      Bulk.run(s, RefEventsAdapter.toRawJson(load(s, dir, "events")), w, "2024-01-01")
+      w
+    })
+    Gold(
+      fact = Warehouse.read(s, s"$wh/fact_user_events"),
+      dimUser = Warehouse.read(s, s"$wh/dim_user"),
+      dimRecipe = Warehouse.read(s, s"$wh/dim_recipe"),
+      dimEvent = Warehouse.read(s, s"$wh/dim_event"),
+      dimPage = Warehouse.read(s, s"$wh/dim_page"),
+      dimTime = Dims.dimTime(s, "2024-01-01 00:00:00", "2024-02-29 23:00:00"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gold_dau" -> { (s, dir) =>
+      GoldAnalytics.dau(gold(s, dir))
+        .select(col("event_date").cast("string").as("event_date"),
+          col("segment_type"), col("segment_value"), col("dau"))
+    },
+
+    // ab_test_heatmap.sql end-to-end through the gold layer: segment ×
+    // group matrix with conversion/engagement/session metrics — exercises
+    // the is_conversion + engagement_score + session_duration fact columns
+    // and the countDistinct-ratio/CASE-tier shapes over the REAL star
+    // schema. minUsers=2 so sf0.001 stays non-vacuous.
+    "q_gold_heatmap" -> { (s, dir) =>
+      GoldAnalytics.abTestHeatmap(gold(s, dir), minUsers = 2)
+        .select(col("user_segment"), col("ab_test_group"), col("total_users"),
+          col("conversion_rate"), col("engagement_score"), col("total_events"),
+          col("avg_session_minutes"), col("performance_tier"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_gold_dau" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT strftime(kst, '%Y-%m-%d') AS event_date, user_id,
+         |    user_segment, cooking_style, ab_test_group
+         |  FROM s WHERE user_id IS NOT NULL
+         |), rollup AS (
+         |  SELECT event_date, 'TOTAL' AS segment_type, 'ALL' AS segment_value,
+         |    COUNT(DISTINCT user_id) AS dau
+         |  FROM d GROUP BY event_date
+         |  UNION ALL
+         |  SELECT event_date, 'USER_SEGMENT', COALESCE(user_segment, 'UNKNOWN'),
+         |    COUNT(DISTINCT user_id)
+         |  FROM d GROUP BY 1, 3
+         |  UNION ALL
+         |  SELECT event_date, 'COOKING_STYLE', COALESCE(cooking_style, 'UNKNOWN'),
+         |    COUNT(DISTINCT user_id)
+         |  FROM d GROUP BY 1, 3
+         |  UNION ALL
+         |  SELECT event_date, 'AB_TEST_GROUP', COALESCE(ab_test_group, 'UNKNOWN'),
+         |    COUNT(DISTINCT user_id)
+         |  FROM d GROUP BY 1, 3
+         |)
+         |SELECT event_date, segment_type, segment_value, dau
+         |FROM rollup ORDER BY event_date, segment_type, segment_value""".stripMargin,
+
+    // Fact-metric derivations mirror silver_to_gold_processor.py semantics
+    // (the same CASE trees q_fact_build's oracle pins): is_conversion,
+    // engagement_score (integer-valued doubles, so cross-engine AVG sums
+    // are exact), session_duration_seconds from the dur: prop. round()
+    // parity follows the q_kpi_format precedent (both engines round
+    // doubles half-away-from-zero).
+    "q_gold_heatmap" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT user_id, user_segment, ab_test_group,
+         |    event_name IN ('auth_success','click_bookmark','create_comment') AS is_conversion,
+         |    CAST(CASE event_name WHEN 'auth_success' THEN 10.0 WHEN 'create_comment' THEN 9.0
+         |      WHEN 'click_bookmark' THEN 8.0 WHEN 'click_recipe' THEN 7.0
+         |      WHEN 'search_recipe' THEN 5.0 WHEN 'view_recipe' THEN 4.0
+         |      WHEN 'view_page' THEN 2.0 ELSE 1.0 END AS DOUBLE) AS engagement_score,
+         |    CASE WHEN prop_action LIKE 'dur:%'
+         |      THEN CAST(substr(prop_action, 5) AS BIGINT) ELSE 60 END AS session_duration_seconds
+         |  FROM s
+         |  WHERE user_id IS NOT NULL AND ab_test_group IN ('treatment', 'control')
+         |), agg AS (
+         |  SELECT user_segment, ab_test_group,
+         |    COUNT(DISTINCT user_id) AS total_users,
+         |    CAST(COUNT(DISTINCT CASE WHEN is_conversion THEN user_id END) AS DOUBLE)
+         |      * 100.0 / COUNT(DISTINCT user_id) AS conv,
+         |    AVG(engagement_score) AS eng,
+         |    COUNT(*) AS total_events,
+         |    CAST(AVG(session_duration_seconds) AS DOUBLE) / 60.0 AS sess_min
+         |  FROM d GROUP BY 1, 2
+         |)
+         |SELECT user_segment, ab_test_group, total_users,
+         |  round(conv, 2) AS conversion_rate,
+         |  round(eng, 2) AS engagement_score,
+         |  total_events,
+         |  round(sess_min, 2) AS avg_session_minutes,
+         |  CASE WHEN conv >= 10 THEN 'High' WHEN conv >= 8 THEN 'Medium'
+         |    ELSE 'Low' END AS performance_tier
+         |FROM agg WHERE total_users >= 2
+         |ORDER BY user_segment, ab_test_group""".stripMargin)
+}

@@ -21,8 +21,9 @@ object Medallion {
 
   /** Shared oracle prelude: the deterministic silver twin of
     * [[RefEventsAdapter.toRawJson]] + [[BronzeToSilver.transform]].
+    * Package-visible: [[GoldE2E]] extends it through the fact build.
     */
-  private val silverCte: String =
+  private[queries] val silverCte: String =
     """WITH e AS (
       |  SELECT *,
       |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

@@ -26,6 +26,18 @@ object TextOps {
 
   private def toks(text: Column): Column = array_distinct(split(text, " "))
 
+  /** Sorted distinct token-HASH array: each distinct token xxhash64'd to a
+    * long once, at tokenization. Every set operation downstream — the
+    * dedup groupBy keys, the checkpointed group frames, the verify stage's
+    * array_intersect — then carries 8-byte longs instead of full token
+    * strings (the r4 profile showed the string intersect dominating both
+    * near-dup queries). Set cardinalities are hash-invariant modulo
+    * 64-bit collisions (~2⁻⁶⁴ per token pair, deterministic for a fixed
+    * corpus), so exact-Jaccard values are unchanged.
+    */
+  private def hashedToks(text: Column): Column =
+    array_sort(transform(toks(text), t => xxhash64(t)))
+
   /** MinHash parameters: 16 permutations as 8 bands × 2 rows.
     * P(candidate | jaccard=0.9) = 1-(1-0.9²)⁸ ≈ 0.9999998;
     * at j=0.5 ≈ 0.90 (false candidates are cheap — the verify join
@@ -43,22 +55,22 @@ object TextOps {
   private val MaxBucket = 1000
 
   /** doc_id + minhash signature array (one xxhash64 per permutation) from
-    * a pre-tokenized (doc_id, toks) frame. Two staged projections: the
-    * token STRINGS are hashed to longs once — the 16 per-permutation
-    * signatures re-hash the 8-byte longs, so string hashing is paid once
-    * per token instead of 16 times.
+    * a pre-HASHED (doc_id, toks: array&lt;long&gt;) frame ([[hashedToks]]).
+    * The token strings were hashed to longs once at tokenization — the 16
+    * per-permutation signatures re-hash the 8-byte longs, so string
+    * hashing is paid once per token instead of 16 times.
     */
-  def minhashSignaturesFromToks(t: DataFrame): DataFrame = {
+  def minhashSignaturesFromHashedToks(t: DataFrame): DataFrame = {
     val sigCols = (0 until NumPerms).map { i =>
-      array_min(transform(col("th"), h => xxhash64(lit(i), h))).as(s"sig_$i")
+      array_min(transform(col("toks"), h => xxhash64(lit(i), h))).as(s"sig_$i")
     }
-    t.select(col("doc_id"), transform(col("toks"), x => xxhash64(x)).as("th"))
-      .select((col("doc_id") +: sigCols): _*)
+    t.select((col("doc_id") +: sigCols): _*)
   }
 
-  /** doc_id + minhash signature array, tokenizing `text` first. */
+  /** doc_id + minhash signature array, tokenizing + hashing `text` first. */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    minhashSignaturesFromToks(docs.select(col("doc_id"), toks(col("text")).as("toks")))
+    minhashSignaturesFromHashedToks(
+      docs.select(col("doc_id"), hashedToks(col("text")).as("toks")))
 
   /** Exact-dedup-by-token-set grouping: one row per distinct token SET
     * with its lowest doc_id as representative and all member ids. Pair
@@ -174,7 +186,7 @@ object TextOps {
     */
   private[queries] def neardupJaccard(docs: DataFrame, maxBucket: Int): DataFrame = {
     val t = docs.select(col("doc_id"), col("lang"), col("source"),
-      array_sort(toks(col("text"))).as("toks"))
+      hashedToks(col("text")).as("toks"))
     val overCap = t.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > maxBucket)
@@ -304,10 +316,10 @@ object TextOps {
     "q_minhash_lsh" -> { (s, dir) =>
       import s.implicits._
       val docs = load(s, dir, "documents")
-      val t = docs.select($"doc_id", array_sort(toks($"text")).as("toks"))
+      val t = docs.select($"doc_id", hashedToks($"text").as("toks"))
       val groups = tokenSetGroups(t)
       val reps = groups.select($"rep".as("doc_id"), $"toks")
-      val cands = lshCandidates(minhashSignaturesFromToks(reps))
+      val cands = lshCandidates(minhashSignaturesFromHashedToks(reps))
       val repPairs = cands
         .join(broadcast(reps.select($"doc_id".as("doc_a"), $"toks".as("toks_a"))), "doc_a")
         .join(broadcast(reps.select($"doc_id".as("doc_b"), $"toks".as("toks_b"))), "doc_b")

@@ -70,6 +70,77 @@ object BulkMain {
   * warehouse) and processes every 15-min tick up to the given instant,
   * in order — the DAG's catchup=True + max_active_runs=1 guarantees.
   */
+/** The "tick every 15 minutes until stopped" daemon loop, factored so a
+  * spec can drive simulated ticks through the exact loop body the daemon
+  * runs (clock and sleep are injected; the production main passes wall
+  * clock + Thread.sleep). Each iteration is a full [[MicroBatch.catchUp]]
+  * — not a single runInterval — so a daemon that was down for hours (or
+  * a tick that overran its quarter) heals itself on the next wake, with
+  * the DAG's catchup=True + max_active_runs=1 ordering guarantees
+  * (dags/replay_september_15min_dag.py:43-56).
+  */
+object ReplayLoop {
+  /** Floor to the enclosing 15-minute boundary. */
+  def floorToQuarter(t: LocalDateTime): LocalDateTime =
+    t.withSecond(0).withNano(0).withMinute(t.getMinute / 15 * 15)
+
+  /** One daemon iteration: process every COMPLETE 15-min interval before
+    * `now` (the current in-progress quarter is excluded — its staging file
+    * is still being written), then report when to wake next.
+    */
+  def iterate(mb: MicroBatch, default: LocalDateTime,
+              now: LocalDateTime): LocalDateTime = {
+    mb.catchUp(default, floorToQuarter(now))
+    floorToQuarter(now).plusMinutes(15)
+  }
+
+  /** Run [[iterate]] until stopped (or `maxIters`, for bounded test runs).
+    * `sleepUntil` receives the next quarter boundary after the iteration's
+    * `now` — a tick that overruns its quarter is followed immediately by a
+    * catch-up of everything it missed.
+    */
+  def run(mb: MicroBatch, default: LocalDateTime,
+          clock: () => LocalDateTime, sleepUntil: LocalDateTime => Unit,
+          maxIters: Long = Long.MaxValue): Unit = {
+    var i = 0L
+    while (i < maxIters) {
+      val wake = iterate(mb, default, clock())
+      i += 1
+      if (i < maxIters) sleepUntil(wake)
+    }
+  }
+}
+
+/** Long-running scheduler entry point: `runMain graft.runner.ReplayLoopMain
+  * <stagingBase> <warehouse> <defaultStartIsoMinute> [maxTicks]
+  * [--test-mode]` — ticks every 15 minutes until stopped (maxTicks bounds
+  * it for supervised runs). The in-process twin of the reference's Airflow
+  * schedule_interval='*&#47;15 * * * *' deployment.
+  */
+object ReplayLoopMain {
+  def main(args: Array[String]): Unit = {
+    val (a, testMode) = RunnerEnv.split(args)
+    require(a.length >= 3,
+      "usage: ReplayLoopMain <stagingBase> <warehouse> " +
+        "<defaultStartIsoMinute> [maxTicks] [--test-mode]")
+    val staging = a(0)
+    val warehouse = RunnerEnv.warehouse(a(1), testMode)
+    val default = LocalDateTime.parse(a(2), DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+    val maxTicks = a.lift(3).map(_.toLong).getOrElse(Long.MaxValue)
+    val spark = RunnerSession.build("graft-replay-loop")
+    val mb = new MicroBatch(spark, staging, warehouse,
+      RunnerEnv.tableSuffix(testMode))
+    ReplayLoop.run(mb, default,
+      () => LocalDateTime.now(),
+      wake => {
+        val ms = java.time.Duration.between(LocalDateTime.now(), wake).toMillis
+        if (ms > 0) Thread.sleep(ms)
+      },
+      maxTicks)
+    spark.stop()
+  }
+}
+
 object ReplayMain {
   def main(args: Array[String]): Unit = {
     val (a, testMode) = RunnerEnv.split(args)

@@ -76,16 +76,40 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
   private def upsertDim(path: String, schema: StructType, idCols: Seq[String],
                         sk: String, candidates: DataFrame): DataFrame = {
     val existing = readOrEmpty(path, schema)
-    val appended = Dims.dimUpsert(candidates, existing, idCols, sk)
-    // allowMissingColumns: a bulk-seeded dim can carry attribute columns
-    // beyond (sk, naturals) — e.g. dim_recipe's master attributes — and
-    // the incremental append must not break that handoff; newly observed
-    // naturals get null attributes until the next master refresh
-    val merged = existing.unionByName(appended, allowMissingColumns = true)
-      // materialize before overwriting the file we just read
+    // Null-fill through limit(0)-union so appended rows carry the sink's
+    // FULL on-disk schema: a bulk-seeded dim can hold attribute columns
+    // beyond (sk, naturals) — e.g. dim_recipe's master attributes — and a
+    // narrower appended file would win parquet's single-footer schema
+    // inference (mergeSchema is off) and silently drop those columns.
+    // Newly observed naturals get null attributes until the next master
+    // refresh. The per-tick new-key set is tiny; checkpoint it so the
+    // append write and the isEmpty probe don't recompute the anti-join.
+    val appended = existing.limit(0)
+      .unionByName(Dims.dimUpsert(candidates, existing, idCols, sk),
+        allowMissingColumns = true)
       .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(path)
-    merged
+    appendOnly(path, appended)
+  }
+
+  /** Append-only dim sink (replay_silver_to_gold.py:265): write ONLY this
+    * tick's new rows — never rewrite the merged dim. At a 100-TB
+    * clickstream's ~10^8-row dim_user the old read-union-overwrite was a
+    * full-dim rewrite 96×/day; an append touches bytes proportional to
+    * the tick's new keys. Empty appends are skipped outright so a
+    * no-new-keys tick leaves the sink byte-identical. Returns a fresh
+    * read of the sink (the post-append dim state for the fact join) —
+    * one lazy scan, same cost the join would pay anyway.
+    */
+  private def appendOnly(path: String, appended: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // skip empty appends (a no-new-keys tick leaves the sink untouched
+    // byte-for-byte) — but always CREATE the sink on first touch, so a
+    // fresh warehouse exposes every dim path after one tick even when a
+    // dim saw no candidates yet (the pre-append-only contract)
+    if (!appended.isEmpty || !fs.exists(p))
+      appended.write.mode("append").parquet(path)
+    readOrEmpty(path, appended.schema)
   }
 
   /** Static partition predicate over a batch's affected (year,month,day)
@@ -158,10 +182,11 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     // along and must not fork a new SK when they change — so it keeps its
     // dedicated upsert (J5 + A4 + W2).
     val existingUser = readOrEmpty(dimUserPath, dimUserSchema)
-    val dimUser = existingUser
-      .unionByName(Dims.dimUserUpsert(silverBatch, existingUser))
-      .localCheckpoint(true)
-    dimUser.write.mode("overwrite").parquet(dimUserPath)
+    val dimUser = appendOnly(dimUserPath,
+      existingUser.limit(0)
+        .unionByName(Dims.dimUserUpsert(silverBatch, existingUser),
+          allowMissingColumns = true)
+        .localCheckpoint(true))
     val dimEvent = upsertDim(dimEventPath, dimEventSchema,
       Seq("event_name"), "event_sk",
       silverBatch.where(col("event_name").isNotNull).select("event_name"))

@@ -50,6 +50,34 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isDefined, "candidate join not keyed on bucket:\n" + p)
   }
 
+  test("single-partition windows appear only over bounded dim/new-key/aggregate frames") {
+    // A window with an empty partition spec funnels its whole input
+    // through ONE task — correct only when the input is bounded by
+    // construction (dim candidates, per-batch new keys, per-group
+    // aggregates). Anything not on this list that plans a global window
+    // is a scale bug: at 100 TB it serializes the query.
+    val globalWindowIntended = Map(
+      // W1+SK: deterministic SK assignment over the deduplicated per-user
+      // dim candidates (dim cardinality, orders below fact cardinality)
+      "q_scd1_dim_user" -> "SK row_number over dim_user candidates",
+      // W2: SKs for THIS BATCH's new keys only, above the high-water mark
+      "q_dim_upsert" -> "new-key SK assignment (per-batch cardinality)",
+      // dim builds feeding the fact join (dim-candidate cardinality)
+      "q_fact_build" -> "dim SK assignment over dim candidates",
+      // W6: global MIN/MAX OVER () on a 168-row (hour x dow) aggregate
+      "q_heatmap_norm" -> "global min/max over bounded aggregate")
+    graft.SparkEntry.queries.keys.foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      val globals = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      if (!globalWindowIntended.contains(q))
+        assert(globals.isEmpty,
+          s"$q plans ${globals.size} single-partition window(s) outside the intended set")
+    }
+  }
+
   test("no query plans an unbounded quadratic join (cartesian or unlisted BNLJ)") {
     // BroadcastNestedLoopJoin is quadratic in general; it is legitimate
     // ONLY where one side is intentionally tiny/bounded. Anything not on

@@ -111,6 +111,56 @@ class MicroBatchSpec extends SparkSpec {
       spark.read.parquet(mb.dimRecipePath).count())
   }
 
+  test("dim sinks are append-only: earlier ticks' files stay byte-identical") {
+    val staging = tmpDir("staging12")
+    val wh = tmpDir("wh12")
+    writeStagingFile(staging, 2025, 9, 15, 10, 0, Seq(
+      raw("b1", "u1", "2025-09-15T10:01:00.000+09:00", "view_recipe"),
+      raw("b2", "u2", "2025-09-15T10:02:00.000+09:00", "auth_success")))
+    writeStagingFile(staging, 2025, 9, 15, 10, 15, Seq(
+      raw("b3", "u3", "2025-09-15T10:16:00.000+09:00", "click_recipe"),
+      raw("b4", "u1", "2025-09-15T10:17:00.000+09:00", "view_recipe"))) // no new dim keys from u1/view_recipe
+
+    val mb = new MicroBatch(spark, staging, wh)
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+
+    def snapshot(dir: String): Map[String, Long] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_"))
+        .map { f =>
+          val bytes = Files.readAllBytes(f.toPath)
+          f.getName -> java.util.Arrays.hashCode(bytes).toLong
+        }.toMap
+    }
+    val dims = Seq(mb.dimUserPath, mb.dimEventPath, mb.dimPagePath, mb.dimRecipePath)
+      .filter(p => new java.io.File(p).exists())
+    val before = dims.map(p => p -> snapshot(p)).toMap
+
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 15))
+
+    // every data file written by tick 1 still exists with identical bytes —
+    // tick 2 only ADDED files for its new keys (never a full-dim rewrite)
+    dims.foreach { p =>
+      val after = snapshot(p)
+      before(p).foreach { case (name, h) =>
+        assert(after.contains(name), s"$p/$name was rewritten or removed by a later tick")
+        assert(after(name) == h, s"$p/$name content changed after a later tick")
+      }
+    }
+    // and the upsert semantics still hold: u3/click_recipe appended once
+    assert(spark.read.parquet(mb.dimUserPath).count() == 3)
+    val ev = spark.read.parquet(mb.dimEventPath)
+    assert(ev.count() == 3 && ev.select("event_sk").distinct().count() == 3)
+
+    // an idempotent re-run with NO new keys leaves every dim file set
+    // untouched (empty appends are skipped outright)
+    val full = dims.map(p => p -> snapshot(p)).toMap
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 15))
+    dims.foreach { p =>
+      assert(snapshot(p) == full(p), s"$p changed on a no-new-keys re-run")
+    }
+  }
+
   test("a tick's silver reads prune to the batch's affected partitions") {
     val staging = tmpDir("staging6")
     val wh = tmpDir("wh6")
@@ -211,6 +261,38 @@ class MicroBatchSpec extends SparkSpec {
     assert(newRow.select("recipe_name").head().isNullAt(0)) // unknown until master refresh
     // bulk-assigned rows keep their attributes
     assert(after.where($"recipe_id" =!= "999999" && $"recipe_name".isNull).count() == 0)
+  }
+
+  test("ReplayLoop daemon body: two simulated wall-clock ticks, correct sleep targets") {
+    val staging = tmpDir("staging13")
+    val wh = tmpDir("wh13")
+    writeStagingFile(staging, 2025, 9, 15, 10, 0, Seq(
+      raw("L1", "u1", "2025-09-15T10:01:00.000+09:00")))
+    writeStagingFile(staging, 2025, 9, 15, 10, 15, Seq(
+      raw("L2", "u2", "2025-09-15T10:16:00.000+09:00")))
+
+    val mb = new MicroBatch(spark, staging, wh)
+    // simulated wall clock: first wake at 10:16 (the 10:00 interval is
+    // complete, 10:15 is still in progress), second at 10:31
+    val clock = Iterator(
+      LocalDateTime.of(2025, 9, 15, 10, 16, 42),
+      LocalDateTime.of(2025, 9, 15, 10, 31, 3))
+    val sleeps = scala.collection.mutable.ArrayBuffer[LocalDateTime]()
+    ReplayLoop.run(mb, LocalDateTime.of(2025, 9, 15, 10, 0),
+      () => clock.next(), sleeps += _, maxIters = 2)
+
+    // tick 1 processed only the complete 10:00 interval; tick 2 picked up
+    // 10:15 via catch-up — both events are in silver exactly once
+    assert(Warehouse.read(spark, mb.silverPath).count() == 2)
+    assert(mb.lastProcessedInterval().contains(LocalDateTime.of(2025, 9, 15, 10, 15)))
+    // the loop slept to the next quarter boundary after the FIRST wake
+    // only (the final iteration exits without sleeping)
+    assert(sleeps.toSeq == Seq(LocalDateTime.of(2025, 9, 15, 10, 30)))
+    // boundary math: exact quarter floors to itself, next wake +15
+    assert(ReplayLoop.floorToQuarter(LocalDateTime.of(2025, 9, 15, 10, 29, 59)) ==
+      LocalDateTime.of(2025, 9, 15, 10, 15))
+    assert(ReplayLoop.floorToQuarter(LocalDateTime.of(2025, 9, 15, 10, 30)) ==
+      LocalDateTime.of(2025, 9, 15, 10, 30))
   }
 
   test("test-mode table suffix isolates sinks from the production paths") {
