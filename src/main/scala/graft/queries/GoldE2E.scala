@@ -59,6 +59,24 @@ object GoldE2E {
           col("segment_type"), col("segment_value"), col("dau"))
     },
 
+    // lift.sql end-to-end through the gold layer (the reference's marquee
+    // A/B dashboard, sql_queries/lift.sql:1-78): per-segment
+    // treatment-vs-control conversion/engagement stats self-joined into a
+    // lift pivot with winner/significance/color assignment. The adapter's
+    // conversion event is click_bookmark. An explicit user_segment
+    // tiebreak is appended to the presentation sort so row order is
+    // deterministic cross-engine even when two segments tie on lift.
+    "q_gold_lift" -> { (s, dir) =>
+      GoldAnalytics.lift(gold(s, dir), conversionEvent = "click_bookmark",
+          minUsers = 2)
+        .orderBy(desc("relative_lift_pct"), col("user_segment"))
+        .select(col("user_segment"), col("treatment_conversion"),
+          col("control_conversion"), col("absolute_lift"),
+          col("relative_lift_pct"), col("engagement_diff"), col("winner"),
+          col("significance_level"), col("treatment_users"),
+          col("control_users"), col("result_color"))
+    },
+
     // ab_test_heatmap.sql end-to-end through the gold layer: segment ×
     // group matrix with conversion/engagement/session metrics — exercises
     // the is_conversion + engagement_score + session_duration fact columns
@@ -96,6 +114,50 @@ object GoldE2E {
          |)
          |SELECT event_date, segment_type, segment_value, dau
          |FROM rollup ORDER BY event_date, segment_type, segment_value""".stripMargin,
+
+    // Same DOUBLE-forcing discipline as q_gold_heatmap: every ratio is
+    // IEEE double math in the same operation order as the Spark plan, so
+    // round() sees bit-identical inputs on both engines.
+    "q_gold_lift" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT user_id, user_segment, ab_test_group, event_name,
+         |    CAST(CASE event_name WHEN 'auth_success' THEN 10.0 WHEN 'create_comment' THEN 9.0
+         |      WHEN 'click_bookmark' THEN 8.0 WHEN 'click_recipe' THEN 7.0
+         |      WHEN 'search_recipe' THEN 5.0 WHEN 'view_recipe' THEN 4.0
+         |      WHEN 'view_page' THEN 2.0 ELSE 1.0 END AS DOUBLE) AS engagement_score
+         |  FROM s
+         |  WHERE user_id IS NOT NULL AND ab_test_group IN ('treatment', 'control')
+         |), stats AS (
+         |  SELECT user_segment, ab_test_group,
+         |    COUNT(DISTINCT user_id) AS total_users,
+         |    round(CAST(COUNT(DISTINCT CASE WHEN event_name = 'click_bookmark'
+         |        THEN user_id END) AS DOUBLE) * 100.0 /
+         |      COUNT(DISTINCT user_id), 2) AS avg_conversion,
+         |    round(AVG(engagement_score), 2) AS avg_engagement
+         |  FROM d GROUP BY 1, 2
+         |  HAVING COUNT(DISTINCT user_id) >= 2
+         |)
+         |SELECT t.user_segment AS user_segment,
+         |  t.avg_conversion AS treatment_conversion,
+         |  c.avg_conversion AS control_conversion,
+         |  round(t.avg_conversion - c.avg_conversion, 2) AS absolute_lift,
+         |  round((t.avg_conversion - c.avg_conversion) /
+         |    nullif(c.avg_conversion, 0.0) * 100, 1) AS relative_lift_pct,
+         |  round(t.avg_engagement - c.avg_engagement, 3) AS engagement_diff,
+         |  CASE WHEN abs(t.avg_conversion - c.avg_conversion) < 0.1 THEN 'tie'
+         |    WHEN t.avg_conversion > c.avg_conversion THEN 'treatment_wins'
+         |    ELSE 'control_wins' END AS winner,
+         |  CASE WHEN abs(t.avg_conversion - c.avg_conversion) >= 0.3 THEN 'very_significant'
+         |    WHEN abs(t.avg_conversion - c.avg_conversion) >= 0.1 THEN 'significant'
+         |    ELSE 'not_significant' END AS significance_level,
+         |  t.total_users AS treatment_users,
+         |  c.total_users AS control_users,
+         |  CASE WHEN abs(t.avg_conversion - c.avg_conversion) < 0.1 THEN '#7f7f7f'
+         |    WHEN t.avg_conversion > c.avg_conversion THEN '#2ca02c'
+         |    ELSE '#d62728' END AS result_color
+         |FROM stats t JOIN stats c ON t.user_segment = c.user_segment
+         |WHERE t.ab_test_group = 'treatment' AND c.ab_test_group = 'control'
+         |ORDER BY relative_lift_pct DESC, t.user_segment""".stripMargin,
 
     // Fact-metric derivations mirror silver_to_gold_processor.py semantics
     // (the same CASE trees q_fact_build's oracle pins): is_conversion,
