@@ -59,6 +59,19 @@ object GoldE2E {
           col("segment_type"), col("segment_value"), col("dau"))
     },
 
+    // WAU.sql end-to-end through the gold layer: 3-level weekly rollup +
+    // LAG week-over-week growth over (segment_type, segment_value)
+    // partitions. Jan-2024 events make ISO weeks unambiguous (Jan 1 2024
+    // is a Monday); KST shifting is inherited from the silver twin.
+    "q_gold_wau" -> { (s, dir) =>
+      GoldAnalytics.wau(gold(s, dir))
+        .select(col("week_start").cast("date").cast("string").as("week_start"),
+          col("year").cast("long").as("yr"),
+          col("week_number").cast("long").as("week_number"),
+          col("segment_type"), col("segment_value"), col("wau"),
+          col("prev_week_wau"), col("week_over_week_growth_pct"))
+    },
+
     // lift.sql end-to-end through the gold layer (the reference's marquee
     // A/B dashboard, sql_queries/lift.sql:1-78): per-segment
     // treatment-vs-control conversion/engagement stats self-joined into a
@@ -114,6 +127,41 @@ object GoldE2E {
          |)
          |SELECT event_date, segment_type, segment_value, dau
          |FROM rollup ORDER BY event_date, segment_type, segment_value""".stripMargin,
+
+    "q_gold_wau" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT CAST(kst AS DATE) AS event_date, user_id,
+         |    user_segment, ab_test_group
+         |  FROM s WHERE user_id IS NOT NULL
+         |), weekly AS (
+         |  SELECT date_trunc('week', event_date) AS week_start,
+         |    CAST(year(event_date) AS BIGINT) AS yr,
+         |    CAST(weekofyear(event_date) AS BIGINT) AS week_number,
+         |    'TOTAL' AS segment_type, 'ALL' AS segment_value,
+         |    COUNT(DISTINCT user_id) AS wau
+         |  FROM d GROUP BY 1, 2, 3
+         |  UNION ALL
+         |  SELECT date_trunc('week', event_date), CAST(year(event_date) AS BIGINT),
+         |    CAST(weekofyear(event_date) AS BIGINT),
+         |    'USER_SEGMENT', COALESCE(user_segment, 'UNKNOWN'), COUNT(DISTINCT user_id)
+         |  FROM d GROUP BY 1, 2, 3, 5
+         |  UNION ALL
+         |  SELECT date_trunc('week', event_date), CAST(year(event_date) AS BIGINT),
+         |    CAST(weekofyear(event_date) AS BIGINT),
+         |    'AB_TEST_GROUP', COALESCE(ab_test_group, 'UNKNOWN'), COUNT(DISTINCT user_id)
+         |  FROM d GROUP BY 1, 2, 3, 5
+         |), lagged AS (
+         |  SELECT *, lag(wau) OVER (PARTITION BY segment_type, segment_value
+         |    ORDER BY week_start) AS prev_week_wau
+         |  FROM weekly
+         |)
+         |SELECT strftime(week_start, '%Y-%m-%d') AS week_start, yr, week_number,
+         |  segment_type, segment_value, wau, prev_week_wau,
+         |  CASE WHEN prev_week_wau > 0
+         |    THEN round(CAST(wau - prev_week_wau AS DOUBLE) * 100.0 / prev_week_wau, 2)
+         |  END AS week_over_week_growth_pct
+         |FROM lagged
+         |ORDER BY week_start DESC, segment_type, segment_value""".stripMargin,
 
     // Same DOUBLE-forcing discipline as q_gold_heatmap: every ratio is
     // IEEE double math in the same operation order as the Spark plan, so
