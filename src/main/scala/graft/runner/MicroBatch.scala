@@ -22,8 +22,10 @@ import graft.pipeline._
   *     replace exactly its own batch partition, no merge read needed.
   *   - silver/fact are event-time partitioned (late events land in their
   *     true partition), so several intervals share a partition; a batch
-  *     merges with the affected partitions' existing rows, deduped by
-  *     event_id — re-runs converge to the same content.
+  *     anti-joins against the affected partitions' existing event_ids and
+  *     APPENDS only the remainder — re-runs and redeliveries add nothing
+  *     (same convergence as a merge-overwrite, but the write is O(batch),
+  *     not a rewrite of the whole affected partition 96×/day).
   * The only cross-batch state is the four dims' SK high-water marks,
   * re-read from their own sinks (replay_silver_to_gold.py:239-243) —
   * all four dims (user/event/page/recipe) are persisted and upserted
@@ -151,20 +153,30 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     val affectedKeys = silverNew.select("year", "month", "day").distinct()
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
     val affectedFilter = affectedFilterOf(affectedKeys)
+    // Anti-join APPEND, not merge-overwrite: the batch (already deduped by
+    // event_id in BronzeToSilver.transform) drops rows whose event_id is
+    // already in the affected partitions, and appends only the remainder.
+    // Convergence is identical to the old union+dropDuplicates+overwrite —
+    // redeliveries and re-runs add nothing — but the write is O(batch
+    // rows), not O(affected partitions): at a 100-TB clickstream a day
+    // partition is ~10²-10³ GB and the old path rewrote it up to 96×/day.
+    // (Small appended files are the documented Scale.compact concern.)
     val silverExisting = readOrEmpty(silverPath, silverNew.schema).where(affectedFilter)
-    val silverMerged = silverNew.unionByName(silverExisting)
-      .dropDuplicates("event_id")
-      // materialize before overwriting partitions we just read
+    val silverAppend = silverNew
+      .join(silverExisting.select("event_id"), Seq("event_id"), "left_anti")
+      // materialize before appending to the path the anti-join reads
       .localCheckpoint(true)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    silverMerged.write.mode("overwrite")
-      .partitionBy("year", "month", "day").parquet(silverPath)
-    val silverBatch = spark.read.parquet(silverPath).where(affectedFilter)
+    if (!silverAppend.isEmpty)
+      silverAppend.write.mode("append")
+        .partitionBy("year", "month", "day").parquet(silverPath)
+    // readOrEmpty: a batch whose rows ALL failed parsing appends nothing,
+    // and on a fresh warehouse the sink won't exist yet
+    val silverBatch = readOrEmpty(silverPath, silverNew.schema).where(affectedFilter)
 
     val factTotal = goldFromSilverBatch(silverBatch, affectedKeys)
 
     // bronzeBatch reads the partition just written — no staging re-read
-    (bronzeBatch.count(), silverMerged.count(), factTotal)
+    (bronzeBatch.count(), silverBatch.count(), factTotal)
   }
 
   /** The gold stage for one batch of silver rows: incremental dim
@@ -178,44 +190,63 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     */
   def goldFromSilverBatch(silverBatch: DataFrame,
                           affectedKeys: Seq[(Int, Int, Int)]): Long = {
+    // The whole gold stage processes only the rows that still NEED a fact
+    // row: anti-join the batch against the affected fact partitions'
+    // event_ids. For a normal tick that's exactly the new rows; after a
+    // mid-tick crash (silver written, gold not) the missing rows are
+    // selected again and healed; a full re-run selects nothing and every
+    // sink stays untouched. Dims upsert from the same todo set — a row
+    // whose fact exists was processed by a completed tick, so its dim
+    // keys are already present (facts are written after dims).
+    val factDates = affectedKeys.map { case (y, m, d) =>
+      java.sql.Date.valueOf(java.time.LocalDate.of(y, m, d)) }
+    val factAffected = (df: DataFrame) =>
+      df.where(if (factDates.isEmpty) lit(false)
+               else col("created_date").isin(factDates.toSeq: _*))
+    val factIdSchema = StructType(Seq(
+      StructField("event_id", StringType), StructField("created_date", DateType)))
+    val silverTodo = silverBatch
+      .join(factAffected(readOrEmpty(factPath, factIdSchema)).select("event_id"),
+        Seq("event_id"), "left_anti")
+      // per-tick cardinality; feeds 4 dim upserts + the fact build
+      .localCheckpoint(true)
+
     // dim_user keys on (user_id, anonymous_id) alone — attributes ride
     // along and must not fork a new SK when they change — so it keeps its
     // dedicated upsert (J5 + A4 + W2).
     val existingUser = readOrEmpty(dimUserPath, dimUserSchema)
     val dimUser = appendOnly(dimUserPath,
       existingUser.limit(0)
-        .unionByName(Dims.dimUserUpsert(silverBatch, existingUser),
+        .unionByName(Dims.dimUserUpsert(silverTodo, existingUser),
           allowMissingColumns = true)
         .localCheckpoint(true))
     val dimEvent = upsertDim(dimEventPath, dimEventSchema,
       Seq("event_name"), "event_sk",
-      silverBatch.where(col("event_name").isNotNull).select("event_name"))
+      silverTodo.where(col("event_name").isNotNull).select("event_name"))
     val dimPage = upsertDim(dimPagePath, dimPageSchema,
       Seq("page_name", "page_url"), "page_sk",
-      silverBatch.where(col("page_name").isNotNull || col("page_url").isNotNull)
+      silverTodo.where(col("page_name").isNotNull || col("page_url").isNotNull)
         .select("page_name", "page_url"))
     val dimRecipe = upsertDim(dimRecipePath, dimRecipeSchema,
       Seq("recipe_id"), "recipe_sk",
-      silverBatch.where(col("prop_recipe_id").isNotNull)
+      silverTodo.where(col("prop_recipe_id").isNotNull)
         .select(col("prop_recipe_id").cast("string").as("recipe_id")))
 
-    // silver → gold for the affected dates (merge-dedup by event_id).
+    // silver → gold, append-only: every todo row lacks a fact row by
+    // construction, so the build's output appends directly. Existing fact
+    // rows are never rebuilt — safe because dims are append-only (SK
+    // mappings never change), so a rebuild would produce identical rows.
     // created_at = kst_timestamp and silver's (year,month,day) derive from
     // the same timestamp, so the affected fact dates ARE the affected
-    // silver keys — no extra pass over factNew needed.
+    // silver keys.
     val factNew = SilverToGold
-      .buildFact(silverBatch, dimUser, dimRecipe, dimEvent, dimPage)
+      .buildFact(silverTodo, dimUser, dimRecipe, dimEvent, dimPage)
       .withColumn("created_date", to_date(col("created_at")))
-    val factDates = affectedKeys.map { case (y, m, d) =>
-      java.sql.Date.valueOf(java.time.LocalDate.of(y, m, d)) }
-    val factExisting = readOrEmpty(factPath, factNew.schema)
-      .where(if (factDates.isEmpty) lit(false)
-             else col("created_date").isin(factDates.toSeq: _*))
-    val factMerged = factNew.unionByName(factExisting)
-      .dropDuplicates("event_id").localCheckpoint(true)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    factMerged.write.mode("overwrite").partitionBy("created_date").parquet(factPath)
-    factMerged.count()
+      // one execution of the dim joins for the emptiness probe + write
+      .localCheckpoint(true)
+    if (!factNew.isEmpty)
+      factNew.write.mode("append").partitionBy("created_date").parquet(factPath)
+    factAffected(readOrEmpty(factPath, factNew.schema)).count()
   }
 
   /** Run a sequence of 15-min intervals in order (the DAG's catchup loop). */

@@ -3,6 +3,8 @@ package graft.runner
 import java.nio.file.{Files, Paths}
 import java.time.LocalDateTime
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -111,7 +113,7 @@ class MicroBatchSpec extends SparkSpec {
       spark.read.parquet(mb.dimRecipePath).count())
   }
 
-  test("dim sinks are append-only: earlier ticks' files stay byte-identical") {
+  test("every incremental sink is append-only: earlier ticks' files stay byte-identical") {
     val staging = tmpDir("staging12")
     val wh = tmpDir("wh12")
     writeStagingFile(staging, 2025, 9, 15, 10, 0, Seq(
@@ -124,15 +126,21 @@ class MicroBatchSpec extends SparkSpec {
     val mb = new MicroBatch(spark, staging, wh)
     mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
 
+    // recursive (silver/fact are partitioned dirs): relative path → content hash
     def snapshot(dir: String): Map[String, Long] = {
-      val d = new java.io.File(dir)
-      d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_"))
-        .map { f =>
-          val bytes = Files.readAllBytes(f.toPath)
-          f.getName -> java.util.Arrays.hashCode(bytes).toLong
+      val root = Paths.get(dir)
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_"))
+        .map { p =>
+          root.relativize(p).toString -> java.util.Arrays.hashCode(Files.readAllBytes(p)).toLong
         }.toMap
+      finally walk.close()
     }
-    val dims = Seq(mb.dimUserPath, mb.dimEventPath, mb.dimPagePath, mb.dimRecipePath)
+    // silver + fact are append-only too (anti-join against existing
+    // event_ids), not just the dims
+    val dims = (Seq(mb.dimUserPath, mb.dimEventPath, mb.dimPagePath, mb.dimRecipePath,
+        mb.silverPath, mb.factPath))
       .filter(p => new java.io.File(p).exists())
     val before = dims.map(p => p -> snapshot(p)).toMap
 
