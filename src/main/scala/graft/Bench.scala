@@ -58,7 +58,8 @@ object Bench {
     // medallion build + dashboard); their pipeline cost is already
     // measured once, cleanly, as medallion_e2e — timing them again here
     // would just re-count the same build in the headline total.
-    val skip = Set("q_gold_dau", "q_gold_heatmap", "q_gold_lift", "q_gold_wau")
+    val skip = Set("q_gold_dau", "q_gold_heatmap", "q_gold_lift", "q_gold_wau",
+      "q_gold_funnel")
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => !skip(name) && only.forall(_.contains(name)) }

@@ -315,7 +315,10 @@ object GoldAnalytics {
       .where(col("total_users") >= minUsers)
     val t = stats.where(col("ab_test_group") === "treatment").alias("t")
     val c = stats.where(col("ab_test_group") === "control").alias("c")
-    t.join(c, col("t.user_segment") === col("c.user_segment"))
+    // both sides are per-segment aggregates (cardinality = user segments,
+    // dozens at most) — pin the self-join broadcast rather than letting a
+    // stats-blind planner sort-merge two tiny frames
+    t.join(broadcast(c), col("t.user_segment") === col("c.user_segment"))
       .select(
         col("t.user_segment").as("user_segment"),
         col("t.avg_conversion").as("treatment_conversion"),

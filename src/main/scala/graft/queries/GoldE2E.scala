@@ -59,6 +59,18 @@ object GoldE2E {
           col("segment_type"), col("segment_value"), col("dau"))
     },
 
+    // click_ads_funnel.sql end-to-end through the gold layer: per-user
+    // MAX(CASE) step flags → scalar step populations → one row per step
+    // with conversion/drop-off vs the previous step. Steps use the
+    // adapter's event vocabulary; numbered labels make the presentation
+    // sort deterministic.
+    "q_gold_funnel" -> { (s, dir) =>
+      GoldAnalytics.clickAdsFunnel(gold(s, dir), steps = Seq(
+          "1. Visit" -> "view_page", "2. View" -> "view_recipe",
+          "3. Click" -> "click_recipe", "4. Convert" -> "click_bookmark"))
+        .orderBy(col("funnel_step"))
+    },
+
     // WAU.sql end-to-end through the gold layer: 3-level weekly rollup +
     // LAG week-over-week growth over (segment_type, segment_value)
     // partitions. Jan-2024 events make ISO weeks unambiguous (Jan 1 2024
@@ -127,6 +139,33 @@ object GoldE2E {
          |)
          |SELECT event_date, segment_type, segment_value, dau
          |FROM rollup ORDER BY event_date, segment_type, segment_value""".stripMargin,
+
+    "q_gold_funnel" ->
+      s"""${Medallion.silverCte}, flags AS (
+         |  SELECT user_id,
+         |    MAX(CASE WHEN event_name = 'view_page' THEN 1 ELSE 0 END) AS s0,
+         |    MAX(CASE WHEN event_name = 'view_recipe' THEN 1 ELSE 0 END) AS s1,
+         |    MAX(CASE WHEN event_name = 'click_recipe' THEN 1 ELSE 0 END) AS s2,
+         |    MAX(CASE WHEN event_name = 'click_bookmark' THEN 1 ELSE 0 END) AS s3
+         |  FROM s WHERE user_id IS NOT NULL GROUP BY user_id
+         |), c AS (
+         |  SELECT CAST(SUM(s0) AS BIGINT) AS u0, CAST(SUM(s1) AS BIGINT) AS u1,
+         |    CAST(SUM(s2) AS BIGINT) AS u2, CAST(SUM(s3) AS BIGINT) AS u3
+         |  FROM flags
+         |)
+         |SELECT '1. Visit' AS funnel_step, u0 AS users,
+         |  CAST(100.0 AS DOUBLE) AS conversion_rate_pct,
+         |  CAST(0.0 AS DOUBLE) AS drop_off_rate_pct FROM c
+         |UNION ALL SELECT '2. View', u1,
+         |  CASE WHEN u0 > 0 THEN round(CAST(u1 AS DOUBLE) * 100.0 / u0, 2) ELSE 0.0 END,
+         |  CASE WHEN u0 > 0 THEN round(CAST(u0 - u1 AS DOUBLE) * 100.0 / u0, 2) ELSE 0.0 END FROM c
+         |UNION ALL SELECT '3. Click', u2,
+         |  CASE WHEN u1 > 0 THEN round(CAST(u2 AS DOUBLE) * 100.0 / u1, 2) ELSE 0.0 END,
+         |  CASE WHEN u1 > 0 THEN round(CAST(u1 - u2 AS DOUBLE) * 100.0 / u1, 2) ELSE 0.0 END FROM c
+         |UNION ALL SELECT '4. Convert', u3,
+         |  CASE WHEN u2 > 0 THEN round(CAST(u3 AS DOUBLE) * 100.0 / u2, 2) ELSE 0.0 END,
+         |  CASE WHEN u2 > 0 THEN round(CAST(u2 - u3 AS DOUBLE) * 100.0 / u2, 2) ELSE 0.0 END FROM c
+         |ORDER BY funnel_step""".stripMargin,
 
     "q_gold_wau" ->
       s"""${Medallion.silverCte}, d AS (

@@ -50,6 +50,16 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isDefined, "candidate join not keyed on bucket:\n" + p)
   }
 
+  test("gold dashboards broadcast their dim joins; no shuffle join, no cartesian") {
+    Seq("q_gold_dau", "q_gold_wau", "q_gold_lift", "q_gold_heatmap").foreach { q =>
+      val p = plan(q)
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+        s"$q should broadcast dim_time and dim_user at least")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to a shuffle join")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
   test("single-partition windows appear only over bounded dim/new-key/aggregate frames") {
     // A window with an empty partition spec funnels its whole input
     // through ONE task — correct only when the input is bounded by
