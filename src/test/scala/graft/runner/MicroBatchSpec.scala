@@ -271,6 +271,52 @@ class MicroBatchSpec extends SparkSpec {
     assert(after.where($"recipe_id" =!= "999999" && $"recipe_name".isNull).count() == 0)
   }
 
+  test("mid-tick crash heals: missing fact rows are rebuilt, sinks stay append-only") {
+    val staging = tmpDir("staging14")
+    val wh = tmpDir("wh14")
+    writeStagingFile(staging, 2025, 9, 15, 10, 0, Seq(
+      raw("h1", "u1", "2025-09-15T10:01:00.000+09:00", "view_recipe")))
+    writeStagingFile(staging, 2025, 9, 15, 10, 15, Seq(
+      raw("h2", "u2", "2025-09-15T10:16:00.000+09:00", "auth_success"),
+      raw("h3", "u1", "2025-09-15T10:17:00.000+09:00", "click_recipe")))
+
+    val mb = new MicroBatch(spark, staging, wh)
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+    def factFiles(): Set[java.nio.file.Path] = {
+      val walk = java.nio.file.Files.walk(Paths.get(mb.factPath))
+      try walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")).toSet
+      finally walk.close()
+    }
+    val tick1Files = factFiles()
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 15))
+    assert(spark.read.parquet(mb.factPath).count() == 3)
+
+    // simulate a crash between the silver append and the gold stage of
+    // tick 2: silver + dims persisted, tick 2's fact files lost
+    (factFiles() -- tick1Files).foreach(java.nio.file.Files.delete)
+    assert(spark.read.parquet(mb.factPath).count() == 1)
+    val dimSnapshot = spark.read.parquet(mb.dimEventPath)
+      .select("event_sk", "event_name").as[(Long, String)].collect().toSet
+
+    // the re-run's gold stage selects exactly the fact-missing silver rows
+    // and appends them; tick-1 fact files are untouched, dims unchanged
+    val healed = mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 15))
+    assert(healed._3 == 3L)
+    val fact = spark.read.parquet(mb.factPath)
+    assert(fact.count() == 3)
+    assert(tick1Files.subsetOf(factFiles()))
+    assert(spark.read.parquet(mb.dimEventPath)
+      .select("event_sk", "event_name").as[(Long, String)].collect().toSet == dimSnapshot)
+    // healed facts resolve through the stable dims
+    val dimE = spark.read.parquet(mb.dimEventPath)
+    val resolved = fact.join(dimE, fact("event_dim_key") === dimE("event_sk"))
+      .select("event_id", "event_name").as[(String, String)].collect().toMap
+    assert(resolved == Map("h1" -> "view_recipe", "h2" -> "auth_success",
+      "h3" -> "click_recipe"))
+  }
+
   test("ReplayLoop daemon body: two simulated wall-clock ticks, correct sleep targets") {
     val staging = tmpDir("staging13")
     val wh = tmpDir("wh13")
