@@ -19,8 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object RefEventsAdapter {
 
-  /** events table → one `value: STRING` raw-JSON column (a staging file). */
+  /** events table → one `value: STRING` raw-JSON column (a staging file).
+    *
+    * Fans the input out to the session's full parallelism first: the
+    * driver testdata is ONE small parquet file (one row group → one input
+    * partition), which would otherwise serialize the entire JSON
+    * encode→parse chain onto a single core of local[32] (measured 3-4×
+    * slowdown on the adapter-based queries). The shuffle moves a few MB.
+    * This is adapter-only plumbing — the production ingest path reads
+    * many staging files and needs no such fan-out.
+    */
   def toRawJson(events: DataFrame): DataFrame = {
+    val fanned = events.repartition(
+      events.sparkSession.sparkContext.defaultParallelism)
     val k = get_json_object(col("props"), "$.k").cast("int")
     val et = col("event_type")
     val eventName =
@@ -71,7 +82,7 @@ object RefEventsAdapter {
         .otherwise(lit(null).cast("string")).as("search_keyword"),
       when(et === "view", k).otherwise(lit(null).cast("int")).as("result_count")))
 
-    events.select(to_json(struct(
+    fanned.select(to_json(struct(
       concat(lit("anon-"), col("user_id")).as("anonymous_id"),
       context.as("context"),
       col("event_id").cast("string").as("event_id"),
