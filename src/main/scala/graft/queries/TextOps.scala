@@ -491,6 +491,77 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // Vocabulary building — the tokenizer-training precursor: global
+    // token counts, top-100 with a deterministic (count DESC, token ASC)
+    // tiebreak so the cut is stable cross-engine. Classic wordcount shape:
+    // explode → hash-partitioned count with map-side partial aggregation,
+    // then TakeOrdered for the bounded head — no global sort of the
+    // vocabulary, which at 100 TB is the difference between a top-k
+    // heap per partition and shuffling every distinct token.
+    "q_vocab" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(desc("n_occurrences"), $"token")
+        .limit(100)
+    },
+
+    // Corpus mixing — deterministic weighted sampling per source (the
+    // "data recipe" step of a pretraining pipeline): each source gets a
+    // retention weight from its tier (full / half / quarter / 10%), and a
+    // doc survives iff the first 3 hex digits of md5(seed || doc_id)
+    // fall under the weight's threshold. Lexicographic hex compare ==
+    // numeric compare, so the SAME docs survive on any engine — no RNG,
+    // no partition dependence. Pure narrow map + bounded-key report.
+    "q_sample_mix" -> { (s, dir) =>
+      import s.implicits._
+      val h3 = substring(md5(concat(lit("graft-mix-v1:"), $"doc_id".cast("string"))), 1, 3)
+      val tier = regexp_extract($"source", "(\\d+)", 1).cast("int") % 4
+      val keep = when(tier === 0, lit(true))
+        .when(tier === 1, h3 < "800")  // 2048/4096 = 0.5
+        .when(tier === 2, h3 < "400")  // 1024/4096 = 0.25
+        .otherwise(h3 < "19a")         //  410/4096 ≈ 0.1
+      load(s, dir, "documents")
+        .withColumn("kept", keep)
+        .withColumn("n_toks", size(split($"text", " ")).cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+          (sum(when($"kept", 1L).otherwise(0L)) * 100.0 / count(lit(1))).as("kept_pct"),
+          sum(when($"kept", $"n_toks").otherwise(0L)).as("tokens_kept"))
+        .orderBy($"source")
+    },
+
+    // PII scrubbing — regex masking of emails/phones with per-doc audit
+    // counts. The corpus carries no PII, so the query plants it
+    // deterministically first (doc_id % 3 → an email, doc_id % 5 → a
+    // phone) and then must (a) count exactly what it planted and
+    // (b) produce residue-free text. Narrow map; both regexes stay in
+    // the portable intersection of Java regex and RE2.
+    "q_pii_scrub" -> { (s, dir) =>
+      import s.implicits._
+      val email = "[a-z0-9]+@[a-z0-9.]+"
+      val phone = "010-[0-9]{4}"
+      val planted = concat($"text",
+        when($"doc_id" % 3 === 0,
+          concat(lit(" contact u"), $"doc_id", lit("@mail.example"))).otherwise(lit("")),
+        when($"doc_id" % 5 === 0,
+          concat(lit(" tel 010-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+      val scrubbed = regexp_replace(regexp_replace(planted, email, "[EMAIL]"),
+        phone, "[PHONE]")
+      load(s, dir, "documents")
+        .select($"doc_id",
+          size(regexp_extract_all(planted, lit(email), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(planted, lit(phone), lit(0))).cast("long").as("n_phones"),
+          (size(regexp_extract_all(scrubbed, lit(email), lit(0))) === 0 &&
+            size(regexp_extract_all(scrubbed, lit(phone), lit(0))) === 0).as("clean_after"),
+          length(scrubbed).cast("long").as("scrubbed_len"))
+        .orderBy($"doc_id")
+    },
+
     // SimHash locality contract: fingerprint the WHOLE corpus (16-bit
     // per-bit majority vote over token hashes), then assert the locality
     // property that makes SimHash useful — near-identical docs (exact
@@ -738,6 +809,58 @@ object TextOps {
         |SELECT doc_a, doc_b, jac, TRUE AS hamming_ok
         |FROM j WHERE jac >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_vocab" ->
+      """SELECT token, COUNT(*) AS n_occurrences
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+
+    "q_sample_mix" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    substr(md5('graft-mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 3) AS h3,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 4 AS tier,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), k AS (
+        |  SELECT source, n_toks,
+        |    CASE WHEN tier = 0 THEN TRUE
+        |      WHEN tier = 1 THEN h3 < '800'
+        |      WHEN tier = 2 THEN h3 < '400'
+        |      ELSE h3 < '19a' END AS kept
+        |  FROM d
+        |)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / COUNT(*) AS kept_pct,
+        |  CAST(SUM(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text ||
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example'
+        |        ELSE '' END ||
+        |      CASE WHEN doc_id % 5 = 0
+        |        THEN ' tel 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |        ELSE '' END AS planted
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, planted,
+        |    regexp_replace(regexp_replace(planted,
+        |      '[a-z0-9]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+        |      '010-[0-9]{4}', '[PHONE]', 'g') AS scrubbed
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(planted, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(planted, '010-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  len(regexp_extract_all(scrubbed, '[a-z0-9]+@[a-z0-9.]+')) = 0 AND
+        |    len(regexp_extract_all(scrubbed, '010-[0-9]{4}')) = 0 AS clean_after,
+        |  CAST(length(scrubbed) AS BIGINT) AS scrubbed_len
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->
       """WITH d AS (
