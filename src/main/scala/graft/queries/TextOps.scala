@@ -562,6 +562,33 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // TF-IDF-style distinctiveness: per-(doc, token) term frequency ×
+    // corpus-level inverse document frequency, top-3 tokens per doc with
+    // a deterministic tiebreak. The score uses the RATIO form
+    // tf · N / df — an exact small-integer ratio, so both engines compute
+    // bit-identical doubles (the classic ln() weighting is a one-line
+    // swap but transcendental libm results differ in the last ulp across
+    // engines, which a hash gate cannot tolerate; the plan shape —
+    // explode → tf/df aggregates → broadcast scalar N → per-doc top-k
+    // window — is identical either way and is what scales).
+    "q_tfidf" -> { (s, dir) =>
+      import s.implicits._
+      val docs = load(s, dir, "documents")
+      val tok = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+      val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("score"), $"token")
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score", $"tf" * $"n_docs" * 1.0 / $"df")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= 3)
+        .select($"doc_id", $"token", $"tf", $"df", $"score", $"rn".cast("long").as("rank"))
+        .orderBy($"doc_id", $"rank")
+    },
+
     // SimHash locality contract: fingerprint the WHOLE corpus (16-bit
     // per-bit majority vote over token hashes), then assert the locality
     // property that makes SimHash useful — near-identical docs (exact
@@ -814,6 +841,25 @@ object TextOps {
       """SELECT token, COUNT(*) AS n_occurrences
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        |), scored AS (
+        |  SELECT t.doc_id, t.token, t.tf, d.df,
+        |    CAST(t.tf * (SELECT COUNT(*) FROM documents) AS DOUBLE) / d.df AS score
+        |  FROM tf t JOIN dfreq d USING (token)
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, token, tf, df, score, CAST(rn AS BIGINT) AS rank
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_sample_mix" ->
       """WITH d AS (

@@ -182,11 +182,11 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
   /** The gold stage for one batch of silver rows: incremental dim
     * upserts from the batch ONLY (never a full-silver rebuild — SKs are
     * append-only above each dim's persisted high-water mark, so every
-    * batch's fact partitions share one stable numbering) followed by the
-    * fact merge over the batch's affected dates. Shared by the batch tick
-    * ([[runInterval]]) and the Structured Streaming twin
+    * batch's fact partitions share one stable numbering) followed by an
+    * append of the batch's still-missing fact rows. Shared by the batch
+    * tick ([[runInterval]]) and the Structured Streaming twin
     * (StreamingIngest.runGold's foreachBatch). Returns total fact rows
-    * written for the affected dates.
+    * present for the affected dates after the append.
     */
   def goldFromSilverBatch(silverBatch: DataFrame,
                           affectedKeys: Seq[(Int, Int, Int)]): Long = {

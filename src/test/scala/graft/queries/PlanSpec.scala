@@ -104,7 +104,9 @@ class PlanSpec extends SparkSpec {
       // J10: 1-row aggregate broadcast into the select
       "q_scalar_subquery",
       // same 1-row pattern: the funnel's raw_n denominator
-      "q_data_funnel")
+      "q_data_funnel",
+      // same 1-row pattern: the corpus-size N in the idf ratio
+      "q_tfidf")
     graft.SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
