@@ -189,6 +189,28 @@ class MicroBatchSpec extends SparkSpec {
     assert(pruned.select("event_id").as[String].head() == "g2")
   }
 
+  test("the gold stage's fact-missing anti-join prunes to the affected date partitions") {
+    val staging = tmpDir("staging15")
+    val wh = tmpDir("wh15")
+    writeStagingFile(staging, 2025, 9, 15, 10, 0, Seq(
+      raw("f1", "u1", "2025-09-15T10:01:00.000+09:00")))
+    writeStagingFile(staging, 2025, 9, 16, 10, 0, Seq(
+      raw("f2", "u2", "2025-09-16T10:01:00.000+09:00")))
+    val mb = new MicroBatch(spark, staging, wh)
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+    mb.runInterval(LocalDateTime.of(2025, 9, 16, 10, 0))
+
+    // the exact read shape goldFromSilverBatch builds for a day-16 batch:
+    // created_date IN (affected dates) must reach the scan as a
+    // PartitionFilter — at 100 TB this is what keeps the crash-heal
+    // anti-join bounded to the tick's partitions instead of a full-fact scan
+    val pruned = spark.read.parquet(mb.factPath)
+      .where(col("created_date").isin(java.sql.Date.valueOf("2025-09-16")))
+    assert(Warehouse.hasPartitionFilters(pruned))
+    assert(pruned.count() == 1)
+    assert(pruned.select("event_id").as[String].head() == "f2")
+  }
+
   test("catchUp resumes after the sink's high-water interval, in order") {
     val staging = tmpDir("staging7")
     val wh = tmpDir("wh7")
