@@ -102,6 +102,29 @@ object GoldE2E {
           col("control_users"), col("result_color"))
     },
 
+    // daily_events.sql end-to-end through the gold layer: per-(date,
+    // event) counts + distinct users + share-of-day percentage via a
+    // date-partitioned window sum (W5 through the real star schema).
+    "q_gold_daily" -> { (s, dir) =>
+      GoldAnalytics.dailyEvents(gold(s, dir))
+        .select(col("event_date").cast("string").as("event_date"),
+          col("event_name"), col("event_count"), col("unique_users"),
+          col("daily_event_percentage"))
+        .orderBy(desc("event_date"), desc("event_count"), col("event_name"))
+    },
+
+    // time_x_day_events_heatmap.sql end-to-end through the gold layer:
+    // hour × weekday matrix with global min-max normalization (W6's
+    // empty-partition window over the bounded 168-row aggregate — one of
+    // the whitelisted global-window uses).
+    "q_gold_timeheat" -> { (s, dir) =>
+      GoldAnalytics.timeXDayEventsHeatmap(gold(s, dir))
+        .select(col("hour").cast("long").as("hr"),
+          col("day_of_week_ordered"), col("event_count"),
+          col("unique_users"), col("avg_engagement_score"),
+          col("normalized_intensity"))
+    },
+
     // ab_test_heatmap.sql end-to-end through the gold layer: segment ×
     // group matrix with conversion/engagement/session metrics — exercises
     // the is_conversion + engagement_score + session_duration fact columns
@@ -245,6 +268,50 @@ object GoldE2E {
          |FROM stats t JOIN stats c ON t.user_segment = c.user_segment
          |WHERE t.ab_test_group = 'treatment' AND c.ab_test_group = 'control'
          |ORDER BY relative_lift_pct DESC, t.user_segment""".stripMargin,
+
+    "q_gold_daily" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT CAST(kst AS DATE) AS event_date, event_name, user_id
+         |  FROM s WHERE user_id IS NOT NULL
+         |), agg AS (
+         |  SELECT event_date, event_name, COUNT(*) AS event_count,
+         |    COUNT(DISTINCT user_id) AS unique_users
+         |  FROM d GROUP BY 1, 2
+         |)
+         |SELECT strftime(event_date, '%Y-%m-%d') AS event_date, event_name,
+         |  event_count, unique_users,
+         |  round(CAST(event_count AS DOUBLE) * 100.0 /
+         |    CAST(SUM(event_count) OVER (PARTITION BY event_date) AS DOUBLE), 2)
+         |    AS daily_event_percentage
+         |FROM agg
+         |ORDER BY event_date DESC, event_count DESC, event_name""".stripMargin,
+
+    "q_gold_timeheat" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT hour(kst) AS hr, strftime(kst, '%a') AS dow, user_id,
+         |    CAST(CASE event_name WHEN 'auth_success' THEN 10.0 WHEN 'create_comment' THEN 9.0
+         |      WHEN 'click_bookmark' THEN 8.0 WHEN 'click_recipe' THEN 7.0
+         |      WHEN 'search_recipe' THEN 5.0 WHEN 'view_recipe' THEN 4.0
+         |      WHEN 'view_page' THEN 2.0 ELSE 1.0 END AS DOUBLE) AS engagement_score
+         |  FROM s WHERE user_id IS NOT NULL
+         |), agg AS (
+         |  SELECT hr,
+         |    CASE dow WHEN 'Mon' THEN '1-Monday' WHEN 'Tue' THEN '2-Tuesday'
+         |      WHEN 'Wed' THEN '3-Wednesday' WHEN 'Thu' THEN '4-Thursday'
+         |      WHEN 'Fri' THEN '5-Friday' WHEN 'Sat' THEN '6-Saturday'
+         |      ELSE '7-Sunday' END AS day_of_week_ordered,
+         |    COUNT(*) AS event_count, COUNT(DISTINCT user_id) AS unique_users,
+         |    round(AVG(engagement_score), 2) AS avg_engagement_score
+         |  FROM d GROUP BY 1, 2
+         |)
+         |SELECT CAST(hr AS BIGINT) AS hr, day_of_week_ordered, event_count,
+         |  unique_users, avg_engagement_score,
+         |  CASE WHEN MAX(event_count) OVER () = MIN(event_count) OVER () THEN NULL
+         |    ELSE round(CAST(event_count - MIN(event_count) OVER () AS DOUBLE) * 100.0 /
+         |      (MAX(event_count) OVER () - MIN(event_count) OVER ()), 2)
+         |  END AS normalized_intensity
+         |FROM agg
+         |ORDER BY day_of_week_ordered, hr""".stripMargin,
 
     // Fact-metric derivations mirror silver_to_gold_processor.py semantics
     // (the same CASE trees q_fact_build's oracle pins): is_conversion,

@@ -75,7 +75,9 @@ class PlanSpec extends SparkSpec {
       // dim builds feeding the fact join (dim-candidate cardinality)
       "q_fact_build" -> "dim SK assignment over dim candidates",
       // W6: global MIN/MAX OVER () on a 168-row (hour x dow) aggregate
-      "q_heatmap_norm" -> "global min/max over bounded aggregate")
+      "q_heatmap_norm" -> "global min/max over bounded aggregate",
+      // same W6 normalization through the gold layer (168-row aggregate)
+      "q_gold_timeheat" -> "global min/max over bounded aggregate")
     graft.SparkEntry.queries.keys.foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val globals = df.queryExecution.optimizedPlan.collect {
