@@ -60,8 +60,7 @@ object Bench {
     // would just re-count the same build in the headline total.
     // An explicit SPARK_GRAFT_BENCH_ONLY request overrides the skip —
     // asking to bench q_gold_dau by name should measure it, not silence it.
-    val skip = Set("q_gold_dau", "q_gold_heatmap", "q_gold_lift", "q_gold_wau",
-      "q_gold_funnel", "q_gold_daily", "q_gold_timeheat")
+    val skip = SparkEntry.queries.keySet.filter(_.startsWith("q_gold_"))
       .filterNot(n => only.exists(_.contains(n)))
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1)

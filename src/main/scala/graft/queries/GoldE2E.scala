@@ -52,6 +52,16 @@ object GoldE2E {
       dimTime = Dims.dimTime(s, "2024-01-01 00:00:00", "2024-02-29 23:00:00"))
   }
 
+  /** The fact build's engagement lookup (silver_to_gold_processor.py:
+    * 282-292) as a DuckDB fragment — integer-valued DOUBLEs, so
+    * cross-engine AVG sums stay exact.
+    */
+  private val engagementSql: String =
+    """CAST(CASE event_name WHEN 'auth_success' THEN 10.0 WHEN 'create_comment' THEN 9.0
+      |      WHEN 'click_bookmark' THEN 8.0 WHEN 'click_recipe' THEN 7.0
+      |      WHEN 'search_recipe' THEN 5.0 WHEN 'view_recipe' THEN 4.0
+      |      WHEN 'view_page' THEN 2.0 ELSE 1.0 END AS DOUBLE)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gold_dau" -> { (s, dir) =>
       GoldAnalytics.dau(gold(s, dir))
@@ -100,6 +110,45 @@ object GoldE2E {
           col("relative_lift_pct"), col("engagement_diff"), col("winner"),
           col("significance_level"), col("treatment_users"),
           col("control_users"), col("result_color"))
+    },
+
+    // event_distribution.sql: 2-level (TOTAL / per-segment) rollup by
+    // event name with counts, distinct users, and average engagement.
+    "q_gold_eventdist" -> { (s, dir) =>
+      GoldAnalytics.eventDistribution(gold(s, dir))
+        .orderBy(col("event_name"), col("segment_type"),
+          desc("event_count"), col("segment_value"))
+    },
+
+    // pages_views.sql: 2-level rollup by page over the page-join-hit
+    // subset (page_dim_key != 0 — exercises the J4 coalesce-key join's
+    // hit set through the dashboard layer).
+    "q_gold_pages" -> { (s, dir) =>
+      GoldAnalytics.pagesViews(gold(s, dir))
+        .orderBy(col("page_name"), col("segment_type"),
+          desc("page_views"), col("segment_value"))
+    },
+
+    // daily_engagement_score.sql: weekday-remapped ("1-Mon".."7-Sun")
+    // 2-level engagement rollup.
+    "q_gold_engagement" -> { (s, dir) =>
+      GoldAnalytics.dailyEngagementScore(gold(s, dir))
+    },
+
+    // top_10_clicked_recipe.sql: top-k recipes by click count, resolved
+    // through the master-built dim_recipe (recipe_name comes from the
+    // deterministic master fixture, which the oracle reproduces).
+    "q_gold_top_recipes" -> { (s, dir) =>
+      GoldAnalytics.topRecipesByEvent(gold(s, dir), "click_recipe")
+    },
+
+    // interactions_per_dish_type.sql: 2-level rollup over dim_recipe's
+    // master ATTRIBUTES (dish_type) — verifies the master-fixture
+    // attribute derivation end-to-end through the recipe dim join.
+    "q_gold_dishtype" -> { (s, dir) =>
+      GoldAnalytics.interactionsPerDishType(gold(s, dir))
+        .orderBy(col("dish_type"), col("segment_type"),
+          desc("total_interactions"), col("segment_value"))
     },
 
     // daily_events.sql end-to-end through the gold layer: per-(date,
@@ -268,6 +317,97 @@ object GoldE2E {
          |FROM stats t JOIN stats c ON t.user_segment = c.user_segment
          |WHERE t.ab_test_group = 'treatment' AND c.ab_test_group = 'control'
          |ORDER BY relative_lift_pct DESC, t.user_segment""".stripMargin,
+
+    "q_gold_eventdist" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT event_name, user_id, user_segment,
+         |    $engagementSql AS engagement_score
+         |  FROM s WHERE user_id IS NOT NULL
+         |), r AS (
+         |  SELECT event_name, 'ALL' AS segment_value, COUNT(*) AS event_count,
+         |    COUNT(DISTINCT user_id) AS unique_users,
+         |    round(AVG(engagement_score), 2) AS avg_engagement_score,
+         |    'TOTAL' AS segment_type
+         |  FROM d GROUP BY event_name
+         |  UNION ALL
+         |  SELECT event_name, COALESCE(user_segment, 'UNKNOWN'), COUNT(*),
+         |    COUNT(DISTINCT user_id), round(AVG(engagement_score), 2), 'USER_SEGMENT'
+         |  FROM d GROUP BY 1, 2
+         |)
+         |SELECT event_name, segment_value, event_count, unique_users,
+         |  avg_engagement_score, segment_type
+         |FROM r ORDER BY event_name, segment_type, event_count DESC, segment_value""".stripMargin,
+
+    "q_gold_pages" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT page_name, user_id, user_segment
+         |  FROM s WHERE user_id IS NOT NULL
+         |    AND (page_name IS NOT NULL OR page_url IS NOT NULL)
+         |), r AS (
+         |  SELECT page_name, 'ALL' AS segment_value, COUNT(*) AS page_views,
+         |    COUNT(DISTINCT user_id) AS unique_visitors, 'TOTAL' AS segment_type
+         |  FROM d GROUP BY page_name
+         |  UNION ALL
+         |  SELECT page_name, COALESCE(user_segment, 'UNKNOWN'), COUNT(*),
+         |    COUNT(DISTINCT user_id), 'USER_SEGMENT'
+         |  FROM d GROUP BY 1, 2
+         |)
+         |SELECT page_name, segment_value, page_views, unique_visitors, segment_type
+         |FROM r ORDER BY page_name, segment_type, page_views DESC, segment_value""".stripMargin,
+
+    "q_gold_engagement" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT CASE strftime(kst, '%a') WHEN 'Mon' THEN '1-Mon'
+         |      WHEN 'Tue' THEN '2-Tue' WHEN 'Wed' THEN '3-Wed'
+         |      WHEN 'Thu' THEN '4-Thu' WHEN 'Fri' THEN '5-Fri'
+         |      WHEN 'Sat' THEN '6-Sat' ELSE '7-Sun' END AS day_of_week,
+         |    user_segment, $engagementSql AS engagement_score
+         |  FROM s WHERE user_id IS NOT NULL
+         |), r AS (
+         |  SELECT day_of_week, 'ALL' AS segment_value,
+         |    round(AVG(engagement_score), 2) AS avg_engagement_score,
+         |    COUNT(*) AS total_events, 'TOTAL' AS segment_type
+         |  FROM d GROUP BY day_of_week
+         |  UNION ALL
+         |  SELECT day_of_week, COALESCE(user_segment, 'UNKNOWN'),
+         |    round(AVG(engagement_score), 2), COUNT(*), 'USER_SEGMENT'
+         |  FROM d GROUP BY 1, 2
+         |)
+         |SELECT day_of_week, segment_value, avg_engagement_score, total_events,
+         |  segment_type
+         |FROM r ORDER BY day_of_week, segment_type, segment_value""".stripMargin,
+
+    "q_gold_top_recipes" ->
+      s"""${Medallion.silverCte}
+         |SELECT 'recipe_' || CAST(prop_recipe_id AS VARCHAR) AS recipe_name,
+         |  COUNT(*) AS view_count
+         |FROM s
+         |WHERE event_name = 'click_recipe' AND prop_recipe_id IS NOT NULL
+         |GROUP BY 1
+         |ORDER BY view_count DESC, recipe_name
+         |LIMIT 10""".stripMargin,
+
+    "q_gold_dishtype" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT CASE CAST(prop_recipe_id % 5 AS INTEGER)
+         |      WHEN 0 THEN 'stew' WHEN 1 THEN 'noodle' WHEN 2 THEN 'rice'
+         |      WHEN 3 THEN 'dessert' ELSE 'salad' END AS dish_type,
+         |    user_id, user_segment, $engagementSql AS engagement_score
+         |  FROM s WHERE user_id IS NOT NULL AND prop_recipe_id IS NOT NULL
+         |), r AS (
+         |  SELECT dish_type, 'ALL' AS segment_value,
+         |    COUNT(*) AS total_interactions,
+         |    COUNT(DISTINCT user_id) AS unique_users,
+         |    round(AVG(engagement_score), 2) AS avg_engagement, 'TOTAL' AS segment_type
+         |  FROM d GROUP BY dish_type
+         |  UNION ALL
+         |  SELECT dish_type, COALESCE(user_segment, 'UNKNOWN'), COUNT(*),
+         |    COUNT(DISTINCT user_id), round(AVG(engagement_score), 2), 'USER_SEGMENT'
+         |  FROM d GROUP BY 1, 2
+         |)
+         |SELECT dish_type, segment_value, total_interactions, unique_users,
+         |  avg_engagement, segment_type
+         |FROM r ORDER BY dish_type, segment_type, total_interactions DESC, segment_value""".stripMargin,
 
     "q_gold_daily" ->
       s"""${Medallion.silverCte}, d AS (
