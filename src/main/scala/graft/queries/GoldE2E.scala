@@ -151,6 +151,73 @@ object GoldE2E {
           desc("total_interactions"), col("segment_value"))
     },
 
+    // ctr_advertisement.sql with the adapter's event vocabulary standing
+    // in for the ad events (view_recipe=exposure, click_recipe=click):
+    // per-(segment, group) CTR / exposure / conversion ratios with
+    // zero-guards, only exposed cells returned.
+    "q_gold_ctr" -> { (s, dir) =>
+      GoldAnalytics.ctrAdvertisement(gold(s, dir),
+          viewEvent = "view_recipe", clickEvent = "click_recipe")
+        .orderBy(desc("ctr_pct"), col("user_segment"), col("ab_test_group"))
+    },
+
+    // daily_ab_test.sql: per-(date, group) DAU/events/conversion/
+    // engagement/session trend.
+    "q_gold_dailyab" -> { (s, dir) =>
+      GoldAnalytics.dailyAbTest(gold(s, dir))
+        .select(col("event_date").cast("string").as("event_date"),
+          col("ab_test_group"), col("daily_active_users"), col("daily_events"),
+          col("daily_user_conversion_rate_pct"),
+          col("daily_avg_engagement_score"), col("daily_avg_session_minutes"))
+    },
+
+    // daily_search_to_recipe_click.sql: left join of two aggregated CTEs
+    // (J8 through the dashboard layer), unmatched days keep 0 clicks.
+    "q_gold_searchclick" -> { (s, dir) =>
+      GoldAnalytics.dailySearchToRecipeClick(gold(s, dir),
+          searchEvent = "view_recipe", clickEvent = "click_recipe")
+        .select(col("date").cast("string").as("event_date"),
+          col("user_segment"), col("search_count"), col("view_count"),
+          col("conversion_rate_pct"))
+        .orderBy(col("event_date"), col("user_segment"))
+    },
+
+    // events_per_time.sql: 2-level rollup by hour of day.
+    "q_gold_pertime" -> { (s, dir) =>
+      GoldAnalytics.eventsPerTime(gold(s, dir))
+        .select(col("hour").cast("long").as("hr"), col("segment_value"),
+          col("event_count"), col("unique_users"), col("segment_type"))
+        .orderBy(col("hr"), col("segment_type"), col("segment_value"))
+    },
+
+    // top_10_interactions_per_events.sql: detail rows semi-joined against
+    // the top-10 recipes subquery (J9 through the dashboard layer), with
+    // dim_recipe master attributes resolved.
+    "q_gold_top10inter" -> { (s, dir) =>
+      GoldAnalytics.top10InteractionsPerEvents(gold(s, dir))
+        .orderBy(col("recipe_name"), desc("interaction_count"), col("event_name"))
+    },
+
+    // top_10_bookmarked_recipe.sql: same top-k shape on the bookmark event.
+    "q_gold_top_bookmarked" -> { (s, dir) =>
+      GoldAnalytics.topRecipesByEvent(gold(s, dir), "click_bookmark")
+    },
+
+    // treatment_vs_control.sql: per-segment side-by-side conversion /
+    // engagement with the chart color column.
+    "q_gold_tvc" -> { (s, dir) =>
+      GoldAnalytics.treatmentVsControl(gold(s, dir),
+          conversionEvent = "click_bookmark", minUsers = 2)
+    },
+
+    // new_data_load_date.sql: the single latest-load instant (T3); KST
+    // wall clock emitted as unix seconds (the cross-engine timestamp
+    // convention).
+    "q_gold_loadts" -> { (s, dir) =>
+      GoldAnalytics.newDataLoadDate(gold(s, dir))
+        .select(unix_timestamp(col("kst_time")).as("kst_unix"))
+    },
+
     // daily_events.sql end-to-end through the gold layer: per-(date,
     // event) counts + distinct users + share-of-day percentage via a
     // date-partitioned window sum (W5 through the real star schema).
@@ -317,6 +384,149 @@ object GoldE2E {
          |FROM stats t JOIN stats c ON t.user_segment = c.user_segment
          |WHERE t.ab_test_group = 'treatment' AND c.ab_test_group = 'control'
          |ORDER BY relative_lift_pct DESC, t.user_segment""".stripMargin,
+
+    "q_gold_ctr" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT user_id, COALESCE(user_segment, 'UNKNOWN') AS user_segment,
+         |    COALESCE(ab_test_group, 'UNKNOWN') AS ab_test_group, event_name
+         |  FROM s WHERE user_id IS NOT NULL
+         |), agg AS (
+         |  SELECT user_segment, ab_test_group,
+         |    COUNT(DISTINCT user_id) AS total_users,
+         |    CAST(SUM(CASE WHEN event_name = 'view_recipe' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS total_ad_views,
+         |    CAST(SUM(CASE WHEN event_name = 'click_recipe' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS total_ad_clicks,
+         |    COUNT(DISTINCT CASE WHEN event_name = 'view_recipe' THEN user_id END)
+         |      AS users_viewed_ads,
+         |    COUNT(DISTINCT CASE WHEN event_name = 'click_recipe' THEN user_id END)
+         |      AS users_clicked_ads
+         |  FROM d GROUP BY 1, 2
+         |)
+         |SELECT user_segment, ab_test_group, total_users, total_ad_views,
+         |  total_ad_clicks, users_viewed_ads, users_clicked_ads,
+         |  CASE WHEN total_ad_views > 0
+         |    THEN round(CAST(total_ad_clicks AS DOUBLE) * 100.0 / total_ad_views, 2)
+         |    ELSE 0.0 END AS ctr_pct,
+         |  round(CAST(users_viewed_ads AS DOUBLE) * 100.0 / total_users, 2)
+         |    AS ad_exposure_rate_pct,
+         |  CASE WHEN users_viewed_ads > 0
+         |    THEN round(CAST(users_clicked_ads AS DOUBLE) * 100.0 / users_viewed_ads, 2)
+         |    ELSE 0.0 END AS ad_conversion_rate_pct
+         |FROM agg WHERE total_ad_views > 0
+         |ORDER BY ctr_pct DESC, user_segment, ab_test_group""".stripMargin,
+
+    "q_gold_dailyab" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT CAST(kst AS DATE) AS event_date,
+         |    COALESCE(ab_test_group, 'UNKNOWN') AS ab_test_group, user_id,
+         |    event_name IN ('auth_success','click_bookmark','create_comment') AS is_conversion,
+         |    $engagementSql AS engagement_score,
+         |    CASE WHEN prop_action LIKE 'dur:%'
+         |      THEN CAST(substr(prop_action, 5) AS BIGINT) ELSE 60 END AS sess
+         |  FROM s WHERE user_id IS NOT NULL
+         |)
+         |SELECT strftime(event_date, '%Y-%m-%d') AS event_date, ab_test_group,
+         |  COUNT(DISTINCT user_id) AS daily_active_users,
+         |  COUNT(*) AS daily_events,
+         |  round(CAST(COUNT(DISTINCT CASE WHEN is_conversion THEN user_id END) AS DOUBLE)
+         |    * 100.0 / COUNT(DISTINCT user_id), 2) AS daily_user_conversion_rate_pct,
+         |  round(AVG(engagement_score), 2) AS daily_avg_engagement_score,
+         |  round(CAST(AVG(sess) AS DOUBLE) / 60.0, 2) AS daily_avg_session_minutes
+         |FROM d GROUP BY 1, 2 ORDER BY event_date DESC, ab_test_group""".stripMargin,
+
+    "q_gold_searchclick" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT CAST(kst AS DATE) AS dt, user_segment, user_id, event_name
+         |  FROM s WHERE user_id IS NOT NULL
+         |), se AS (
+         |  SELECT dt, user_segment, COUNT(*) AS search_count
+         |  FROM d WHERE event_name = 'view_recipe' GROUP BY 1, 2
+         |), cl AS (
+         |  SELECT dt, user_segment, COUNT(*) AS view_count
+         |  FROM d WHERE event_name = 'click_recipe' GROUP BY 1, 2
+         |)
+         |SELECT strftime(se.dt, '%Y-%m-%d') AS event_date,
+         |  COALESCE(se.user_segment, 'UNKNOWN') AS user_segment,
+         |  se.search_count,
+         |  CAST(COALESCE(cl.view_count, 0) AS BIGINT) AS view_count,
+         |  CASE WHEN se.search_count > 0
+         |    THEN round(CAST(COALESCE(cl.view_count, 0) AS DOUBLE) * 100.0 / se.search_count, 2)
+         |    ELSE 0.0 END AS conversion_rate_pct
+         |FROM se LEFT JOIN cl ON se.dt = cl.dt AND se.user_segment = cl.user_segment
+         |ORDER BY event_date, user_segment""".stripMargin,
+
+    "q_gold_pertime" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT hour(kst) AS hr, user_segment, user_id
+         |  FROM s WHERE user_id IS NOT NULL
+         |), r AS (
+         |  SELECT CAST(hr AS BIGINT) AS hr, 'ALL' AS segment_value,
+         |    COUNT(*) AS event_count, COUNT(DISTINCT user_id) AS unique_users,
+         |    'TOTAL' AS segment_type
+         |  FROM d GROUP BY 1
+         |  UNION ALL
+         |  SELECT CAST(hr AS BIGINT), COALESCE(user_segment, 'UNKNOWN'), COUNT(*),
+         |    COUNT(DISTINCT user_id), 'USER_SEGMENT'
+         |  FROM d GROUP BY 1, 2
+         |)
+         |SELECT hr, segment_value, event_count, unique_users, segment_type
+         |FROM r ORDER BY hr, segment_type, segment_value""".stripMargin,
+
+    "q_gold_top10inter" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT 'recipe_' || CAST(prop_recipe_id AS VARCHAR) AS recipe_name,
+         |    CASE CAST(prop_recipe_id % 5 AS INTEGER)
+         |      WHEN 0 THEN 'stew' WHEN 1 THEN 'noodle' WHEN 2 THEN 'rice'
+         |      WHEN 3 THEN 'dessert' ELSE 'salad' END AS dish_type,
+         |    event_name, user_id
+         |  FROM s WHERE prop_recipe_id IS NOT NULL
+         |), top10 AS (
+         |  SELECT recipe_name FROM d GROUP BY 1
+         |  ORDER BY COUNT(*) DESC, recipe_name LIMIT 10
+         |)
+         |SELECT d.recipe_name, dish_type, event_name,
+         |  COUNT(*) AS interaction_count, COUNT(DISTINCT user_id) AS unique_users
+         |FROM d JOIN top10 USING (recipe_name)
+         |GROUP BY 1, 2, 3
+         |ORDER BY recipe_name, interaction_count DESC, event_name""".stripMargin,
+
+    "q_gold_top_bookmarked" ->
+      s"""${Medallion.silverCte}
+         |SELECT 'recipe_' || CAST(prop_recipe_id AS VARCHAR) AS recipe_name,
+         |  COUNT(*) AS view_count
+         |FROM s
+         |WHERE event_name = 'click_bookmark' AND prop_recipe_id IS NOT NULL
+         |GROUP BY 1
+         |ORDER BY view_count DESC, recipe_name
+         |LIMIT 10""".stripMargin,
+
+    "q_gold_tvc" ->
+      s"""${Medallion.silverCte}, d AS (
+         |  SELECT user_id, user_segment, ab_test_group, event_name,
+         |    $engagementSql AS engagement_score
+         |  FROM s
+         |  WHERE user_id IS NOT NULL AND ab_test_group IN ('treatment', 'control')
+         |), agg AS (
+         |  SELECT user_segment, ab_test_group,
+         |    COUNT(DISTINCT user_id) AS total_users,
+         |    round(CAST(COUNT(DISTINCT CASE WHEN event_name = 'click_bookmark'
+         |        THEN user_id END) AS DOUBLE) * 100.0 /
+         |      COUNT(DISTINCT user_id), 2) AS ad_click_conversion_rate,
+         |    round(AVG(engagement_score), 2) AS avg_engagement_score
+         |  FROM d GROUP BY 1, 2 HAVING COUNT(DISTINCT user_id) >= 2
+         |)
+         |SELECT user_segment, ab_test_group, total_users,
+         |  ad_click_conversion_rate, avg_engagement_score,
+         |  CASE WHEN ab_test_group = 'treatment' THEN '#1f77b4'
+         |    ELSE '#ff7f0e' END AS chart_color
+         |FROM agg ORDER BY user_segment, ab_test_group""".stripMargin,
+
+    "q_gold_loadts" ->
+      s"""${Medallion.silverCte}
+         |SELECT CAST(floor(epoch(date_trunc('second', MAX(kst)))) AS BIGINT)
+         |  AS kst_unix
+         |FROM s""".stripMargin,
 
     "q_gold_eventdist" ->
       s"""${Medallion.silverCte}, d AS (
