@@ -151,6 +151,19 @@ object GoldE2E {
           desc("total_interactions"), col("segment_value"))
     },
 
+    // ab_test_kpi_metric.sql: the six KPI cards (win rate, test users,
+    // significant segments, period, winning-segment lists). The Spark
+    // side assembles them from driver-side scalars (the J10 pattern);
+    // the oracle recomputes every scalar in SQL and renders the same
+    // format strings (format('{:,}') / format('{:.1f}') — the
+    // q_kpi_format precedent). Completes 21/21 dashboards oracle-gated.
+    "q_gold_kpi" -> { (s, dir) =>
+      GoldAnalytics.abTestKpiMetric(gold(s, dir),
+          conversionEvent = "click_bookmark",
+          dateFrom = "2024-01-01", dateTo = "2024-12-31", minUsers = 2)
+        .orderBy(col("metric_name"))
+    },
+
     // ctr_advertisement.sql with the adapter's event vocabulary standing
     // in for the ad events (view_recipe=exposure, click_recipe=click):
     // per-(segment, group) CTR / exposure / conversion ratios with
@@ -384,6 +397,65 @@ object GoldE2E {
          |FROM stats t JOIN stats c ON t.user_segment = c.user_segment
          |WHERE t.ab_test_group = 'treatment' AND c.ab_test_group = 'control'
          |ORDER BY relative_lift_pct DESC, t.user_segment""".stripMargin,
+
+    "q_gold_kpi" ->
+      s"""${Medallion.silverCte}, w AS (
+         |  SELECT user_id, user_segment, ab_test_group, event_name
+         |  FROM s
+         |  WHERE user_id IS NOT NULL AND ab_test_group IN ('treatment', 'control')
+         |    AND CAST(kst AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-12-31'
+         |), segconv AS (
+         |  SELECT user_segment,
+         |    MAX(CASE WHEN grp = 'treatment' THEN rate END) AS treatment_rate,
+         |    MAX(CASE WHEN grp = 'control' THEN rate END) AS control_rate
+         |  FROM (
+         |    SELECT user_segment, ab_test_group AS grp,
+         |      CAST(COUNT(DISTINCT CASE WHEN event_name = 'click_bookmark'
+         |          THEN user_id END) AS DOUBLE) * 100.0 /
+         |        COUNT(DISTINCT user_id) AS rate
+         |    FROM w
+         |    GROUP BY 1, 2 HAVING COUNT(DISTINCT user_id) >= 2
+         |  ) GROUP BY 1
+         |), winners AS (
+         |  SELECT user_segment,
+         |    CASE WHEN abs(treatment_rate - control_rate) < 0.1 THEN 'tie'
+         |      WHEN treatment_rate > control_rate THEN 'Treatment'
+         |      ELSE 'Control' END AS winner
+         |  FROM segconv
+         |), sc AS (
+         |  SELECT
+         |    (SELECT COUNT(*) FROM winners) AS n_seg,
+         |    (SELECT COUNT(*) FROM winners WHERE winner = 'Treatment') AS t_wins,
+         |    (SELECT COUNT(DISTINCT user_id) FROM w) AS test_users,
+         |    (SELECT COUNT(DISTINCT user_id) FROM s WHERE user_id IS NOT NULL) AS total_users,
+         |    (SELECT COUNT(*) FROM segconv
+         |       WHERE abs(treatment_rate - control_rate) >= 0.1) AS signif,
+         |    (SELECT strftime(MIN(CAST(kst AS DATE)), '%Y-%m-%d') || ' ~ ' ||
+         |            strftime(MAX(CAST(kst AS DATE)), '%Y-%m-%d')
+         |     FROM s WHERE user_id IS NOT NULL
+         |       AND ab_test_group IN ('treatment', 'control')
+         |       AND CAST(kst AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-12-31') AS period,
+         |    (SELECT COALESCE(string_agg(user_segment, ', ' ORDER BY user_segment), 'none')
+         |     FROM winners WHERE winner = 'Treatment') AS t_segs,
+         |    (SELECT COALESCE(string_agg(user_segment, ', ' ORDER BY user_segment), 'none')
+         |     FROM winners WHERE winner = 'Control') AS c_segs
+         |)
+         |SELECT metric_name, metric_value, unit FROM (
+         |  SELECT 'treatment_win_rate' AS metric_name,
+         |    format('{:.1f}', CASE WHEN n_seg > 0
+         |      THEN CAST(t_wins AS DOUBLE) * 100.0 / n_seg ELSE 0.0 END) AS metric_value,
+         |    '%' AS unit FROM sc
+         |  UNION ALL SELECT 'total_test_users',
+         |    format('{:,}', test_users) || ' (' ||
+         |      format('{:.1f}', CASE WHEN total_users > 0
+         |        THEN CAST(test_users AS DOUBLE) * 100.0 / total_users
+         |        ELSE 0.0 END) || '%)',
+         |    'users' FROM sc
+         |  UNION ALL SELECT 'significant_segments', CAST(signif AS VARCHAR), 'count' FROM sc
+         |  UNION ALL SELECT 'test_period', COALESCE(period, 'no data'), '' FROM sc
+         |  UNION ALL SELECT 'treatment_winning_segments', t_segs, '' FROM sc
+         |  UNION ALL SELECT 'control_winning_segments', c_segs, '' FROM sc
+         |) ORDER BY metric_name""".stripMargin,
 
     "q_gold_ctr" ->
       s"""${Medallion.silverCte}, d AS (
