@@ -27,10 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] runs driver + all 32 executor threads in this one JVM.
-  // A/B'd under the bench gate's environment (r5, with blocking cache
-  // release between queries): 8g = 106.7s total, 48g = 111.3s — the big
-  // heap only deferred collection into long late-run mixed GCs (the r4
-  // regression); with per-query cache hygiene the small heap is
-  // equal-or-faster and keeps pauses short. Override via SPARK_DRIVER_MEM.
+  // A/B'd under the bench gate's environment twice: r5 on the query suite
+  // (8g = 106.7s vs 48g = 111.3s — the big heap only defers collection
+  // into long late-run mixed GCs), and r6 INCLUDING both medallion passes
+  // after the deserialized full-silver caches were removed/serialized
+  // (8g = 30.1s vs 16g = 31.3s over q_fact_build + q_dim_upsert +
+  // medallion_e2e + medallion_e2e_1m). The r5 medallion_e2e_1m blowup
+  // (177s) was those caches, not the heap: with serialized/no caching the
+  // small heap is equal-or-faster everywhere and keeps pauses short.
+  // Override via SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

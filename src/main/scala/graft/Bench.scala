@@ -26,9 +26,14 @@ object Bench {
     // localCheckpoint lineage-truncation notice from the intentional
     // checkpoint+unpersist hygiene between queries. Bench-only: the specs
     // and production mains keep full warnings.
+    // CacheManager's "already cached" WARN is likewise benign here: each
+    // query runs twice and the second run re-derives the same logical plan,
+    // so an in-query persist() re-registers a plan the first run cached —
+    // intended reuse (the per-query release below still drops it after).
     Seq("org.apache.spark.sql.execution.window.WindowExec",
         "org.apache.spark.rdd.MapPartitionsRDD",
-        "org.apache.spark.rdd.ParallelCollectionRDD").foreach { l =>
+        "org.apache.spark.rdd.ParallelCollectionRDD",
+        "org.apache.spark.sql.execution.CacheManager").foreach { l =>
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         l, org.apache.logging.log4j.Level.ERROR)
     }
@@ -83,6 +88,12 @@ object Bench {
         // mixed-GC bill (narrow maps inflated 4-14x).
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         spark.catalog.clearCache()
+        // r4's regression class, as a failing check instead of a slow tail:
+        // nothing may survive the release — a query that leaks storage
+        // taxes every later timing with its GC bill.
+        val leaked = spark.sparkContext.getPersistentRDDs
+        require(leaked.isEmpty,
+          s"$name leaked ${leaked.size} persistent RDDs past its release")
       }
 
     // End-to-end medallion bulk pass (EP2): raw JSON lines → bronze →

@@ -145,14 +145,21 @@ object Dims {
     * (the reference's monotonically_increasing_id is layout-dependent);
     * master cardinality is ~10^4, far under window-bottleneck scale.
     */
+  /** The recipe master's attribute projection keyed by natural key —
+    * shared by the bulk build ([[dimRecipeFromMaster]]) and the
+    * append-only dim's attribute refresh ([[refreshAttributes]]).
+    */
+  def recipeMasterAttrs(master: DataFrame): DataFrame =
+    master.select(
+      col("id").cast("string").as("recipe_id"),
+      col("name").as("recipe_name"),
+      col("dish_type"), col("ingredient_type"), col("method_type"),
+      col("situation_type"), col("difficulty"),
+      col("cooking_time").cast("int").as("cooking_time"))
+
   def dimRecipeFromMaster(master: DataFrame): DataFrame = {
     val w = Window.orderBy("recipe_id")
-    master.select(
-        col("id").cast("string").as("recipe_id"),
-        col("name").as("recipe_name"),
-        col("dish_type"), col("ingredient_type"), col("method_type"),
-        col("situation_type"), col("difficulty"),
-        col("cooking_time").cast("int").as("cooking_time"))
+    recipeMasterAttrs(master)
       .withColumn("recipe_sk", row_number().over(w).cast("long"))
       .select("recipe_sk", "recipe_id", "recipe_name", "dish_type",
         "ingredient_type", "method_type", "situation_type", "difficulty",
@@ -257,5 +264,41 @@ object Dims {
       .withColumn("user_sk", (row_number().over(w) + lit(maxSk)).cast("long"))
       .select("user_sk", "user_id", "anonymous_id", "user_segment",
         "cooking_style", "ab_test_group")
+  }
+
+  /** Attribute refresh for an append-only dim (create_dims.py:107-135
+    * semantics, applied in place): rows keep their SK and natural key;
+    * every non-key column takes the master's value when the natural key
+    * matches (SCD-1 — the bulk rebuild's "master wins" semantics, which
+    * also backfills the nulls that [[dimUpsert]]-appended rows carry),
+    * and keeps its existing value when the master lacks the key.
+    * Attribute columns only the master has are added (an incremental-only
+    * dim starts as bare (sk, naturals) and widens on first refresh).
+    *
+    * Pure transform: one row out per row in, SKs untouched, so fact
+    * partitions written by any earlier tick stay joinable. The join is
+    * master-side broadcast-eligible for catalog-sized masters; at a
+    * 10⁸-row dim this is a key-partitioned shuffle join — either way a
+    * scheduled out-of-band job, never per-tick.
+    */
+  def refreshAttributes(dim: DataFrame, attrs: DataFrame,
+                        keyCols: Seq[String]): DataFrame = {
+    // explicit match flag (not coalesce): a matched row whose master
+    // attribute is genuinely null must take the null, not keep stale data.
+    // Keys join NULL-SAFE — dim_user's anonymous_id can be null, and plain
+    // equality would silently exempt those rows from every refresh.
+    val a = attrs.select(attrs.columns.map(c => col(c).as(s"__m_$c")): _*)
+      .withColumn("__m_matched", lit(true))
+    val joined = dim.join(a,
+      keyCols.map(c => dim(c) <=> a(s"__m_$c")).reduce(_ && _), "left")
+    val fromMaster = attrs.columns.filterNot(keyCols.contains).toSet
+    val outCols = (dim.columns ++ attrs.columns.filterNot(dim.columns.contains))
+      .map {
+        case k if keyCols.contains(k) || !fromMaster(k) => col(k)
+        case c if dim.columns.contains(c) =>
+          when(col("__m_matched"), col(s"__m_$c")).otherwise(col(c)).as(c)
+        case c => col(s"__m_$c").as(c)
+      }
+    joined.select(outCols: _*)
   }
 }

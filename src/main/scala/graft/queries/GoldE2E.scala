@@ -40,6 +40,10 @@ object GoldE2E {
   private def gold(s: SparkSession, dir: String): Gold = {
     val wh = builtWh.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       val w = java.nio.file.Files.createTempDirectory("graft_gold_e2e").toString
+      // delete on JVM exit — a verify/test session otherwise leaks a full
+      // medallion warehouse on disk per (session, sfDir)
+      sys.addShutdownHook(
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(w)))
       Bulk.run(s, RefEventsAdapter.toRawJson(load(s, dir, "events")), w, "2024-01-01")
       w
     })

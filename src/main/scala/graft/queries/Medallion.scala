@@ -106,7 +106,12 @@ object Medallion {
     // so the J1 miss path (SK 0) is exercised non-vacuously.
     "q_fact_build" -> { (s, dir) =>
       import s.implicits._
-      val silver = RefEventsAdapter.toSilver(load(s, dir, "events")).cache()
+      // Serialized storage, not the default deserialized cache: the full
+      // adapter-silver parse is reused by 4 dim builds + the fact join, but
+      // deserialized rows of the whole table thrash the pinned 8g heap
+      // (BENCH_r05: this query 2.4→13.2 s on the cache level alone).
+      val silver = RefEventsAdapter.toSilver(load(s, dir, "events"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       // dim_user deliberately excludes user_id % 5 == 0 so the J1 miss
       // path (coalesce → SK 0) is exercised non-vacuously.
       val dimUser = Dims.dimUser(silver.where(
@@ -145,7 +150,9 @@ object Medallion {
       import s.implicits._
       // duplicate=false: dedup is already exercised by q_silver_parse;
       // this query is about the upsert composition (halves the parse cost)
-      val silver = RefEventsAdapter.toSilver(load(s, dir, "events"), duplicate = false).cache()
+      // serialized for the same heap reason as q_fact_build above
+      val silver = RefEventsAdapter.toSilver(load(s, dir, "events"), duplicate = false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val existing = Dims.dimUser(silver.where($"event_name" === "auth_success"))
       val appended = Dims.dimUserUpsert(silver, existing)
       existing.withColumn("is_new", lit(false))
@@ -190,6 +197,29 @@ object Medallion {
           $"day".cast("long").as("dy"), $"hour".cast("long").as("hr"),
           $"day_of_week", $"is_weekend")
         .orderBy($"time_dim_key")
+    },
+
+    // Append-only dim attribute refresh (Dims.refreshAttributes — the
+    // scheduled master-sync job behind MicroBatch.refreshDimRecipeFromMaster
+    // / refreshDimUserFromSilver): a mid-life dim where bulk-seeded rows
+    // (partkey % 3 == 0) carry attributes and tick-appended rows carry
+    // nulls, refreshed against a master export covering partkey % 2 == 0.
+    // Master wins where matched (including backfilling the nulls), existing
+    // survives where the master lacks the key, the master-only column
+    // widens the schema, and every SK is untouched.
+    "q_dim_refresh" -> { (s, dir) =>
+      import s.implicits._
+      val part = load(s, dir, "part")
+      val w = Window.orderBy("p_partkey")
+      val dim = part.select($"p_partkey",
+          when($"p_partkey" % 3 === 0, $"p_name").as("part_name"))
+        .withColumn("part_sk", row_number().over(w).cast("long"))
+        .select("part_sk", "p_partkey", "part_name")
+      val master = part.where($"p_partkey" % 2 === 0)
+        .select($"p_partkey", $"p_name".as("part_name"),
+          $"p_brand".as("part_brand"))
+      Dims.refreshAttributes(dim, master, Seq("p_partkey"))
+        .orderBy($"part_sk")
     }
   )
 
@@ -291,6 +321,22 @@ object Medallion {
         |  strftime(ts, '%a') AS day_of_week,
         |  strftime(ts, '%a') IN ('Sat','Sun') AS is_weekend
         |FROM spine
-        |ORDER BY time_dim_key""".stripMargin
+        |ORDER BY time_dim_key""".stripMargin,
+
+    "q_dim_refresh" ->
+      """WITH dim AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY p_partkey) AS BIGINT) AS part_sk,
+        |    p_partkey,
+        |    CASE WHEN p_partkey % 3 = 0 THEN p_name END AS part_name
+        |  FROM part
+        |), m AS (
+        |  SELECT p_partkey, p_name AS m_name, p_brand AS m_brand
+        |  FROM part WHERE p_partkey % 2 = 0
+        |)
+        |SELECT d.part_sk, d.p_partkey,
+        |  CASE WHEN m.p_partkey IS NOT NULL THEN m.m_name ELSE d.part_name END AS part_name,
+        |  m.m_brand AS part_brand
+        |FROM dim d LEFT JOIN m ON d.p_partkey = m.p_partkey
+        |ORDER BY part_sk""".stripMargin
   )
 }

@@ -865,7 +865,7 @@ object TextOps {
       """WITH d AS (
         |  SELECT source,
         |    substr(md5('graft-mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 3) AS h3,
-        |    CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 4 AS tier,
+        |    TRY_CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 4 AS tier,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
         |  FROM documents
         |), k AS (

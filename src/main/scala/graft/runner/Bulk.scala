@@ -38,7 +38,14 @@ object Bulk {
       Warehouse.read(spark, s"$warehouse/bronze_events$sfx"))
     Warehouse.writeSilverClustered(silver, s"$warehouse/user_events_silver$sfx")
 
-    val silverAll = Warehouse.read(spark, s"$warehouse/user_events_silver$sfx").cache()
+    // NOT cached: this is a parquet read-back, and the five consumers
+    // below each prune to a handful of columns (only the fact build reads
+    // wide). A deserialized cache of the full silver (~1M rows at the
+    // bulk-bench scale, 10⁸+ in production) pins row objects in the heap
+    // while 32 executor threads work — at the pinned 8g default that was
+    // a 1.9× GC-thrash regression (BENCH_r05 medallion_e2e_1m 92→177 s);
+    // pruned columnar re-scans are cheaper than the cache at every scale.
+    val silverAll = Warehouse.read(spark, s"$warehouse/user_events_silver$sfx")
     // dim_user on the scalable SK path: same (user_sk, user_id) mapping as
     // the window variant, but per-partition-offset assignment — a bulk
     // user dim is the one dim that can reach 10⁸ rows at 100 TB
@@ -66,11 +73,9 @@ object Bulk {
       Warehouse.read(spark, s"$warehouse/dim_page$sfx"))
     Warehouse.writeFactClustered(fact, s"$warehouse/fact_user_events$sfx")
 
-    val counts = (
+    (
       Warehouse.read(spark, s"$warehouse/bronze_events$sfx").count(),
       silverAll.count(),
       Warehouse.read(spark, s"$warehouse/fact_user_events$sfx").count())
-    silverAll.unpersist()
-    counts
   }
 }

@@ -141,6 +141,36 @@ object ReplayLoopMain {
   }
 }
 
+/** Scheduled dim-attribute re-sync: `runMain graft.runner.RefreshMain
+  * <warehouse> <recipeMasterPath|-> [--test-mode]` — the out-of-band
+  * master-sync job the append-only dim sinks defer to
+  * ([[MicroBatch.refreshDimRecipeFromMaster]] backfills tick-appended
+  * dim_recipe rows from the master export; pass `-` to skip it when no
+  * new master landed). Always re-syncs dim_user's SCD-1 attributes from
+  * the silver table ([[MicroBatch.refreshDimUserFromSilver]]) — the
+  * reference's daily create_dims rebuild semantics, without renumbering
+  * a single SK. Run it like the reference runs create_dims: on the daily
+  * schedule, never per-tick.
+  */
+object RefreshMain {
+  def main(args: Array[String]): Unit = {
+    val (a, testMode) = RunnerEnv.split(args)
+    require(a.length >= 1,
+      "usage: RefreshMain <warehouse> [recipeMasterPath|-] [--test-mode]")
+    val warehouse = RunnerEnv.warehouse(a(0), testMode)
+    val spark = RunnerSession.build("graft-refresh")
+    val mb = new MicroBatch(spark, stagingBase = "", warehouse,
+      RunnerEnv.tableSuffix(testMode))
+    a.lift(1).filter(_ != "-").foreach { master =>
+      mb.refreshDimRecipeFromMaster(master)
+      println(s"dim_recipe attributes refreshed from $master")
+    }
+    mb.refreshDimUserFromSilver()
+    println("dim_user SCD-1 attributes refreshed from silver")
+    spark.stop()
+  }
+}
+
 object ReplayMain {
   def main(args: Array[String]): Unit = {
     val (a, testMode) = RunnerEnv.split(args)

@@ -98,4 +98,27 @@ class DimsSilverToGoldSpec extends SparkSpec {
     assert(js.getAs[Long]("user_joined") == 3L)
     assert(js.getAs[Long]("event_joined") == 4L)
   }
+
+  test("refreshAttributes: null-safe keys, master wins incl. genuine nulls, schema widens") {
+    val dim = Seq(
+      (1L, "u1", Some("a1"), Some("stale")),
+      (2L, "u2", None, Some("frozen")), // null anonymous_id must still refresh
+      (3L, "u3", Some("a3"), None)      // appended row, attrs pending backfill
+    ).toDF("user_sk", "user_id", "anonymous_id", "seg")
+    val master = Seq(
+      ("u1", Some("a1"), None, Some("extra1")), // matched, genuinely-null seg WINS
+      ("u2", None, Some("fresh"), None),        // matched via null-safe key
+      ("u9", Some("a9"), Some("x"), None)       // master key absent from dim: ignored
+    ).toDF("user_id", "anonymous_id", "seg", "bonus")
+
+    val out = Dims.refreshAttributes(dim, master, Seq("user_id", "anonymous_id"))
+      .orderBy("user_sk")
+    assert(out.columns.toSeq == Seq("user_sk", "user_id", "anonymous_id", "seg", "bonus"))
+    val rows = out.collect()
+    assert(rows.length == 3) // one row out per row in; absent master keys add nothing
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // SKs untouched
+    assert(rows(0).isNullAt(3) && rows(0).getString(4) == "extra1") // master's null won
+    assert(rows(1).getString(3) == "fresh") // null-keyed row refreshed
+    assert(rows(2).isNullAt(3) && rows(2).isNullAt(4)) // unmatched keeps existing
+  }
 }

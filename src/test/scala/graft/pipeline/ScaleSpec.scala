@@ -74,6 +74,26 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"), "expected range partitioning:\n" + plan)
   }
 
+  test("Bulk.run is memory-bounded at ~1M events under the pinned default heap") {
+    // The r5 regression class as a failing check: a deserialized cache of
+    // the full silver (or any other O(corpus) driver/heap structure) in
+    // Bulk.run OOMs or thrashes this test long before it hurts the bench.
+    // ~1M rows from the sf0.001 events replicated; the test JVM runs the
+    // pinned default heap from build.sbt's javaOptions (Test/fork).
+    val wh = tmpDir("bulk1m")
+    val events0 = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val replicate = 1000
+    val events = events0
+      .crossJoin(spark.range(replicate).select($"id".as("rep")))
+      .withColumn("event_id", $"event_id" * replicate + $"rep")
+      .drop("rep")
+    val raw = RefEventsAdapter.toRawJson(events)
+    val (bronzeN, silverN, factN) = graft.runner.Bulk.run(spark, raw, wh, "2024-01-01")
+    assert(bronzeN >= silverN && silverN > 0 && factN == silverN,
+      s"bulk counts off: bronze=$bronzeN silver=$silverN fact=$factN")
+    assert(silverN > 500000L, s"replication produced only $silverN silver rows")
+  }
+
   test("compaction bounds file count and preserves data + partitioning") {
     val out = tmpDir("compact")
     val df = spark.range(2000)

@@ -74,6 +74,10 @@ class PlanSpec extends SparkSpec {
       "q_dim_upsert" -> "new-key SK assignment (per-batch cardinality)",
       // dim builds feeding the fact join (dim-candidate cardinality)
       "q_fact_build" -> "dim SK assignment over dim candidates",
+      // SK assignment when CONSTRUCTING the fixture dim whose attributes
+      // the refresh then backfills (dim cardinality; the refresh itself
+      // is a key-partitioned join with no window)
+      "q_dim_refresh" -> "fixture dim SK assignment over part keys",
       // W6: global MIN/MAX OVER () on a 168-row (hour x dow) aggregate
       "q_heatmap_norm" -> "global min/max over bounded aggregate",
       // same W6 normalization through the gold layer (168-row aggregate)

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.pipeline.{RefEventsAdapter, Warehouse}
+import graft.pipeline.{Dims, RefEventsAdapter, Warehouse}
 import graft.streaming.StreamingIngest
 
 /** End-to-end micro-batch runner semantics: interval→path binding,
@@ -291,6 +291,90 @@ class MicroBatchSpec extends SparkSpec {
     assert(newRow.select("recipe_name").head().isNullAt(0)) // unknown until master refresh
     // bulk-assigned rows keep their attributes
     assert(after.where($"recipe_id" =!= "999999" && $"recipe_name".isNull).count() == 0)
+  }
+
+  test("master refresh backfills appended dim_recipe attributes; SKs and facts unchanged") {
+    val staging = tmpDir("staging16")
+    val wh = tmpDir("wh16")
+    // bulk seed, then a tick appends recipe 999999 with null attributes
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    graft.runner.Bulk.run(spark, RefEventsAdapter.toRawJson(events), wh, "2024-01-01")
+    writeStagingFile(staging, 2025, 9, 15, 10, 0, Seq(
+      s"""{"event_id":"h1","event_name":"click_recipe","user_id":"u1","anonymous_id":"a-u1",""" +
+        s""""session_id":"s1","timestamp":"2025-09-15T10:01:00.000+09:00","context":"{}",""" +
+        s""""event_properties":"{\\"recipe_id\\":\\"999999\\"}"}"""))
+    val mb = new MicroBatch(spark, staging, wh)
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+
+    // materialize all "before" state: the swap replaces the files this
+    // frame references, so it must not be re-executed after the refresh
+    val before = spark.read.parquet(mb.dimRecipePath)
+    val nBefore = before.count()
+    val skBefore = before.select($"recipe_id", $"recipe_sk")
+      .as[(String, Long)].collect().toMap
+    assert(before.where($"recipe_id" === "999999")
+      .select("recipe_name").head().isNullAt(0))
+    val factBefore = spark.read.parquet(mb.factPath)
+      .select($"event_id".cast("string"), $"recipe_dim_key")
+      .as[(String, Long)].collect().toMap
+
+    // next master export now contains the incrementally-observed natural
+    // key → the scheduled refresh backfills its attributes in place
+    val masterV2 = s"$wh/recipe_master_v2.parquet"
+    Dims.writeRecipeMasterFixture(before.select($"recipe_id"), masterV2)
+    mb.refreshDimRecipeFromMaster(masterV2)
+
+    val after = spark.read.parquet(mb.dimRecipePath)
+    // appended row acquired the master's attributes (fixture attrs are a
+    // deterministic function of the id — create_dims.py:107-135 shape)
+    val row = after.where($"recipe_id" === "999999")
+    assert(row.select("recipe_name").head().getString(0) == "recipe_999999")
+    assert(row.select("dish_type").head().getString(0) != null)
+    // one row out per row in, every SK untouched
+    assert(after.count() == nBefore)
+    val skAfter = after.select($"recipe_id", $"recipe_sk")
+      .as[(String, Long)].collect().toMap
+    assert(skAfter == skBefore)
+    // bulk-assigned attributes unchanged (same deterministic master)
+    assert(after.where($"recipe_name".isNull).count() == 0)
+    // earlier fact partitions untouched and still joinable: the tick's
+    // fact row for h1 carries the SAME recipe_dim_key the refreshed dim
+    // serves for 999999
+    val factAfter = spark.read.parquet(mb.factPath)
+      .select($"event_id".cast("string"), $"recipe_dim_key")
+      .as[(String, Long)].collect().toMap
+    assert(factAfter == factBefore)
+    assert(factAfter("h1") == skAfter("999999"))
+  }
+
+  test("dim_user SCD-1 refresh: latest attributes win over first-appearance freeze") {
+    val staging = tmpDir("staging17")
+    val wh = tmpDir("wh17")
+    def rawSeg(id: String, ts: String, seg: String) =
+      s"""{"event_id":"$id","event_name":"view_recipe","user_id":"u1","anonymous_id":"a-u1",""" +
+        s""""session_id":"s1","timestamp":"$ts",""" +
+        s""""context":"{\\"user_segment\\":\\"$seg\\"}","event_properties":"{}"}"""
+    writeStagingFile(staging, 2025, 9, 15, 10, 0,
+      Seq(rawSeg("e1", "2025-09-15T10:01:00.000+09:00", "foodie")))
+    writeStagingFile(staging, 2025, 9, 15, 10, 15,
+      Seq(rawSeg("e2", "2025-09-15T10:16:00.000+09:00", "casual")))
+    val mb = new MicroBatch(spark, staging, wh)
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 15))
+
+    // append-only ticks froze the segment at first appearance (the
+    // documented incremental-vs-bulk SCD-1 divergence)
+    val frozen = spark.read.parquet(mb.dimUserPath)
+    assert(frozen.count() == 1)
+    assert(frozen.select("user_segment").head().getString(0) == "foodie")
+    val skBefore = frozen.select("user_sk").head().getLong(0)
+
+    // scheduled re-sync restores the reference's latest-per-user semantics
+    mb.refreshDimUserFromSilver()
+    val refreshed = spark.read.parquet(mb.dimUserPath)
+    assert(refreshed.count() == 1)
+    assert(refreshed.select("user_segment").head().getString(0) == "casual")
+    assert(refreshed.select("user_sk").head().getLong(0) == skBefore)
   }
 
   test("mid-tick crash heals: missing fact rows are rebuilt, sinks stay append-only") {
