@@ -119,9 +119,12 @@ object Bench {
         require(factN > 0)
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
-      // same hygiene between the 100k and 1M passes
+      // same hygiene between the 100k and 1M passes — including the gc:
+      // the 1M pass measured 2x slower when started on the old gen the
+      // 55-query suite left fragmented (r6: 15.9s clean vs 32.7s in-suite)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
+      System.gc()
       t
     }
     // The medallion runs dead last: start it from a clean block manager and
