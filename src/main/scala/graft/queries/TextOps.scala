@@ -209,6 +209,66 @@ object TextOps {
     expandGroupPairs(groups, repPairs).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** LSH-verified near-dup pairs between token-set group representatives:
+    * banding over minhash signatures → bucket join → exact-Jaccard verify
+    * at ≥ 0.9. The rep/token tables are broadcast (set-cardinality,
+    * narrow) so the candidate pair stream never shuffles for the verify
+    * lookups. Shared by q_minhash_lsh (expands to member pairs) and
+    * q_dup_clusters (connected components over the rep graph).
+    */
+  private def minhashRepPairs(groups: DataFrame): DataFrame = {
+    val reps = groups.select(col("rep").as("doc_id"), col("toks"))
+    val cands = lshCandidates(minhashSignaturesFromHashedToks(reps))
+    cands
+      .join(broadcast(reps.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))), "doc_a")
+      .join(broadcast(reps.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))), "doc_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("jac", col("inter") * 1.0 /
+        (size(col("toks_a")).cast("long") + size(col("toks_b")).cast("long") - col("inter")))
+      .where(col("jac") >= 0.9)
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"), col("jac"))
+  }
+
+  /** Distributed connected components over an undirected edge list
+    * (src, dst) by iterative min-label propagation: every node's label
+    * converges to the smallest node id reachable from it. Each round is
+    * one hash join (edges × labels) plus one groupBy, both keyed at edge
+    * cardinality — never corpus cardinality — and the number of rounds is
+    * the eccentricity of each component's minimum node (≈ near-dup chain
+    * length; 5 on the sf0.01 dup graph). Corpora with adversarially long
+    * similarity chains would swap in the O(log n)-round alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — same DataFrame shape, more
+    * rounds-vs-work bookkeeping. Labels are eagerly localCheckpoint'd per
+    * round (the iterated plan would otherwise double in depth each pass);
+    * convergence is detected by the label sum, which strictly decreases
+    * while any node is unconverged (labels only ever shrink toward the
+    * component minimum).
+    * Returns (id, component) for every node appearing in `edges`.
+    */
+  private[queries] def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    def labelSum(l: DataFrame): Long =
+      l.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
+    var prev = -1L
+    var cur = labelSum(labels)
+    while (cur != prev) {
+      prev = cur
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      labels = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      cur = labelSum(labels)
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting + quality/lang heuristics, per language.
@@ -318,17 +378,42 @@ object TextOps {
       val docs = load(s, dir, "documents")
       val t = docs.select($"doc_id", hashedToks($"text").as("toks"))
       val groups = tokenSetGroups(t)
-      val reps = groups.select($"rep".as("doc_id"), $"toks")
-      val cands = lshCandidates(minhashSignaturesFromHashedToks(reps))
-      val repPairs = cands
-        .join(broadcast(reps.select($"doc_id".as("doc_a"), $"toks".as("toks_a"))), "doc_a")
-        .join(broadcast(reps.select($"doc_id".as("doc_b"), $"toks".as("toks_b"))), "doc_b")
-        .withColumn("inter", size(array_intersect($"toks_a", $"toks_b")).cast("long"))
-        .withColumn("jac", $"inter" * 1.0 /
-          (size($"toks_a").cast("long") + size($"toks_b").cast("long") - $"inter"))
-        .where($"jac" >= 0.9)
-        .select($"doc_a".as("rep_a"), $"doc_b".as("rep_b"), $"jac")
-      expandGroupPairs(groups, repPairs).orderBy($"doc_a", $"doc_b")
+      expandGroupPairs(groups, minhashRepPairs(groups)).orderBy($"doc_a", $"doc_b")
+    },
+
+    // Duplicate-CLUSTER assignment — the step after pair detection that a
+    // production dedup actually ships. Near-dup pairs only say "A≈B"; the
+    // corpus decision is "keep ONE doc per transitive similarity cluster"
+    // (the sf0.01 dup graph has a 233-doc component carrying only ~9k of
+    // its ~27k clique pairs — clusters are chains, not cliques, so the
+    // pair list alone cannot pick survivors). Exact-dup groups collapse
+    // to reps, LSH banding + exact verify yields the rep pair graph (same
+    // contract as q_minhash_lsh), connected components labels every rep
+    // with the smallest reachable doc_id, and group members inherit their
+    // rep's label (reps are their group's min member, so the component
+    // min IS the cluster-wide min doc_id). Output: one row per document
+    // with its cluster representative, cluster size, and the keep flag a
+    // dedup pass would act on. Oracle: DuckDB recursive-CTE transitive
+    // closure over the exact ≥0.9-Jaccard pair set.
+    "q_dup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val docs = load(s, dir, "documents")
+      val t = docs.select($"doc_id", hashedToks($"text").as("toks"))
+      val groups = tokenSetGroups(t)
+      val comp = connectedComponents(
+        minhashRepPairs(groups).select($"rep_a".as("src"), $"rep_b".as("dst")))
+      // members inherit the rep's component; reps with no near-dup edge
+      // (and their exact-dup members) form their own cluster
+      val asg = groups
+        .join(comp, groups("rep") === comp("id"), "left")
+        .select(explode($"members").as("doc_id"),
+          coalesce($"component", $"rep").as("cluster_rep"))
+        .localCheckpoint(true) // read twice: size agg + final join
+      val sizes = asg.groupBy($"cluster_rep").agg(count(lit(1)).as("cluster_size"))
+      asg.join(sizes, "cluster_rep")
+        .select($"doc_id", $"cluster_rep", $"cluster_size",
+          ($"doc_id" === $"cluster_rep").as("kept"))
+        .orderBy($"doc_id")
     },
 
     // Deterministic train/val/test split by content-independent hash:
@@ -685,6 +770,40 @@ object TextOps {
         |)
         |SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Transitive closure over the exact ≥0.9-Jaccard pair set (the same
+    // pair contract the q_minhash_lsh oracle pins), min-label per node,
+    // then every document joins its cluster: reachability via a recursive
+    // CTE is quadratic per component — fine at oracle scale, which is the
+    // point of the Spark side's linear-per-round label propagation.
+    "q_dup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents
+        |), j AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+        |), e AS (
+        |  SELECT u, v FROM j UNION SELECT v, u FROM j
+        |), reach AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+        |), lbl AS (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_rep
+        |  FROM reach GROUP BY u
+        |), asg AS (
+        |  SELECT d.doc_id, COALESCE(l.cluster_rep, d.doc_id) AS cluster_rep
+        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+        |)
+        |SELECT a.doc_id, a.cluster_rep, CAST(c.n AS BIGINT) AS cluster_size,
+        |  (a.doc_id = a.cluster_rep) AS kept
+        |FROM asg a JOIN (
+        |  SELECT cluster_rep, COUNT(*) AS n FROM asg GROUP BY cluster_rep
+        |) c ON a.cluster_rep = c.cluster_rep
+        |ORDER BY a.doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id, sha256(text) AS fp_sha256, md5(text) AS fp_md5,

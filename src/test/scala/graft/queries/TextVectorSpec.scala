@@ -27,6 +27,45 @@ class TextVectorSpec extends SparkSpec {
       .where($"jac" < 0.9).count() == 0)
   }
 
+  test("dup-clusters: transitive chains collapse to one component, min-id rep") {
+    // A≈B (19/21 = 0.905) and B≈C (0.905) but A≉C (18/22 = 0.818): the
+    // pair list never contains (A, C), yet all three must share a cluster
+    // — exactly what pairs alone cannot express. D is a far-away singleton
+    // and E is an exact dup of A (same token set, group-collapsed).
+    def doc(id: Long, lo: Int, hi: Int) =
+      (id, (lo to hi).map(i => s"tok$i").mkString(" "))
+    val docs = Seq(doc(10, 1, 20), doc(11, 2, 21), doc(12, 3, 22),
+      doc(13, 500, 520), doc(14, 1, 20)).toDF("doc_id", "text")
+
+    val t = docs.select($"doc_id",
+      array_sort(transform(array_distinct(split($"text", " ")), x => xxhash64(x))).as("toks"))
+    val groups = t.groupBy($"toks")
+      .agg(min($"doc_id").as("rep"), collect_list($"doc_id").as("members"))
+    val pairs = TextOps.connectedComponents(
+      // rep near-dup edges for this corpus: 10-11 and 11-12 only
+      Seq((10L, 11L), (11L, 12L)).toDF("src", "dst"))
+    val comp = groups.join(pairs, groups("rep") === pairs("id"), "left")
+      .select(explode($"members").as("doc_id"),
+        coalesce($"component", $"rep").as("cluster_rep"))
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L, 14L -> 10L))
+  }
+
+  test("connected-components: multi-component graph, chain deeper than one round") {
+    // chain 1-2-3-4-5 (4 propagation rounds to reach 5), separate pair
+    // 100-101, and a cycle 200-201-202-200
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (100L, 101L), (200L, 201L), (201L, 202L), (202L, 200L)).toDF("src", "dst")
+    val got = TextOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      100L -> 100L, 101L -> 100L, 200L -> 200L, 201L -> 200L, 202L -> 200L)
+    assert(got == want)
+    // empty edge list converges immediately to an empty labeling
+    assert(TextOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).isEmpty)
+  }
+
   test("simhash: near-identical docs collide, fingerprints deterministic") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val sims = TextOps.simhashFingerprints(docs)
