@@ -264,6 +264,36 @@ object VectorOps {
         .orderBy($"id_a", $"id_b")
     },
 
+    // Semantic-dup CLUSTER assignment — the embedding-space twin of
+    // TextOps' q_dup_clusters: pair detection says "A≈B", the corpus
+    // decision is "keep ONE vector per transitive similarity cluster".
+    // Pairs here are the exact ≥0.3-cosine set (the same fenced all-pairs
+    // oracle baseline q_embed_neardup pins; the production candidate
+    // generator at scale is the LSH-bucketed plan of q_embed_neardup_lsh
+    // feeding the identical downstream), then connected components by
+    // min-label propagation labels every vector with the smallest
+    // reachable vec_id. Output: one row per vector with cluster rep,
+    // cluster size, and the keep flag a semantic-dedup pass acts on.
+    "q_embed_dup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val emb = corpusOf(s, dir)
+      val a = emb.select($"vec_id".as("id_a"), $"v".as("va"))
+      val b = emb.select($"vec_id".as("id_b"), $"v".as("vb"))
+      val pairs = a.join(b, $"id_a" < $"id_b")
+        .where(graft.functions.CosineSimilarity($"va", $"vb") >= 0.3)
+        .select($"id_a".as("src"), $"id_b".as("dst"))
+      val comp = TextOps.connectedComponents(pairs)
+      val asg = emb.select($"vec_id")
+        .join(comp, emb("vec_id") === comp("id"), "left")
+        .select($"vec_id", coalesce($"component", $"vec_id").as("cluster_rep"))
+        .localCheckpoint(true) // read twice: size agg + final join
+      val sizes = asg.groupBy($"cluster_rep").agg(count(lit(1)).as("cluster_size"))
+      asg.join(sizes, "cluster_rep")
+        .select($"vec_id", $"cluster_rep", $"cluster_size",
+          ($"vec_id" === $"cluster_rep").as("kept"))
+        .orderBy($"vec_id")
+    },
+
     // Per-label embedding stats: element means via per-row decimal snap
     // (order-free exact sums), plus vector norms — the "is my embedding
     // column sane" profiling pass.
@@ -332,6 +362,38 @@ object VectorOps {
         |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Transitive closure over the exact ≥0.3-cosine pair set (the same
+    // pair contract the q_embed_neardup oracle pins), min-label per node,
+    // then every vector joins its cluster — the recursive CTE is
+    // quadratic per component, which is fine at oracle scale and exactly
+    // why the Spark side propagates labels linearly per round.
+    "q_embed_dup_clusters" ->
+      """WITH RECURSIVE emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), j AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS w
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        |), e AS (
+        |  SELECT u, w FROM j UNION SELECT w, u FROM j
+        |), reach AS (
+        |  SELECT u, w FROM e
+        |  UNION
+        |  SELECT r.u, e2.w FROM reach r JOIN e e2 ON r.w = e2.u
+        |), lbl AS (
+        |  SELECT u AS vec_id, LEAST(u, MIN(w)) AS cluster_rep
+        |  FROM reach GROUP BY u
+        |), asg AS (
+        |  SELECT m.vec_id, COALESCE(l.cluster_rep, m.vec_id) AS cluster_rep
+        |  FROM emb m LEFT JOIN lbl l ON m.vec_id = l.vec_id
+        |)
+        |SELECT a.vec_id, a.cluster_rep, CAST(c.n AS BIGINT) AS cluster_size,
+        |  (a.vec_id = a.cluster_rep) AS kept
+        |FROM asg a JOIN (
+        |  SELECT cluster_rep, COUNT(*) AS n FROM asg GROUP BY cluster_rep
+        |) c ON a.cluster_rep = c.cluster_rep
+        |ORDER BY a.vec_id""".stripMargin,
 
     "q_embed_stats" ->
       """WITH emb AS (

@@ -107,6 +107,9 @@ class PlanSpec extends SparkSpec {
       // become the production composition — and the bucketed variant,
       // whose in-query recall contract computes that same baseline
       "q_embed_neardup", "q_embed_neardup_lsh",
+      // same fenced all-pairs baseline feeding connected components — the
+      // production candidate generator is the LSH-bucketed plan
+      "q_embed_dup_clusters",
       // J10: 1-row aggregate broadcast into the select
       "q_scalar_subquery",
       // same 1-row pattern: the funnel's raw_n denominator
