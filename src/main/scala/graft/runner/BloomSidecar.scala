@@ -1,0 +1,116 @@
+package graft.runner
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-partition bloom-filter sidecars for the micro-batch anti-joins.
+  *
+  * Every tick anti-joins its batch against the affected partitions'
+  * existing `event_id`s (silver dedup append, fact todo set —
+  * [[MicroBatch]]). That scan is column-pruned and O(affected day), fine
+  * at 96 ticks/day — but at a 100-TB clickstream a day partition is
+  * 10²–10³ GB, and re-reading even one column of it per tick dominates
+  * the tick. The sidecar turns that into O(batch) bloom probes plus an
+  * exact check of only the bloom-positive rows.
+  *
+  * Correctness contract (the part that has to be airtight):
+  *
+  *   - The bloom for a partition is written BEFORE the data append it
+  *     covers. A crash between the two leaves a bloom that
+  *     over-approximates the partition — harmless, because positives are
+  *     never trusted: they are exactly verified against the real data.
+  *     An under-approximating bloom (data present, bloom unaware) is the
+  *     only dangerous state, and the write order makes it unreachable.
+  *   - A partition is "covered" iff its sidecar directory holds at least
+  *     one bloom file. Blooms are only ever added to partitions that do
+  *     not exist yet (first append creates both) or are already covered —
+  *     never to a pre-sidecar partition, which would silently break the
+  *     coverage invariant. Uncovered partitions (e.g. seeded by a bulk
+  *     rebuild with seeding off) simply keep the exact anti-join path,
+  *     and coverage converges as ticks open new date partitions.
+  *   - One rolling bloom file per partition, fixed capacity: merges are
+  *     always size-compatible, and overflowing the capacity degrades the
+  *     false-positive rate — more exact-check work, never a wrong result.
+  *     The roll is write-new-then-delete-old, so a crash mid-roll leaves
+  *     two files whose union over-approximates — again harmless.
+  *
+  * The sidecar lives under `<sink>/_bloom/<partition-dirs>/`; the
+  * underscore prefix keeps it invisible to parquet data discovery.
+  */
+class BloomSidecar(spark: SparkSession, sinkPath: String,
+                   expectedItems: Long = 1L << 20, fpp: Double = 0.01) {
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+
+  private def fs(p: Path) = p.getFileSystem(hconf)
+
+  private def bloomDir(partDir: String) = new Path(s"$sinkPath/_bloom/$partDir")
+
+  private def dataDir(partDir: String) = new Path(s"$sinkPath/$partDir")
+
+  private def bloomFiles(partDir: String): Seq[Path] = {
+    val d = bloomDir(partDir)
+    val f = fs(d)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.filter(_.getPath.getName.endsWith(".bloom")).map(_.getPath)
+  }
+
+  /** Every listed partition carries at least one bloom file (and so, by
+    * the write-order invariant, its blooms cover every row in it).
+    */
+  def covered(partDirs: Seq[String]): Boolean =
+    partDirs.nonEmpty && partDirs.forall(d => bloomFiles(d).nonEmpty)
+
+  /** All bloom files of the listed partitions (a partition mid-roll
+    * contributes both files; their union over-approximates — safe).
+    */
+  def load(partDirs: Seq[String]): Seq[BloomFilter] =
+    partDirs.flatMap(bloomFiles).map { p =>
+      val in = fs(p).open(p)
+      try BloomFilter.readFrom(in) finally in.close()
+    }
+
+  /** Record a batch's keys, one bloom update per affected partition, in a
+    * single distributed pass: `keyed` is (part_dir, key) at batch
+    * cardinality, aggregated per partition into fixed-size blooms (at
+    * most `affected partitions` blooms ever reach the driver — the same
+    * bounded collect as the tick's affected-key set). Partitions that
+    * exist but are not covered are skipped (see class doc); callers that
+    * CAN vouch for full coverage (a bulk writer seeding a partition it is
+    * about to create) pass `trusted = true` to override the existence
+    * check. Call BEFORE appending the data the keys describe.
+    */
+  def addBatch(keyed: DataFrame, trusted: Boolean = false): Unit = {
+    val (n, p) = (expectedItems, fpp)
+    val blooms = keyed.rdd
+      .map(r => (r.getString(0), r.getString(1)))
+      .aggregateByKey(BloomFilter.create(n, p))(
+        (bf, k) => { bf.putString(k); bf },
+        (a, b) => a.mergeInPlace(b))
+      .collect()
+    blooms.foreach { case (partDir, bf) =>
+      val fresh = !fs(dataDir(partDir)).exists(dataDir(partDir))
+      if (trusted || fresh || bloomFiles(partDir).nonEmpty) roll(partDir, bf)
+    }
+  }
+
+  /** Merge `bf` with the partition's current bloom files into one new
+    * file, then drop the old ones. Write-new-then-delete-old: no state
+    * in the sequence ever under-approximates the partition.
+    */
+  private def roll(partDir: String, bf: BloomFilter): Unit = {
+    val old = bloomFiles(partDir)
+    old.foreach { p =>
+      val in = fs(p).open(p)
+      try bf.mergeInPlace(BloomFilter.readFrom(in)) finally in.close()
+    }
+    val d = bloomDir(partDir)
+    val f = fs(d)
+    f.mkdirs(d)
+    val next = new Path(d, s"${java.util.UUID.randomUUID()}.bloom")
+    val out = f.create(next, false)
+    try bf.writeTo(out) finally out.close()
+    old.foreach(p => fs(p).delete(p, false))
+  }
+}

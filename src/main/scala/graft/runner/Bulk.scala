@@ -28,7 +28,8 @@ object Bulk {
   def run(spark: SparkSession, rawLines: DataFrame, warehouse: String,
           ingestionDate: String,
           recipeMasterPath: Option[String] = None,
-          tableSuffix: String = ""): (Long, Long, Long) = {
+          tableSuffix: String = "",
+          seedBlooms: Boolean = false): (Long, Long, Long) = {
     val sfx = tableSuffix
     val bronze = StagingToBronze.enrich(rawLines, "bulk.jsonl", ingestionDate)
     Warehouse.writeBronze(bronze, s"$warehouse/bronze_events$sfx",
@@ -72,6 +73,24 @@ object Bulk {
       Warehouse.read(spark, s"$warehouse/dim_event$sfx"),
       Warehouse.read(spark, s"$warehouse/dim_page$sfx"))
     Warehouse.writeFactClustered(fact, s"$warehouse/fact_user_events$sfx")
+
+    // Optionally seed the micro-batch anti-join bloom sidecars (one
+    // aggregate pass per sink; `trusted` because a full rebuild, by
+    // definition, covers every row of the partitions it wrote). A bulk
+    // load that skips this stays correct — later ticks fall back to the
+    // exact anti-join on the uncovered partitions and new date partitions
+    // become covered as ticks create them ([[BloomSidecar]]).
+    if (seedBlooms) {
+      new BloomSidecar(spark, s"$warehouse/user_events_silver$sfx").addBatch(
+        silverAll.select(concat(lit("year="), col("year"), lit("/month="),
+          col("month"), lit("/day="), col("day")).as("part"), col("event_id")),
+        trusted = true)
+      new BloomSidecar(spark, s"$warehouse/fact_user_events$sfx").addBatch(
+        Warehouse.read(spark, s"$warehouse/fact_user_events$sfx")
+          .select(concat(lit("created_date="), col("created_date")).as("part"),
+            col("event_id")),
+        trusted = true)
+    }
 
     (
       Warehouse.read(spark, s"$warehouse/bronze_events$sfx").count(),

@@ -116,6 +116,51 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     readOrEmpty(path, appended.schema)
   }
 
+  private[runner] val silverBloom = new BloomSidecar(spark, silverPath)
+  private[runner] val factBloom = new BloomSidecar(spark, factPath)
+
+  /** Anti-join `batch` against the affected partitions' existing
+    * `event_id`s, via the sink's bloom sidecar when every affected
+    * partition is covered: bloom-NEGATIVE rows are definitely absent and
+    * skip the existing-data scan entirely; bloom-POSITIVE rows
+    * (redeliveries, crash replays, false positives — normally none to a
+    * handful) are exactly verified with one broadcast semi-join probe, so
+    * an over-approximating bloom can cost work but never correctness. On
+    * a clean tick the positive set is empty and AQE collapses the probe
+    * to an empty relation — the affected day partitions are NOT read at
+    * all, which is the 100-TB point (a day partition there is 10²–10³ GB;
+    * the plain path re-reads its event_id column every tick). Falls back
+    * to the plain anti-join when any affected partition predates the
+    * sidecar ([[BloomSidecar]] coverage contract).
+    */
+  private[runner] def antiJoinExisting(batch: DataFrame, existingIds: => DataFrame,
+                                       sidecar: BloomSidecar,
+                                       partDirs: Seq[String]): DataFrame =
+    if (sidecar.covered(partDirs)) {
+      val blooms = spark.sparkContext.broadcast(sidecar.load(partDirs))
+      val probe = udf((id: String) =>
+        id != null && blooms.value.exists(_.mightContainString(id)))
+      val pos = batch.where(probe(col("event_id")))
+      // the ids among the positives that are REALLY present — ⊆ pos, so
+      // bounded by redeliveries + false positives; checkpointed so the
+      // append and emptiness probes downstream don't re-run the scan
+      val present = existingIds
+        .join(broadcast(pos.select("event_id").distinct()), Seq("event_id"), "left_semi")
+        .distinct().localCheckpoint(true)
+      batch.where(!probe(col("event_id")))
+        .unionByName(pos.join(broadcast(present), Seq("event_id"), "left_anti"))
+    } else batch.join(existingIds, Seq("event_id"), "left_anti")
+
+  /** Hive-style partition directory names, matching what partitionBy
+    * writes (int partition values render unpadded).
+    */
+  private def silverPartDirs(keys: Seq[(Int, Int, Int)]): Seq[String] =
+    keys.map { case (y, m, d) => s"year=$y/month=$m/day=$d" }
+
+  private val silverPartCol =
+    concat(lit("year="), col("year"), lit("/month="), col("month"),
+      lit("/day="), col("day"))
+
   /** Static partition predicate over a batch's affected (year,month,day)
     * set — package-visible so the spec can assert a tick's silver scans
     * carry PartitionFilters built from exactly this predicate.
@@ -164,13 +209,18 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     // partition is ~10²-10³ GB and the old path rewrote it up to 96×/day.
     // (Small appended files are the documented Scale.compact concern.)
     val silverExisting = readOrEmpty(silverPath, silverNew.schema).where(affectedFilter)
-    val silverAppend = silverNew
-      .join(silverExisting.select("event_id"), Seq("event_id"), "left_anti")
+    val silverAppend = antiJoinExisting(silverNew,
+        silverExisting.select("event_id"), silverBloom, silverPartDirs(affectedKeys))
       // materialize before appending to the path the anti-join reads
       .localCheckpoint(true)
-    if (!silverAppend.isEmpty)
+    if (!silverAppend.isEmpty) {
+      // sidecar BEFORE data: a crash between the two leaves a bloom that
+      // over-approximates the partition — safe (see BloomSidecar)
+      silverBloom.addBatch(
+        silverAppend.select(silverPartCol.as("part"), col("event_id")))
       silverAppend.write.mode("append")
         .partitionBy("year", "month", "day").parquet(silverPath)
+    }
     // readOrEmpty: a batch whose rows ALL failed parsing appends nothing,
     // and on a fresh warehouse the sink won't exist yet
     val silverBatch = readOrEmpty(silverPath, silverNew.schema).where(affectedFilter)
@@ -207,15 +257,14 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
                else col("created_date").isin(factDates.toSeq: _*))
     val factIdSchema = StructType(Seq(
       StructField("event_id", StringType), StructField("created_date", DateType)))
-    // Scale watch item: this anti-join re-reads the affected day
-    // partitions' event_id column each tick — column-pruned and O(day),
-    // fine at 96 ticks/day. If a day partition reaches 10²-10³ GB, the
-    // right upgrade is a per-partition bloom filter (or parquet min/max
-    // stats on a sorted event_id) probed batch-side, which turns the scan
-    // into O(batch) lookups; the anti-join semantics stay identical.
-    val silverTodo = silverBatch
-      .join(factAffected(readOrEmpty(factPath, factIdSchema)).select("event_id"),
-        Seq("event_id"), "left_anti")
+    // Bloom-sidecar fast path: on a covered, clean tick this never reads
+    // the affected fact partitions at all — O(batch) bloom probes instead
+    // of an O(day) event_id column scan ([[antiJoinExisting]]); uncovered
+    // (pre-sidecar / bulk-seeded-without-blooms) partitions keep the
+    // plain anti-join, identical semantics either way.
+    val silverTodo = antiJoinExisting(silverBatch,
+        factAffected(readOrEmpty(factPath, factIdSchema)).select("event_id"),
+        factBloom, factDates.map(d => s"created_date=$d"))
       // per-tick cardinality; feeds 4 dim upserts + the fact build
       .localCheckpoint(true)
 
@@ -252,8 +301,12 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
       .withColumn("created_date", to_date(col("created_at")))
       // one execution of the dim joins for the emptiness probe + write
       .localCheckpoint(true)
-    if (!factNew.isEmpty)
+    if (!factNew.isEmpty) {
+      // sidecar BEFORE data — same over-approximation-only crash contract
+      factBloom.addBatch(factNew.select(
+        concat(lit("created_date="), col("created_date")).as("part"), col("event_id")))
       factNew.write.mode("append").partitionBy("created_date").parquet(factPath)
+    }
     factAffected(readOrEmpty(factPath, factNew.schema)).count()
   }
 

@@ -1,0 +1,152 @@
+package graft.runner
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The bloom-sidecar anti-join fast path: coverage contract, roll
+  * semantics, crash over-approximation safety, and end-to-end
+  * equivalence with the plain anti-join under redelivery.
+  */
+class BloomSidecarSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keyed(rows: (String, String)*) =
+    rows.toDF("part", "event_id")
+
+  test("fresh partition becomes covered; rolls merge; probes see every added key") {
+    val sink = tmpDir("bloom_sink")
+    val sc = new BloomSidecar(spark, sink)
+    val part = "created_date=2025-09-15"
+
+    assert(!sc.covered(Seq(part)))
+    sc.addBatch(keyed(part -> "e1", part -> "e2"))
+    assert(sc.covered(Seq(part)))
+
+    // second add ROLLS into one file: both batches' keys stay positive
+    sc.addBatch(keyed(part -> "e3"))
+    val files = new java.io.File(s"$sink/_bloom/$part")
+      .listFiles().filter(_.getName.endsWith(".bloom"))
+    assert(files.length == 1, "roll must leave exactly one bloom file")
+    val blooms = sc.load(Seq(part))
+    Seq("e1", "e2", "e3").foreach(k =>
+      assert(blooms.exists(_.mightContainString(k)), s"$k must probe positive"))
+    // a never-added key is (overwhelmingly) negative at fpp 0.01
+    assert(!blooms.exists(_.mightContainString("never-added")))
+
+    // empty partition list is never covered (vacuous coverage would make
+    // an empty affected set skip a scan it was never entitled to skip)
+    assert(!sc.covered(Seq.empty))
+  }
+
+  test("a pre-sidecar partition is never silently claimed: untrusted adds skip it") {
+    val sink = tmpDir("bloom_legacy")
+    val part = "created_date=2025-09-16"
+    // partition exists on disk before any bloom (bulk-seeded, no blooms)
+    Seq(("x1", 1)).toDF("event_id", "v")
+      .write.parquet(s"$sink/$part")
+
+    val sc = new BloomSidecar(spark, sink)
+    sc.addBatch(keyed(part -> "x2"))
+    // claiming coverage here would hide x1 from future anti-joins
+    assert(!sc.covered(Seq(part)))
+
+    // a bulk writer that rebuilt the whole partition CAN vouch for it
+    sc.addBatch(keyed(part -> "x1", part -> "x2"), trusted = true)
+    assert(sc.covered(Seq(part)))
+    // mixed affected sets are only covered when EVERY partition is
+    assert(!sc.covered(Seq(part, "created_date=2025-09-17")))
+  }
+
+  test("tick equivalence under redelivery: bloom path and plain path build identical sinks") {
+    def run(withBlooms: Boolean): (Seq[String], Seq[String]) = {
+      val staging = tmpDir("bloom_staging")
+      val wh = tmpDir("bloom_wh")
+      def stage(min: Int, ids: Seq[String]): Unit = {
+        val dir = java.nio.file.Paths.get(
+          f"$staging/year=2025/month=09/day=15/hour=10/minute=$min%02d")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(dir.resolve("events.json"), ids.map { id =>
+          s"""{"event_id":"$id","event_name":"view_recipe","user_id":"u-$id",""" +
+            s""""anonymous_id":"a-$id","session_id":"s1",""" +
+            s""""timestamp":"2025-09-15T10:01:00.000+09:00","context":"{}",""" +
+            s""""event_properties":"{}"}"""
+        }.mkString("\n").getBytes)
+      }
+      stage(0, Seq("r1", "r2"))
+      stage(15, Seq("r2", "r3")) // r2 redelivered across ticks
+      val mb = new MicroBatch(spark, staging, wh)
+      mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+      if (!withBlooms) { // degrade to the pre-sidecar layout between ticks
+        Seq(mb.silverPath, mb.factPath).foreach { p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"$p/_bloom"))
+        }
+      } else {
+        // tick 2's affected partition must take the covered fast path
+        assert(mb.silverBloom.covered(Seq("year=2025/month=9/day=15")))
+        assert(mb.factBloom.covered(Seq("created_date=2025-09-15")))
+      }
+      mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 15))
+      (spark.read.parquet(mb.silverPath).select("event_id")
+        .as[String].collect().sorted.toSeq,
+       spark.read.parquet(mb.factPath).select("event_id")
+        .as[String].collect().sorted.toSeq)
+    }
+    val (silverFast, factFast) = run(withBlooms = true)
+    val (silverPlain, factPlain) = run(withBlooms = false)
+    assert(silverFast == Seq("r1", "r2", "r3"), "redelivered r2 must dedup")
+    assert(silverFast == silverPlain && factFast == factPlain,
+      "bloom fast path must be observationally identical to the plain anti-join")
+  }
+
+  test("crash between sidecar write and data append only over-approximates: rows still land") {
+    val staging = tmpDir("bloom_crash_staging")
+    val wh = tmpDir("bloom_crash_wh")
+    val dir = java.nio.file.Paths.get(
+      "%s/year=2025/month=09/day=15/hour=10/minute=00".format(staging))
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("events.json"),
+      (s"""{"event_id":"c1","event_name":"view_recipe","user_id":"u1",""" +
+        s""""anonymous_id":"a1","session_id":"s1",""" +
+        s""""timestamp":"2025-09-15T10:01:00.000+09:00","context":"{}",""" +
+        s""""event_properties":"{}"}""").getBytes)
+
+    val mb = new MicroBatch(spark, staging, wh)
+    // simulate the crash state the write order can produce: blooms claim
+    // c1 everywhere, but no data was ever appended
+    mb.silverBloom.addBatch(keyed("year=2025/month=9/day=15" -> "c1"))
+    mb.factBloom.addBatch(keyed("created_date=2025-09-15" -> "c1"))
+
+    val (_, silverN, factN) = mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+    // bloom-positive but absent → exact verify keeps the row: healed, once
+    assert(silverN == 1 && factN == 1)
+    assert(spark.read.parquet(mb.factPath)
+      .where(col("event_id") === "c1").count() == 1)
+  }
+
+  test("bulk seeding covers the bulk-written partitions; the next tick takes the fast path") {
+    val staging = tmpDir("bloom_bulk_staging")
+    val wh = tmpDir("bloom_bulk_wh")
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events").limit(50)
+    val raw = graft.pipeline.RefEventsAdapter.toRawJson(events)
+    val (_, silverN, _) = Bulk.run(spark, raw, wh, "2024-01-01", seedBlooms = true)
+    assert(silverN > 0)
+
+    val mb = new MicroBatch(spark, staging, wh)
+    val silverParts = spark.read.parquet(mb.silverPath)
+      .select("year", "month", "day").distinct().collect()
+      .map(r => s"year=${r.getInt(0)}/month=${r.getInt(1)}/day=${r.getInt(2)}").toSeq
+    assert(mb.silverBloom.covered(silverParts))
+    val factParts = spark.read.parquet(mb.factPath)
+      .select("created_date").distinct().collect()
+      .map(r => s"created_date=${r.getDate(0)}").toSeq
+    assert(mb.factBloom.covered(factParts))
+    // every bulk-written event probes positive in its silver partition
+    val blooms = mb.silverBloom.load(silverParts)
+    spark.read.parquet(mb.silverPath).select("event_id").as[String].collect()
+      .foreach(id => assert(blooms.exists(_.mightContainString(id))))
+  }
+}

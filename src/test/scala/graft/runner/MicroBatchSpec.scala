@@ -131,7 +131,11 @@ class MicroBatchSpec extends SparkSpec {
       val root = Paths.get(dir)
       val walk = java.nio.file.Files.walk(root)
       try walk.iterator().asScala
-        .filter(p => java.nio.file.Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_"))
+        // skip metadata subtrees (any underscore-prefixed path component:
+        // _SUCCESS, the _bloom sidecar — whose files ROLL by design, the
+        // append-only contract covers data files only)
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !root.relativize(p).iterator().asScala.exists(_.toString.startsWith("_")))
         .map { p =>
           root.relativize(p).toString -> java.util.Arrays.hashCode(Files.readAllBytes(p)).toLong
         }.toMap
