@@ -94,6 +94,13 @@ object Bench {
         val leaked = spark.sparkContext.getPersistentRDDs
         require(leaked.isEmpty,
           s"$name leaked ${leaked.size} persistent RDDs past its release")
+        // Compact between queries, same hygiene as the suite→medallion
+        // boundary: the iterative queries (connected components) release
+        // thousands of small checkpoint blocks whose old-gen fragmentation
+        // otherwise taxes whatever runs after them (r6: q_exact_dedup
+        // 0.3s → 4.0s with zero code changes of its own). The gc runs
+        // outside the timed region — it costs wall clock, not timings.
+        System.gc()
       }
 
     // End-to-end medallion bulk pass (EP2): raw JSON lines → bronze →
