@@ -106,7 +106,15 @@ object StreamingIngest {
     val bronze = spark.readStream.schema(bronzeSchema).parquet(bronzePath)
     val silver = BronzeToSilver.parse(bronze)
       .withWatermark("kst_timestamp", watermark)
-      .dropDuplicates("event_id")
+      // WithinWatermark, not plain dropDuplicates: with a dedup key that
+      // excludes the event-time column, plain streaming dropDuplicates
+      // never evicts its state store — unbounded growth on a real stream.
+      // This variant evicts each key once the watermark passes its first
+      // sighting, bounding state to one watermark window of keys, and
+      // still dedups every redelivery inside that window (the reference's
+      // redelivery regime: retries arrive seconds-to-minutes apart, far
+      // inside the 1-hour default).
+      .dropDuplicatesWithinWatermark("event_id")
     val q = silver.writeStream
       .format("parquet")
       .option("path", silverPath)
