@@ -294,6 +294,34 @@ object Analytics {
         .orderBy($"event_type")
     },
 
+    // The t-digest swap q_percentiles documents: exact interpolated
+    // percentiles need each group's full sorted value set in one task;
+    // approx_percentile is a mergeable constant-memory quantile sketch —
+    // the plan that survives a group outgrowing an executor. Output pins
+    // the exact p50/p99 (bit-stable cross-engine, as q_percentiles
+    // proves) plus booleans asserting each engine's OWN sketch lands
+    // inside a ±0.05-rank band around the true quantile — the booleans,
+    // not the sketches, are the cross-engine contract (q_approx_dau
+    // pattern; Spark and DuckDB sketch with different algorithms).
+    "q_approx_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(value, array(0.45, 0.5, 0.55, 0.94, 0.99))").as("ex"),
+          expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+          expr("approx_percentile(value, 0.99, 10000)").as("a99"),
+          max($"value").as("v_max"))
+        .select($"event_type", $"n",
+          element_at($"ex", 2).as("p50"),
+          element_at($"ex", 5).as("p99"),
+          ($"a50" >= element_at($"ex", 1) && $"a50" <= element_at($"ex", 3))
+            .as("a50_in_band"),
+          ($"a99" >= element_at($"ex", 4) && $"a99" <= $"v_max").as("a99_in_band"))
+        .orderBy($"event_type")
+    },
+
     // A5 at 100 TB: exact COUNT(DISTINCT) needs the full value set per
     // group; HyperLogLog needs constant memory. Output pins the exact
     // count and asserts the sketch lands within 5% — each engine checks
@@ -505,6 +533,17 @@ object Analytics {
         |  quantile_cont(value, 0.9) AS p90,
         |  quantile_cont(value, 0.99) AS p99,
         |  MIN(value) AS v_min, MAX(value) AS v_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_approx_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.99) AS p99,
+        |  approx_quantile(value, 0.5)
+        |    BETWEEN quantile_cont(value, 0.45) AND quantile_cont(value, 0.55)
+        |    AS a50_in_band,
+        |  approx_quantile(value, 0.99)
+        |    BETWEEN quantile_cont(value, 0.94) AND MAX(value) AS a99_in_band
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_approx_dau" ->
