@@ -318,6 +318,40 @@ object TextOps {
         .orderBy($"source")
     },
 
+    // LINE-level dedup (the C4/RefinedWeb pass that runs INSIDE
+    // documents, not across them): chunk each doc's token stream into
+    // 10-token lines (this corpus has no sentence delimiters; on real
+    // text the splitter is '\n' and the rest of the plan is unchanged),
+    // keep only each distinct line's globally-first occurrence — ranked
+    // by (doc_id, line_no) with a window partitioned BY LINE CONTENT, so
+    // the shuffle keys at line cardinality and hot duplicated lines
+    // rank within their own partition — and reassemble the surviving
+    // lines in document order. Output per doc: line counts before/after
+    // and the rewritten text.
+    "q_line_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = load(s, dir, "documents")
+      val lines = docs
+        .select($"doc_id", split($"text", " ").as("t"))
+        .select($"doc_id",
+          explode(sequence(lit(0), (ceil(size($"t") / 10.0) - 1).cast("int")))
+            .as("line_no"),
+          $"t")
+        .select($"doc_id", $"line_no",
+          array_join(slice($"t", $"line_no" * 10 + 1, lit(10)), " ").as("line"))
+      val ranked = lines.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"line").orderBy($"doc_id", $"line_no")))
+      ranked.groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(when($"rn" === 1, struct($"line_no", $"line")))),
+            x => x.getField("line"))).as("new_text"))
+        .orderBy($"doc_id")
+    },
+
     // Near-dup pairs by exact unigram-set Jaccard within capped
     // (lang, source) buckets (see neardupJaccard).
     "q_neardup_jaccard" -> { (s, dir) =>
@@ -740,6 +774,32 @@ object TextOps {
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
         |FROM dd GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same chunking, DuckDB list slicing; first-occurrence rank via the
+    // identical (doc_id, line_no) window; string_agg reassembly in line
+    // order. COALESCE '' matches Spark's concat_ws over an empty set for
+    // a doc whose every line was seen earlier.
+    "q_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), nums AS (
+        |  SELECT doc_id, t, unnest(generate_series(0,
+        |    CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS line_no
+        |  FROM toks
+        |), lines AS (
+        |  SELECT doc_id, line_no,
+        |    array_to_string(t[(line_no*10+1):((line_no+1)*10)], ' ') AS line
+        |  FROM nums
+        |), ranked AS (
+        |  SELECT doc_id, line_no, line,
+        |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+        |  FROM lines
+        |)
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' '
+        |    ORDER BY line_no), '') AS new_text
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_neardup_jaccard" ->
       """WITH t AS (
