@@ -137,17 +137,19 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
                                        sidecar: BloomSidecar,
                                        partDirs: Seq[String]): DataFrame =
     if (sidecar.covered(partDirs)) {
-      val blooms = spark.sparkContext.broadcast(sidecar.load(partDirs))
-      val probe = udf((id: String) =>
-        id != null && blooms.value.exists(_.mightContainString(id)))
-      val pos = batch.where(probe(col("event_id")))
+      // native codegen'd probe (graft.functions.BloomMightContain): the
+      // serialized blooms ride the expression tree to the tasks, keeping
+      // the batch scan inside whole-stage codegen — no UDF boundary
+      val probe = graft.functions.BloomMightContain.any(
+        col("event_id"), sidecar.load(partDirs))
+      val pos = batch.where(probe)
       // the ids among the positives that are REALLY present — ⊆ pos, so
       // bounded by redeliveries + false positives; checkpointed so the
       // append and emptiness probes downstream don't re-run the scan
       val present = existingIds
         .join(broadcast(pos.select("event_id").distinct()), Seq("event_id"), "left_semi")
         .distinct().localCheckpoint(true)
-      batch.where(!probe(col("event_id")))
+      batch.where(!probe)
         .unionByName(pos.join(broadcast(present), Seq("event_id"), "left_anti"))
     } else batch.join(existingIds, Seq("event_id"), "left_anti")
 

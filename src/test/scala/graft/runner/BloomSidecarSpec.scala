@@ -41,6 +41,36 @@ class BloomSidecarSpec extends SparkSpec {
     assert(!sc.covered(Seq.empty))
   }
 
+  test("native probe expression: parity with the sketch API, codegen placement, null keys") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(1000, 0.01)
+    Seq("k1", "k2", "κ-utf8-키").foreach(bf.putString)
+
+    val df = Seq(Some("k1"), Some("k2"), Some("κ-utf8-키"), Some("absent"), None)
+      .toDF("k")
+      .select($"k", graft.functions.BloomMightContain($"k", bf).as("hit"))
+    // parity incl. non-ASCII (putString hashes UTF-8 bytes; the
+    // expression probes the UTF8String bytes directly) + null → false
+    assert(df.collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+      Seq(("k1", true), ("k2", true), ("κ-utf8-키", true),
+        ("absent", false), (null, false)))
+    // codegen placement needs a non-local input (a local Seq is folded by
+    // ConvertToLocalRelation before planning): probe a parquet-backed
+    // string column and require the `*(n)` whole-stage prefix on the
+    // projecting operator
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val probed = docs.select($"source",
+      graft.functions.BloomMightContain($"source", bf).as("hit"))
+    assert("""\*\(\d+\) Project \[source#""".r
+      .findFirstIn(probed.queryExecution.executedPlan.toString).isDefined,
+      "probe projection must stay inside whole-stage codegen")
+    // and the generated path agrees with the sketch API on real data
+    val srcs = docs.select($"source").distinct().as[String].collect()
+    val hits = probed.where($"hit").select($"source").distinct()
+      .as[String].collect().toSet
+    assert(hits == srcs.filter(bf.mightContainString).toSet)
+  }
+
   test("a pre-sidecar partition is never silently claimed: untrusted adds skip it") {
     val sink = tmpDir("bloom_legacy")
     val part = "created_date=2025-09-16"
