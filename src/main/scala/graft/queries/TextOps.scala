@@ -257,24 +257,27 @@ object TextOps {
       l.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
     var prev = -1L
     var cur = labelSum(labels)
+    // Node count is fixed across rounds; when the dup graph is small
+    // enough (≪ executor memory — 1M (long,long) rows ≈ 16 MB), hint the
+    // label side broadcast so every round's join is map-side over the
+    // checkpointed edges: one shuffle per round (the groupBy) instead of
+    // three. Larger graphs keep the shuffled join — same plan shape, no
+    // driver risk.
+    val broadcastLabels = labels.count() <= 1000000
     while (cur != prev) {
       prev = cur
-      val msgs = sym.join(labels, sym("src") === labels("id"))
+      // One fused join per round: the static propagation edges plus the
+      // current label graph's pointer-jump edges (component(id) → id, so
+      // id inherits component(component(id)) — the doubling shortcut that
+      // makes the round count O(log chain) instead of O(chain); sf0.1's
+      // ~40-deep chains converge in 6 rounds instead of ~45). Messages
+      // along both edge kinds resolve through the SAME labels join.
+      val edges2 = sym.unionByName(
+        labels.select(col("component").as("src"), col("id").as("dst")))
+      val lab = if (broadcastLabels) broadcast(labels) else labels
+      val msgs = edges2.join(lab, edges2("src") === lab("id"))
         .select(col("dst").as("id"), col("component"))
-      // Pointer-jumping shortcut alongside the neighbor propagation:
-      // label(id) := label(label(id)). Labels are always node ids (the
-      // min over a reachable prefix), so the self-join key always
-      // resolves, and each round halves every node's hop distance to its
-      // component minimum while the neighbor messages extend the
-      // frontier — convergence in O(log chain) rounds instead of
-      // O(chain). sf0.1's dup graph (chains ~40 deep) runs 6 rounds
-      // instead of ~45, and each round is still one edge-cardinality
-      // join + one label-cardinality self-join + one groupBy.
-      val jump = labels.select(col("id"), col("component").as("mid"))
-        .join(labels.select(col("id").as("mid2"), col("component").as("jcomp")),
-          col("mid") === col("mid2"))
-        .select(col("id"), col("jcomp").as("component"))
-      labels = labels.unionByName(msgs).unionByName(jump)
+      labels = labels.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .localCheckpoint(true)
       cur = labelSum(labels)
