@@ -321,6 +321,30 @@ object TextOps {
         .orderBy($"source")
     },
 
+    // Deterministic corpus shuffle + sharding — the last step before
+    // training: give every document a content-independent pseudorandom
+    // position that is reproducible across runs, engines, and cluster
+    // layouts (no rand(), no RDD zip order). Order key = md5(doc_id);
+    // shard = hex range of the key (the q_split_hash threshold pattern);
+    // position = rank within shard. At 100 TB the production write is
+    // repartition(shard) + sortWithinPartitions(key) — embarrassingly
+    // parallel; the per-shard row_number here is its verifiable twin
+    // (shard count scales with the cluster, each window partition is one
+    // shard, never a global sort).
+    "q_corpus_shard" -> { (s, dir) =>
+      import s.implicits._
+      val keyed = load(s, dir, "documents")
+        .select($"doc_id", md5($"doc_id".cast("string")).as("key"))
+        .withColumn("shard",
+          when($"key" < "4", 0).when($"key" < "8", 1)
+            .when($"key" < "c", 2).otherwise(3))
+      keyed.withColumn("pos",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"shard").orderBy($"key", $"doc_id")).cast("long"))
+        .select($"doc_id", $"shard", $"pos")
+        .orderBy($"doc_id")
+    },
+
     // LINE-level dedup (the C4/RefinedWeb pass that runs INSIDE
     // documents, not across them): chunk each doc's token stream into
     // 10-token lines (this corpus has no sentence delimiters; on real
@@ -777,6 +801,19 @@ object TextOps {
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
         |FROM dd GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_corpus_shard" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key FROM documents
+        |), s AS (
+        |  SELECT doc_id, key,
+        |    CASE WHEN key < '4' THEN 0 WHEN key < '8' THEN 1
+        |         WHEN key < 'c' THEN 2 ELSE 3 END AS shard
+        |  FROM k
+        |)
+        |SELECT doc_id, shard,
+        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // Same chunking, DuckDB list slicing; first-occurrence rank via the
     // identical (doc_id, line_no) window; string_agg reassembly in line

@@ -145,10 +145,19 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
       val pos = batch.where(probe)
       // the ids among the positives that are REALLY present — ⊆ pos, so
       // bounded by redeliveries + false positives; checkpointed so the
-      // append and emptiness probes downstream don't re-run the scan
-      val present = existingIds
-        .join(broadcast(pos.select("event_id").distinct()), Seq("event_id"), "left_semi")
-        .distinct().localCheckpoint(true)
+      // append and emptiness probes downstream don't re-run the scan.
+      // The empty-positives short-circuit is explicit (one narrow probe
+      // pass over the batch), not left to AQE's empty-broadcast collapse:
+      // on a clean tick the existing partitions are DETERMINISTICALLY
+      // never read — BloomSidecarSpec pins that with an instrumented scan.
+      val present =
+        if (pos.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("event_id", StringType))))
+        else existingIds
+          .join(broadcast(pos.select("event_id").distinct()), Seq("event_id"), "left_semi")
+          .distinct().localCheckpoint(true)
       batch.where(!probe)
         .unionByName(pos.join(broadcast(present), Seq("event_id"), "left_anti"))
     } else batch.join(existingIds, Seq("event_id"), "left_anti")

@@ -132,6 +132,36 @@ class BloomSidecarSpec extends SparkSpec {
       "bloom fast path must be observationally identical to the plain anti-join")
   }
 
+  test("a clean covered tick NEVER reads the existing partitions (instrumented scan)") {
+    val sink = tmpDir("bloom_noscan")
+    val part = "created_date=2025-09-15"
+    val sc = new BloomSidecar(spark, sink)
+    sc.addBatch(keyed(part -> "old1", part -> "old2"))
+    Seq("old1", "old2").toDF("event_id").write.parquet(s"$sink/$part")
+
+    // every read of the existing ids trips the accumulator
+    val reads = spark.sparkContext.longAccumulator("existing_reads")
+    val touch = udf((s: String) => { reads.add(1); true })
+    val existing = spark.read.parquet(s"$sink/$part").where(touch($"event_id"))
+      .select("event_id")
+
+    val mb = new MicroBatch(spark, tmpDir("bloom_noscan_staging"), tmpDir("bloom_noscan_wh"))
+    // all-new batch: bloom-negative across the board → the O(day) scan
+    // must not run AT ALL (the 100-TB claim, pinned deterministically —
+    // the short-circuit is explicit, not an AQE artifact)
+    val clean = Seq("new1", "new2", "new3").toDF("event_id")
+    val kept = mb.antiJoinExisting(clean, existing, sc, Seq(part))
+    assert(kept.collect().map(_.getString(0)).sorted.toSeq == Seq("new1", "new2", "new3"))
+    assert(reads.value == 0, "clean tick must not read existing partitions")
+
+    // a redelivered id flips to the verify path: the scan runs, bounded,
+    // and exactly the duplicate is dropped
+    val redelivered = Seq("old2", "new4").toDF("event_id")
+    val kept2 = mb.antiJoinExisting(redelivered, existing, sc, Seq(part))
+    assert(kept2.collect().map(_.getString(0)).toSeq == Seq("new4"))
+    assert(reads.value > 0)
+  }
+
   test("crash between sidecar write and data append only over-approximates: rows still land") {
     val staging = tmpDir("bloom_crash_staging")
     val wh = tmpDir("bloom_crash_wh")
