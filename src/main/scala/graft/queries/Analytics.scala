@@ -294,6 +294,50 @@ object Analytics {
         .orderBy($"event_type")
     },
 
+    // True RANGE-frame rolling window (W-surface not otherwise
+    // exercised): 7-day rolling event volume per segment. The frame is
+    // RANGE over epoch-day — a ROWS frame would silently count the last
+    // 7 ROWS and break on date gaps. Runs over the aggregated daily
+    // frame (segments × dates cardinality), never raw events.
+    "q_rolling_7d" -> { (s, dir) =>
+      import s.implicits._
+      val daily = enriched(s, dir)
+        .groupBy($"user_segment", $"d")
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("epoch_day", datediff($"d", lit("1970-01-01")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_segment").orderBy($"epoch_day")
+        .rangeBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+      daily.withColumn("n_7d", sum($"n_events").over(w))
+        .select($"user_segment", $"d".cast("string").as("date_s"),
+          $"n_events", $"n_7d")
+        .orderBy($"user_segment", $"date_s")
+    },
+
+    // Cohort retention matrix — the growth-analytics shape the 21
+    // dashboards stop short of: users cohorted by first-seen date, then
+    // day-offset activity vs cohort size. first-seen is one user-keyed
+    // shuffle; the activity join keys on user_id (never broadcastable at
+    // a 10⁸-user deployment — documented shuffle join); everything after
+    // is bounded at cohorts × 8 offsets.
+    "q_retention" -> { (s, dir) =>
+      import s.implicits._
+      val e = enriched(s, dir)
+      val firstSeen = e.groupBy($"user_id").agg(min($"d").as("cohort_d"))
+      val act = e.join(firstSeen, "user_id")
+        .withColumn("day_offset", datediff($"d", $"cohort_d").cast("long"))
+        .where($"day_offset" <= 7)
+      val cohortSize = firstSeen.groupBy($"cohort_d")
+        .agg(countDistinct($"user_id").as("cohort_n"))
+      act.groupBy($"cohort_d", $"day_offset")
+        .agg(countDistinct($"user_id").as("active_n"))
+        .join(cohortSize, "cohort_d")
+        .select($"cohort_d".cast("string").as("cohort_date"), $"day_offset",
+          $"active_n", $"cohort_n",
+          ($"active_n" * 1.0 / $"cohort_n").as("retention"))
+        .orderBy($"cohort_date", $"day_offset")
+    },
+
     // The t-digest swap q_percentiles documents: exact interpolated
     // percentiles need each group's full sorted value set in one task;
     // approx_percentile is a mergeable constant-memory quantile sketch —
@@ -534,6 +578,38 @@ object Analytics {
         |  quantile_cont(value, 0.99) AS p99,
         |  MIN(value) AS v_min, MAX(value) AS v_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_rolling_7d" ->
+      s"""$enrichedCte, daily AS (
+         |  SELECT user_segment, d, COUNT(*) AS n_events
+         |  FROM e GROUP BY user_segment, d
+         |)
+         |SELECT user_segment, strftime(d, '%Y-%m-%d') AS date_s, n_events,
+         |  CAST(SUM(n_events) OVER (PARTITION BY user_segment
+         |    ORDER BY CAST(d - DATE '1970-01-01' AS BIGINT)
+         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+         |FROM daily ORDER BY user_segment, date_s""".stripMargin,
+
+    "q_retention" ->
+      s"""$enrichedCte, fs AS (
+         |  SELECT user_id, MIN(d) AS cohort_d FROM e GROUP BY user_id
+         |), act AS (
+         |  SELECT e.user_id, fs.cohort_d,
+         |    CAST(e.d - fs.cohort_d AS BIGINT) AS day_offset
+         |  FROM e JOIN fs ON e.user_id = fs.user_id
+         |  WHERE e.d - fs.cohort_d <= 7
+         |), cs AS (
+         |  SELECT cohort_d, COUNT(DISTINCT user_id) AS cohort_n
+         |  FROM fs GROUP BY cohort_d
+         |), ra AS (
+         |  SELECT cohort_d, day_offset, COUNT(DISTINCT user_id) AS active_n
+         |  FROM act GROUP BY cohort_d, day_offset
+         |)
+         |SELECT strftime(ra.cohort_d, '%Y-%m-%d') AS cohort_date,
+         |  ra.day_offset, ra.active_n, cs.cohort_n,
+         |  ra.active_n * 1.0 / cs.cohort_n AS retention
+         |FROM ra JOIN cs ON ra.cohort_d = cs.cohort_d
+         |ORDER BY cohort_date, ra.day_offset""".stripMargin,
 
     "q_approx_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,
