@@ -22,6 +22,21 @@ object Warehouse {
   private def dynamicOverwrite(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+  /** An overwrite INVALIDATES the sink's append-path bloom sidecar
+    * (graft.runner.BloomSidecar): the new partition contents can hold
+    * rows the old blooms never saw, and a stale bloom that
+    * under-approximates its partition is the one state that makes the
+    * sidecar fast path append duplicates. Dropped BEFORE the data write —
+    * a crash between the two leaves an uncovered sink, which is the safe
+    * fallback (exact anti-joins) — and re-seeded afterwards only by a
+    * caller that can vouch for full coverage (Bulk.run seedBlooms).
+    */
+  private def dropBloomSidecar(df: DataFrame, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_bloom")
+    p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+  }
+
   /** Bronze: partitioned by (ingestion_date, batch_id) — the SAME layout
     * the micro-batch runner writes, so a bulk-seeded bronze dir and later
     * incremental ticks coexist (mixed partition depths break parquet
@@ -31,6 +46,7 @@ object Warehouse {
     */
   def writeBronze(df: DataFrame, path: String, batchId: String): Unit = {
     dynamicOverwrite(df.sparkSession)
+    dropBloomSidecar(df, path)
     df.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").partitionBy("ingestion_date", "batch_id").parquet(path)
   }
@@ -40,6 +56,7 @@ object Warehouse {
     */
   def writeSilver(df: DataFrame, path: String): Unit = {
     dynamicOverwrite(df.sparkSession)
+    dropBloomSidecar(df, path)
     df.write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
   }
 
@@ -48,6 +65,7 @@ object Warehouse {
     */
   def writeFact(df: DataFrame, path: String): Unit = {
     dynamicOverwrite(df.sparkSession)
+    dropBloomSidecar(df, path)
     df.withColumn("created_date", to_date(col("created_at")))
       .write.mode("overwrite").partitionBy("created_date").parquet(path)
   }
@@ -63,6 +81,7 @@ object Warehouse {
   def writeSilverClustered(df: DataFrame, path: String,
                            filesPerPartition: Int = 2): Unit = {
     dynamicOverwrite(df.sparkSession)
+    dropBloomSidecar(df, path)
     df.repartition(col("year"), col("month"), col("day"),
         pmod(xxhash64(col("event_id")), lit(filesPerPartition)))
       .write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
@@ -72,6 +91,7 @@ object Warehouse {
   def writeFactClustered(df: DataFrame, path: String,
                          filesPerPartition: Int = 2): Unit = {
     dynamicOverwrite(df.sparkSession)
+    dropBloomSidecar(df, path)
     df.withColumn("created_date", to_date(col("created_at")))
       .repartition(col("created_date"),
         pmod(xxhash64(col("event_id")), lit(filesPerPartition)))

@@ -34,6 +34,13 @@ import org.apache.spark.util.sketch.BloomFilter
   *     false-positive rate — more exact-check work, never a wrong result.
   *     The roll is write-new-then-delete-old, so a crash mid-roll leaves
   *     two files whose union over-approximates — again harmless.
+  *   - OVERWRITES INVALIDATE the sidecar: a bulk rebuild can replace a
+  *     partition with rows the old blooms never saw — the one
+  *     under-approximating state. Every overwrite writer
+  *     ([[graft.pipeline.Warehouse]]) drops `_bloom` BEFORE writing data
+  *     (crash-safe order: uncovered is the safe fallback); `Bulk.run`
+  *     re-seeds afterwards when asked. Compaction to a NEW path simply
+  *     leaves the sidecar behind — uncovered again, never wrong.
   *
   * The sidecar lives under `<sink>/_bloom/<partition-dirs>/`; the
   * underscore prefix keeps it invisible to parquet data discovery.

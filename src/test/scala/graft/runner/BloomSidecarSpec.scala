@@ -187,6 +187,30 @@ class BloomSidecarSpec extends SparkSpec {
       .where(col("event_id") === "c1").count() == 1)
   }
 
+  test("an overwrite write invalidates the sidecar BEFORE touching data") {
+    val sink = tmpDir("bloom_inval")
+    val part = "year=2025/month=9/day=15"
+    val sc = new BloomSidecar(spark, sink)
+    // covered partition from the append path, blooming ids {a1}
+    sc.addBatch(keyed(part -> "a1"))
+    Seq(("a1", 2025, 9, 15)).toDF("event_id", "year", "month", "day")
+      .write.mode("append").partitionBy("year", "month", "day").parquet(sink)
+    assert(sc.covered(Seq(part)))
+
+    // a bulk overwrite rewrites the partition with a SUPERSET {a1, a2}:
+    // the old bloom under-approximates it — the one state that would let
+    // a later tick append a2 twice. The writer must drop the sidecar.
+    graft.pipeline.Warehouse.writeSilverClustered(
+      Seq(("a1", 2025, 9, 15), ("a2", 2025, 9, 15))
+        .toDF("event_id", "year", "month", "day"),
+      sink)
+    assert(!sc.covered(Seq(part)),
+      "stale sidecar must not survive an overwrite")
+    assert(!new java.io.File(s"$sink/_bloom").exists())
+    // uncovered → ticks fall back to the exact anti-join (the
+    // bloom-vs-plain equivalence test proves that path's correctness)
+  }
+
   test("bulk seeding covers the bulk-written partitions; the next tick takes the fast path") {
     val staging = tmpDir("bloom_bulk_staging")
     val wh = tmpDir("bloom_bulk_wh")
