@@ -78,6 +78,22 @@ class BloomSidecar(spark: SparkSession, sinkPath: String,
       try BloomFilter.readFrom(in) finally in.close()
     }
 
+  /** [[load]], merged to as few filters as possible — ideally ONE probe
+    * term however many partitions a batch touches. Merging across
+    * partitions only widens each bloom (union ⊇ every member), which the
+    * fast path tolerates by construction (positives are exactly
+    * verified); without it a late-event batch spanning n dates pays an
+    * n-term probe over n full-size serialized blooms. Same-sidecar files
+    * share create-params and always merge; a mixed-version sidecar falls
+    * back to the unmerged list.
+    */
+  def loadMerged(partDirs: Seq[String]): Seq[BloomFilter] = {
+    val all = load(partDirs)
+    if (all.size <= 1) all
+    else try Seq(all.reduce(_ mergeInPlace _))
+    catch { case _: org.apache.spark.util.sketch.IncompatibleMergeException => all }
+  }
+
   /** Record a batch's keys, one bloom update per affected partition, in a
     * single distributed pass: `keyed` is (part_dir, key) at batch
     * cardinality, aggregated per partition into fixed-size blooms (at
@@ -90,11 +106,23 @@ class BloomSidecar(spark: SparkSession, sinkPath: String,
     */
   def addBatch(keyed: DataFrame, trusted: Boolean = false): Unit = {
     val (n, p) = (expectedItems, fpp)
-    val blooms = keyed.rdd
+    // Cluster each partition's keys into one task first, THEN build: one
+    // bloom ever lives per distinct partition (an aggregateByKey would
+    // allocate a full fixed-size bloom per (partition × map-task)
+    // combiner — a batch of late events spanning 30 dates on 32 cores
+    // transiently held ~1000 empty 1.2 MB blooms). One extra O(batch)
+    // shuffle of (dir, key) pairs buys memory bounded by the affected
+    // partition count.
+    import org.apache.spark.sql.functions.col
+    val blooms = keyed.repartition(col(keyed.columns.head)).rdd
       .map(r => (r.getString(0), r.getString(1)))
-      .aggregateByKey(BloomFilter.create(n, p))(
-        (bf, k) => { bf.putString(k); bf },
-        (a, b) => a.mergeInPlace(b))
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.LinkedHashMap[String, BloomFilter]()
+        it.foreach { case (dir, k) =>
+          m.getOrElseUpdate(dir, BloomFilter.create(n, p)).putString(k)
+        }
+        m.iterator
+      }
       .collect()
     blooms.foreach { case (partDir, bf) =>
       val fresh = !fs(dataDir(partDir)).exists(dataDir(partDir))

@@ -139,9 +139,12 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     if (sidecar.covered(partDirs)) {
       // native codegen'd probe (graft.functions.BloomMightContain): the
       // serialized blooms ride the expression tree to the tasks, keeping
-      // the batch scan inside whole-stage codegen — no UDF boundary
+      // the batch scan inside whole-stage codegen — no UDF boundary.
+      // loadMerged collapses however many affected partitions to (at
+      // best) ONE probe term — the union only over-approximates, which
+      // the exact verify of positives already tolerates.
       val probe = graft.functions.BloomMightContain.any(
-        col("event_id"), sidecar.load(partDirs))
+        col("event_id"), sidecar.loadMerged(partDirs))
       val pos = batch.where(probe)
       // the ids among the positives that are REALLY present — ⊆ pos, so
       // bounded by redeliveries + false positives; checkpointed so the
