@@ -54,18 +54,19 @@ object TextOps {
     */
   private val MaxBucket = 1000
 
-  /** doc_id + minhash signature array (one xxhash64 per permutation) from
-    * a pre-HASHED (doc_id, toks: array&lt;long&gt;) frame ([[hashedToks]]).
-    * The token strings were hashed to longs once at tokenization — the 16
-    * per-permutation signatures re-hash the 8-byte longs, so string
-    * hashing is paid once per token instead of 16 times.
+  /** doc_id + minhash signature (array&lt;long&gt;, one slot per
+    * permutation) from a pre-HASHED (doc_id, toks: array&lt;long&gt;)
+    * frame ([[hashedToks]]). Token strings were hashed to longs once at
+    * tokenization; the signature itself is the fused native
+    * [[graft.functions.MinHashSignature]] expression — one pass over the
+    * token array maintaining all `NumPerms` running minima, instead of
+    * `NumPerms` × `array_min(transform(...))` each materializing an
+    * intermediate array per row (at 64 perms the composable form was
+    * ~2.6× the cost of the whole near-dup family).
     */
-  def minhashSignaturesFromHashedToks(t: DataFrame): DataFrame = {
-    val sigCols = (0 until NumPerms).map { i =>
-      array_min(transform(col("toks"), h => xxhash64(lit(i), h))).as(s"sig_$i")
-    }
-    t.select((col("doc_id") +: sigCols): _*)
-  }
+  def minhashSignaturesFromHashedToks(t: DataFrame): DataFrame =
+    t.select(col("doc_id"),
+      graft.functions.MinHashSignature(col("toks"), NumPerms).as("sig"))
 
   /** doc_id + minhash signature array, tokenizing + hashing `text` first. */
   def minhashSignatures(docs: DataFrame): DataFrame =
@@ -117,14 +118,22 @@ object TextOps {
   /** As [[lshCandidates]] with an explicit bucket cap — a test seam
     * (package-private so production callers can't bypass the cap).
     */
-  private[queries] def lshCandidates(sigs: DataFrame, maxBucket: Int): DataFrame = {
+  /** (doc_id, band, band-hash) bucket stream of a signature frame — the
+    * banding half of LSH, shared by the symmetric candidate join and the
+    * asymmetric incoming-vs-corpus join (q_incr_dedup).
+    */
+  private[queries] def bandBuckets(sigs: DataFrame): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((0 until BandRows).map(r => col(s"sig_${b * BandRows + r}")): _*).as("bh"))
+        xxhash64((0 until BandRows).map(r =>
+          element_at(col("sig"), b * BandRows + r + 1)): _*).as("bh"))
     }
-    val exploded = sigs
-      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  private[queries] def lshCandidates(sigs: DataFrame, maxBucket: Int): DataFrame = {
+    val exploded = bandBuckets(sigs)
     // cap degenerate buckets before the quadratic pair expansion. The
     // over-cap bucket LIST is tiny (degenerate band-hashes, not docs), so
     // aggregate it and anti-join it back broadcast — one cheap side
@@ -319,6 +328,93 @@ object TextOps {
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_sum"))
         .orderBy($"source")
+    },
+
+    // INCREMENTAL dedup — dedup a NEW batch against the EXISTING corpus
+    // without re-deduping the corpus against itself: the shape every
+    // production crawl pipeline runs on arrival. The batch is five
+    // sources plus a handful of re-fetched corpus pages (same text,
+    // fresh fetch ids — crawls re-fetch; these exercise the exact
+    // branch). Exact = digest semi-join against the corpus digest set.
+    // Near = set-dedup on BOTH sides first, then ASYMMETRIC MinHash
+    // banding — incoming and corpus set-rep bucket streams equi-join on
+    // (band, band-hash), so candidates are new×existing WITHIN buckets,
+    // never all-pairs — then exact ≥0.9 Jaccard verify and member
+    // expansion. Rep token tables are broadcast at this scale (the
+    // minhashRepPairs choice); a 100-TB corpus swaps the verify lookups
+    // to shuffle equi-joins on rep id, same shape otherwise. Oracle:
+    // exact digest + exact pairwise Jaccard (quadratic only at oracle
+    // scale — which is the point of the banding). Banding recall at the
+    // 0.9 threshold ≈ 1-2e-6 per pair; no over-cap bucket at oracle
+    // scale (the q_minhash_lsh preconditions; COVERAGE.md documents the
+    // measured sf0.1 violation on the 30-word synthetic vocabulary and
+    // the NumPerms fidelity knob). Identical-set matches never depend on
+    // the banding at any scale — they take the exact equi-join below.
+    "q_incr_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = load(s, dir, "documents")
+      val newSrc = Seq("src0", "src1", "src2", "src3", "src4")
+      val corpus = docs.where(!$"source".isin(newSrc: _*))
+      val incoming = docs.where($"source".isin(newSrc: _*))
+        .select($"doc_id", $"text")
+        .unionByName(corpus.where($"doc_id" % 50 === 0)
+          .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+      val exactDup = incoming.withColumn("digest", md5($"text"))
+        .join(corpus.select(md5($"text").as("digest")).distinct(),
+          Seq("digest"), "left_semi")
+        .select($"doc_id")
+      // Exact-dedup-by-token-set FIRST, on both sides — the standard
+      // pipeline composition (see tokenSetGroups): banding and verify
+      // run over set representatives (set cardinality), so duplicate
+      // sets can't inflate any band bucket past the cap (the first cut
+      // banded raw docs and sf0.1's dup-heavy buckets silently
+      // overflowed it — hundreds of true pairs dropped).
+      val tIn = incoming.select($"doc_id", hashedToks($"text").as("toks"))
+      val tEx = corpus.select($"doc_id", hashedToks($"text").as("toks"))
+      val gIn = tIn.groupBy($"toks")
+        .agg(min($"doc_id").as("in_id"), collect_list($"doc_id").as("members"))
+        .localCheckpoint(true) // read by banding + verify + member expansion
+      val gEx = tEx.groupBy($"toks").agg(min($"doc_id").as("ex_id"))
+        .localCheckpoint(true)
+      val bIn = bandBuckets(minhashSignaturesFromHashedToks(
+          gIn.select($"in_id".as("doc_id"), $"toks")))
+        .select($"doc_id".as("in_id"), $"band", $"bh")
+      val bEx = bandBuckets(minhashSignaturesFromHashedToks(
+          gEx.select($"ex_id".as("doc_id"), $"toks")))
+        .select($"doc_id".as("ex_id"), $"band", $"bh")
+      // same degenerate-bucket cap as the symmetric path, over both sides
+      val overCap = bIn.select($"band", $"bh")
+        .unionByName(bEx.select($"band", $"bh"))
+        .groupBy($"band", $"bh").agg(count(lit(1)).as("n"))
+        .where($"n" > MaxBucket).select($"band", $"bh")
+      val cands = bIn.join(broadcast(overCap), Seq("band", "bh"), "left_anti")
+        .join(bEx.join(broadcast(overCap), Seq("band", "bh"), "left_anti"),
+          Seq("band", "bh"))
+        .select($"in_id", $"ex_id").dropDuplicates()
+      // Identical sets (jac = 1.0) never depend on banding: a direct
+      // equi-join on the sorted hashed-token array catches them exactly,
+      // whatever the bucket structure — the asymmetric twin of the
+      // symmetric path's within-group pairs.
+      val sameSet = gIn.join(gEx.select($"toks"), Seq("toks"), "left_semi")
+        .select($"in_id")
+      val dupSets = cands
+        .join(broadcast(gIn.select($"in_id", $"toks".as("ti"))), "in_id")
+        .join(broadcast(gEx.select($"ex_id", $"toks".as("te"))), "ex_id")
+        .withColumn("inter", size(array_intersect($"ti", $"te")).cast("long"))
+        .where($"inter" * 1.0 /
+          (size($"ti").cast("long") + size($"te").cast("long") - $"inter") >= 0.9)
+        .select($"in_id")
+        .unionByName(sameSet).distinct()
+      val nearDup = gIn.join(dupSets, "in_id")
+        .select(explode($"members").as("doc_id"))
+      incoming.select($"doc_id")
+        .join(exactDup.withColumn("e", lit(true)), Seq("doc_id"), "left")
+        .join(nearDup.withColumn("nd", lit(true)), Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"e", lit(false)).as("exact_dup"),
+          coalesce($"nd", lit(false)).as("near_dup"),
+          (!(coalesce($"e", lit(false)) || coalesce($"nd", lit(false)))).as("keep"))
+        .orderBy($"doc_id")
     },
 
     // Deterministic corpus shuffle + sharding — the last step before
@@ -801,6 +897,38 @@ object TextOps {
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
         |FROM dd GROUP BY source ORDER BY source""".stripMargin,
+
+    // Exact pairwise twin of the asymmetric banding path: digest IN
+    // corpus + any ≥0.9-Jaccard partner in the corpus, per incoming doc.
+    "q_incr_dedup" ->
+      """WITH d AS (
+        |  SELECT * FROM documents
+        |), corpus AS (
+        |  SELECT * FROM d
+        |  WHERE source NOT IN ('src0','src1','src2','src3','src4')
+        |), inc AS (
+        |  SELECT doc_id, text FROM d
+        |  WHERE source IN ('src0','src1','src2','src3','src4')
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM corpus
+        |  WHERE doc_id % 50 = 0
+        |), exd AS (
+        |  SELECT DISTINCT md5(text) AS digest FROM corpus
+        |), it AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM inc
+        |), et AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM corpus
+        |), near AS (
+        |  SELECT DISTINCT i.doc_id FROM it i JOIN et e
+        |  ON len(list_intersect(i.t, e.t)) * 1.0 /
+        |     (len(i.t) + len(e.t) - len(list_intersect(i.t, e.t))) >= 0.9
+        |)
+        |SELECT i.doc_id,
+        |  (md5(i.text) IN (SELECT digest FROM exd)) AS exact_dup,
+        |  (i.doc_id IN (SELECT doc_id FROM near)) AS near_dup,
+        |  NOT ((md5(i.text) IN (SELECT digest FROM exd))
+        |    OR (i.doc_id IN (SELECT doc_id FROM near))) AS keep
+        |FROM inc i ORDER BY doc_id""".stripMargin,
 
     "q_corpus_shard" ->
       """WITH k AS (

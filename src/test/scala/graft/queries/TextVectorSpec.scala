@@ -122,6 +122,38 @@ class TextVectorSpec extends SparkSpec {
     assert(contract.where(!$"recall_ok" || $"k" =!= 5).count() == 0)
   }
 
+  test("fused minhash signature: shape, determinism, set semantics, codegen") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val t = docs.select($"doc_id",
+      array_sort(transform(array_distinct(split($"text", " ")), x => xxhash64(x))).as("toks"))
+    val sigs = t.select($"doc_id",
+      graft.functions.MinHashSignature($"toks", 16).as("sig"))
+    // fixed width, deterministic across evaluations
+    assert(sigs.where(size($"sig") =!= 16).count() == 0)
+    val a = sigs.orderBy($"doc_id").limit(5).collect().map(_.toSeq)
+    val b = sigs.orderBy($"doc_id").limit(5).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // signature is a SET function: identical token sets → identical sigs
+    // (the q_minhash_lsh group-collapse invariant)
+    val dupSets = t.groupBy($"toks").agg(collect_list($"doc_id").as("m"))
+      .where(size($"m") > 1)
+    assert(dupSets.count() > 0, "testdata must contain duplicate sets")
+    val grouped = sigs.join(t, "doc_id")
+      .groupBy($"toks").agg(countDistinct($"sig").as("nsig"))
+    assert(grouped.where($"nsig" =!= 1).count() == 0)
+    // The native expression itself runs inside whole-stage codegen. The
+    // production input chain (hashedToks) contains lambda higher-order
+    // functions, which are CodegenFallback and pull their projection out
+    // of codegen regardless of this expression — so prove codegen on a
+    // lambda-free array input.
+    val flat = docs.select($"doc_id",
+      graft.functions.MinHashSignature(
+        array(xxhash64($"text"), xxhash64($"source")), 16).as("sig"))
+    assert("""\*\(\d+\) Project \[doc_id#""".r
+      .findFirstIn(flat.queryExecution.executedPlan.toString).isDefined,
+      "MinHashSignature must not break whole-stage codegen")
+  }
+
   test("lsh bucket cap drops degenerate buckets before pair expansion") {
     // 60 identical docs: every band bucket has all 60 → with a cap of 10
     // no candidates survive; with a generous cap the full clique appears
