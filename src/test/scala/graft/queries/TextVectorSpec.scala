@@ -66,6 +66,47 @@ class TextVectorSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("src", "dst")).isEmpty)
   }
 
+  test("connected components at scale: 50k-edge random graph matches union-find") {
+    // The dup-cluster engine's stress case: a deterministic pseudo-random
+    // graph far bigger than any testdata dup graph, checked against a
+    // driver-side union-find. Pointer-jumping must converge in O(log)
+    // rounds — a linear-propagation bug here would show up as minutes,
+    // not seconds.
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val nNodes = 20000L
+    val edgeSeq = (0L until 50000L).map { i =>
+      // skewed endpoints: clusters emerge around low node ids
+      val a = math.abs(mix(2 * i)) % nNodes
+      val b = math.abs(mix(2 * i + 1)) % (if (i % 3 == 0) 100L else nNodes)
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    // driver-side union-find oracle
+    val parent = Array.tabulate(nNodes.toInt)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }; r }
+    edgeSeq.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical min-label per node, restricted to nodes that appear in edges
+    val inGraph = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct
+    val minLabel = inGraph.groupBy(n => find(n.toInt)).flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m)
+    }
+    val got = graft.queries.TextOps.connectedComponents(
+        edgeSeq.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == inGraph.size)
+    minLabel.foreach { case (n, m) =>
+      assert(got(n) == m, s"node $n: got ${got(n)}, union-find says $m")
+    }
+  }
+
+
   test("simhash: near-identical docs collide, fingerprints deterministic") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val sims = TextOps.simhashFingerprints(docs)
