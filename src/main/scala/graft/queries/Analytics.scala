@@ -405,6 +405,26 @@ object Analytics {
         .orderBy($"user_id", $"session_idx")
     },
 
+    // The NATIVE gap-session operator — Spark's session_window() as the
+    // API-surface twin of the composed lag+cumsum q_sessionize. Two
+    // deliberate semantic differences, mirrored exactly in the oracle:
+    // the native operator merges events strictly WITHIN the gap (a
+    // session's range is [start, last + gap), so an exactly-30-min gap
+    // starts a new session where the lag path's `> 1800` keeps it), and
+    // it compares at full microsecond precision (the lag path second-
+    // truncates through unix_timestamp). Execution is a per-user sorted
+    // merge — parallel across users, no global sort.
+    "q_session_window" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"event_type").as("n_event_types"))
+        .select($"user_id", unix_micros($"w.start").as("session_start_us"),
+          $"n_events", $"n_event_types")
+        .orderBy($"user_id", $"session_start_us")
+    },
+
     // T3 — latest row: ORDER BY ts DESC LIMIT 1 with a deterministic
     // tiebreak (new_data_load_date.sql:28-30).
     "q_latest" -> { (s, dir) =>
@@ -651,6 +671,28 @@ object Analytics {
         |FROM numbered
         |GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // Strict-gap (>= 1800s splits), microsecond-precision twin of the
+    // native session_window semantics; equal-ts events merge under any
+    // order, so ts alone is a sufficient window order.
+    "q_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(CAST(ts AS TIMESTAMP))
+        |         - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS session_start_us,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_event_types
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "q_latest" ->
       """SELECT event_id, event_type, user_id,
