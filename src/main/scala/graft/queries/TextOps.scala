@@ -54,6 +54,35 @@ object TextOps {
     */
   private val MaxBucket = 1000
 
+  /** Band width escalation for degenerate corpora: when the 16-perm
+    * banding produces ANY over-cap bucket, sub-1.0 pairs inside those
+    * buckets would be dropped with the bucket — so the banding re-runs at
+    * this width, where each pair gets 64 independent bucket chances
+    * instead of 8 (measured on the sf0.1 30-word synthetic vocabulary:
+    * 78/130 flags missed at 16 perms, 1 at 64, 0 at 128). Real-vocab
+    * corpora never have over-cap buckets, pay nothing, and keep the
+    * cheap 16-perm family.
+    */
+  private val EscalatedNumPerms = 128
+
+  /** Lookup sides at or under this row count are broadcast; above it the
+    * join runs as a shuffled equi-join on its key — the same count-gated
+    * pattern as [[connectedComponents]]. Sized well under executor
+    * memory: 1M (id, token-array) rows of ~30 hashed tokens ≈ 250 MB
+    * serialized. On real corpora most documents are unique, so
+    * set-cardinality ≈ corpus cardinality and an unconditional broadcast
+    * of a rep/member table would OOM the driver at 100 TB.
+    */
+  private[queries] val BroadcastSetLimit = 1000000L
+
+  /** Broadcast-hint `df` only when its (pre-counted) row count is within
+    * `limit`; otherwise return it un-hinted so Catalyst plans a shuffled
+    * hash/sort-merge join on the equi-key — identical semantics, no
+    * driver-memory cliff.
+    */
+  private def gateBroadcast(df: DataFrame, rows: Long, limit: Long): DataFrame =
+    if (rows <= limit) broadcast(df) else df
+
   /** doc_id + minhash signature (array&lt;long&gt;, one slot per
     * permutation) from a pre-HASHED (doc_id, toks: array&lt;long&gt;)
     * frame ([[hashedToks]]). Token strings were hashed to longs once at
@@ -65,8 +94,14 @@ object TextOps {
     * ~2.6× the cost of the whole near-dup family).
     */
   def minhashSignaturesFromHashedToks(t: DataFrame): DataFrame =
+    minhashSignaturesFromHashedToks(t, NumPerms)
+
+  /** As above with an explicit permutation count (the banding-fidelity
+    * escalation path — see [[EscalatedNumPerms]]).
+    */
+  private[queries] def minhashSignaturesFromHashedToks(t: DataFrame, numPerms: Int): DataFrame =
     t.select(col("doc_id"),
-      graft.functions.MinHashSignature(col("toks"), NumPerms).as("sig"))
+      graft.functions.MinHashSignature(col("toks"), numPerms).as("sig"))
 
   /** doc_id + minhash signature array, tokenizing + hashing `text` first. */
   def minhashSignatures(docs: DataFrame): DataFrame =
@@ -92,12 +127,19 @@ object TextOps {
 
   /** Expand verified representative pairs (rep_a, rep_b, jac) plus
     * within-group pairs (identical sets, jac = 1.0) into the full member
-    * pair list with doc_a < doc_b.
+    * pair list with doc_a < doc_b. The member-list lookups broadcast only
+    * under [[BroadcastSetLimit]] groups (groups is checkpointed, so the
+    * count gate is one cheap scan); past it they shuffle on rep id —
+    * set-cardinality ≈ corpus cardinality on real corpora, where a
+    * broadcast would OOM.
     */
-  private def expandGroupPairs(groups: DataFrame, repPairs: DataFrame): DataFrame = {
+  private[queries] def expandGroupPairs(groups: DataFrame, repPairs: DataFrame,
+                                        broadcastLimit: Long = BroadcastSetLimit): DataFrame = {
+    val nGroups = groups.count()
+    def gated(df: DataFrame) = gateBroadcast(df, nGroups, broadcastLimit)
     val cross = repPairs
-      .join(broadcast(groups.select(col("rep").as("rep_a"), col("members").as("ma"))), "rep_a")
-      .join(broadcast(groups.select(col("rep").as("rep_b"), col("members").as("mb"))), "rep_b")
+      .join(gated(groups.select(col("rep").as("rep_a"), col("members").as("ma"))), "rep_a")
+      .join(gated(groups.select(col("rep").as("rep_b"), col("members").as("mb"))), "rep_b")
       .select(explode(col("ma")).as("da"), col("mb"), col("jac"))
       .select(col("da"), explode(col("mb")).as("db"), col("jac"))
       .select(least(col("da"), col("db")).as("doc_a"),
@@ -122,8 +164,11 @@ object TextOps {
     * banding half of LSH, shared by the symmetric candidate join and the
     * asymmetric incoming-vs-corpus join (q_incr_dedup).
     */
-  private[queries] def bandBuckets(sigs: DataFrame): DataFrame = {
-    val bands = (0 until NumBands).map { b =>
+  private[queries] def bandBuckets(sigs: DataFrame): DataFrame =
+    bandBuckets(sigs, NumPerms)
+
+  private[queries] def bandBuckets(sigs: DataFrame, numPerms: Int): DataFrame = {
+    val bands = (0 until numPerms / BandRows).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until BandRows).map(r =>
           element_at(col("sig"), b * BandRows + r + 1)): _*).as("bh"))
@@ -220,17 +265,23 @@ object TextOps {
 
   /** LSH-verified near-dup pairs between token-set group representatives:
     * banding over minhash signatures → bucket join → exact-Jaccard verify
-    * at ≥ 0.9. The rep/token tables are broadcast (set-cardinality,
-    * narrow) so the candidate pair stream never shuffles for the verify
-    * lookups. Shared by q_minhash_lsh (expands to member pairs) and
-    * q_dup_clusters (connected components over the rep graph).
+    * at ≥ 0.9. The rep/token lookup tables broadcast only under
+    * [[BroadcastSetLimit]] reps (the verify joins then stay map-side);
+    * past it they run as shuffled equi-joins on doc_a/doc_b — on real
+    * corpora set-cardinality ≈ corpus cardinality, so the gate is what
+    * keeps this path alive at 100 TB. Shared by q_minhash_lsh (expands to
+    * member pairs) and q_dup_clusters (connected components over the rep
+    * graph).
     */
-  private def minhashRepPairs(groups: DataFrame): DataFrame = {
+  private[queries] def minhashRepPairs(groups: DataFrame,
+                                       broadcastLimit: Long = BroadcastSetLimit): DataFrame = {
     val reps = groups.select(col("rep").as("doc_id"), col("toks"))
+    val nReps = groups.count()
+    def gated(df: DataFrame) = gateBroadcast(df, nReps, broadcastLimit)
     val cands = lshCandidates(minhashSignaturesFromHashedToks(reps))
     cands
-      .join(broadcast(reps.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))), "doc_a")
-      .join(broadcast(reps.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))), "doc_b")
+      .join(gated(reps.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))), "doc_a")
+      .join(gated(reps.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))), "doc_b")
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
       .withColumn("jac", col("inter") * 1.0 /
         (size(col("toks_a")).cast("long") + size(col("toks_b")).cast("long") - col("inter")))
@@ -251,8 +302,10 @@ object TextOps {
     * bookkeeping because labels here only ever shrink toward the
     * component minimum. Labels are eagerly localCheckpoint'd per round
     * (the iterated plan would otherwise double in depth each pass);
-    * convergence is detected by the label sum, which strictly decreases
-    * while any node is unconverged.
+    * convergence detection is FOLDED INTO that checkpoint action via
+    * `Dataset.observe` — the round's aggregation also counts labels that
+    * strictly shrank, so each round runs exactly one job (the r6 shape
+    * ran a separate label-sum action per round on top of it).
     * Returns (id, component) for every node appearing in `edges`.
     */
   private[queries] def connectedComponents(edges: DataFrame): DataFrame = {
@@ -262,10 +315,6 @@ object TextOps {
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
-    def labelSum(l: DataFrame): Long =
-      l.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
-    var prev = -1L
-    var cur = labelSum(labels)
     // Node count is fixed across rounds; when the dup graph is small
     // enough (≪ executor memory — 1M (long,long) rows ≈ 16 MB), hint the
     // label side broadcast so every round's join is map-side over the
@@ -273,8 +322,9 @@ object TextOps {
     // three. Larger graphs keep the shuffled join — same plan shape, no
     // driver risk.
     val broadcastLabels = labels.count() <= 1000000
-    while (cur != prev) {
-      prev = cur
+    var round = 0
+    var changed = -1L
+    while (changed != 0L) {
       // One fused join per round: the static propagation edges plus the
       // current label graph's pointer-jump edges (component(id) → id, so
       // id inherits component(component(id)) — the doubling shortcut that
@@ -285,11 +335,25 @@ object TextOps {
         labels.select(col("component").as("src"), col("id").as("dst")))
       val lab = if (broadcastLabels) broadcast(labels) else labels
       val msgs = edges2.join(lab, edges2("src") === lab("id"))
-        .select(col("dst").as("id"), col("component"))
-      labels = labels.unionByName(msgs)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .select(col("dst").as("id"), col("component"), lit(false).as("is_prev"))
+      // Tag each id's incumbent label so the round's groupBy can emit both
+      // the new label (min over incumbent + messages — labels only ever
+      // shrink) and the incumbent it replaces; observe() then counts the
+      // strict shrinks inside the checkpoint job itself. obs.get blocks
+      // until that job's metrics land — no extra action, no extra pass.
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$round")
+      labels = labels.select(col("id"), col("component"), lit(true).as("is_prev"))
+        .unionByName(msgs)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"),
+          min(when(col("is_prev"), col("component"))).as("prev"))
+        .observe(obs, coalesce(
+          sum(when(col("component") < col("prev"), 1L).otherwise(0L)),
+          lit(0L)).as("changed"))
+        .select(col("id"), col("component"))
         .localCheckpoint(true)
-      cur = labelSum(labels)
+      changed = obs.get("changed").asInstanceOf[Long]
+      round += 1
     }
     labels
   }
@@ -340,16 +404,17 @@ object TextOps {
     // banding — incoming and corpus set-rep bucket streams equi-join on
     // (band, band-hash), so candidates are new×existing WITHIN buckets,
     // never all-pairs — then exact ≥0.9 Jaccard verify and member
-    // expansion. Rep token tables are broadcast at this scale (the
-    // minhashRepPairs choice); a 100-TB corpus swaps the verify lookups
-    // to shuffle equi-joins on rep id, same shape otherwise. Oracle:
-    // exact digest + exact pairwise Jaccard (quadratic only at oracle
-    // scale — which is the point of the banding). Banding recall at the
-    // 0.9 threshold ≈ 1-2e-6 per pair; no over-cap bucket at oracle
-    // scale (the q_minhash_lsh preconditions; COVERAGE.md documents the
-    // measured sf0.1 violation on the 30-word synthetic vocabulary and
-    // the NumPerms fidelity knob). Identical-set matches never depend on
-    // the banding at any scale — they take the exact equi-join below.
+    // expansion. Rep token verify lookups are count-gated broadcasts
+    // (shuffled equi-joins on rep id past BroadcastSetLimit — the 100-TB
+    // path, chosen automatically). Oracle: exact digest + exact pairwise
+    // Jaccard (quadratic only at oracle scale — which is the point of
+    // the banding). Banding recall at the 0.9 threshold ≈ 1-2e-6 per
+    // pair when no bucket overflows the cap; a degenerate vocabulary
+    // that DOES overflow (sf0.1's 30-word synthetic vocab) trips the
+    // adaptive escalation below, restoring exactness (0 misses measured
+    // at 128 perms — IncrDedupFidelitySpec pins it against a fenced
+    // all-pairs oracle). Identical-set matches never depend on the
+    // banding at any scale — they take the exact equi-join below.
     "q_incr_dedup" -> { (s, dir) =>
       import s.implicits._
       val docs = load(s, dir, "documents")
@@ -376,17 +441,32 @@ object TextOps {
         .localCheckpoint(true) // read by banding + verify + member expansion
       val gEx = tEx.groupBy($"toks").agg(min($"doc_id").as("ex_id"))
         .localCheckpoint(true)
-      val bIn = bandBuckets(minhashSignaturesFromHashedToks(
-          gIn.select($"in_id".as("doc_id"), $"toks")))
-        .select($"doc_id".as("in_id"), $"band", $"bh")
-      val bEx = bandBuckets(minhashSignaturesFromHashedToks(
-          gEx.select($"ex_id".as("doc_id"), $"toks")))
-        .select($"doc_id".as("ex_id"), $"band", $"bh")
-      // same degenerate-bucket cap as the symmetric path, over both sides
-      val overCap = bIn.select($"band", $"bh")
-        .unionByName(bEx.select($"band", $"bh"))
-        .groupBy($"band", $"bh").agg(count(lit(1)).as("n"))
-        .where($"n" > MaxBucket).select($"band", $"bh")
+      def banding(perms: Int) = {
+        val bIn = bandBuckets(minhashSignaturesFromHashedToks(
+            gIn.select($"in_id".as("doc_id"), $"toks"), perms), perms)
+          .select($"doc_id".as("in_id"), $"band", $"bh")
+        val bEx = bandBuckets(minhashSignaturesFromHashedToks(
+            gEx.select($"ex_id".as("doc_id"), $"toks"), perms), perms)
+          .select($"doc_id".as("ex_id"), $"band", $"bh")
+        // same degenerate-bucket cap as the symmetric path, over both sides
+        val overCap = bIn.select($"band", $"bh")
+          .unionByName(bEx.select($"band", $"bh"))
+          .groupBy($"band", $"bh").agg(count(lit(1)).as("n"))
+          .where($"n" > MaxBucket).select($"band", $"bh")
+        (bIn, bEx, overCap)
+      }
+      // Adaptive banding fidelity: an over-cap bucket is DROPPED from
+      // candidate generation, so on a degenerate vocabulary (2-row band
+      // sigs collide into mega-buckets) sub-1.0 pairs inside it would be
+      // silently missed. One cheap emptiness probe on the over-cap list
+      // decides: any hit → re-band at EscalatedNumPerms, where every true
+      // pair gets 64 bucket chances instead of 8 (measured 0 misses at
+      // 128 perms on the worst-case sf0.1 vocab). Healthy corpora have no
+      // over-cap bucket and never pay the escalation.
+      val (bIn, bEx, overCap) = {
+        val base = banding(NumPerms)
+        if (base._3.isEmpty) base else banding(EscalatedNumPerms)
+      }
       val cands = bIn.join(broadcast(overCap), Seq("band", "bh"), "left_anti")
         .join(bEx.join(broadcast(overCap), Seq("band", "bh"), "left_anti"),
           Seq("band", "bh"))
@@ -397,9 +477,15 @@ object TextOps {
       // symmetric path's within-group pairs.
       val sameSet = gIn.join(gEx.select($"toks"), Seq("toks"), "left_semi")
         .select($"in_id")
+      // verify lookups: broadcast only under the count gate (gIn/gEx are
+      // checkpointed, so the counts are cheap scans); a real corpus where
+      // set-cardinality ≈ corpus cardinality shuffles on the rep ids
+      val nIn = gIn.count(); val nEx = gEx.count()
       val dupSets = cands
-        .join(broadcast(gIn.select($"in_id", $"toks".as("ti"))), "in_id")
-        .join(broadcast(gEx.select($"ex_id", $"toks".as("te"))), "ex_id")
+        .join(gateBroadcast(gIn.select($"in_id", $"toks".as("ti")),
+          nIn, BroadcastSetLimit), "in_id")
+        .join(gateBroadcast(gEx.select($"ex_id", $"toks".as("te")),
+          nEx, BroadcastSetLimit), "ex_id")
         .withColumn("inter", size(array_intersect($"ti", $"te")).cast("long"))
         .where($"inter" * 1.0 /
           (size($"ti").cast("long") + size($"te").cast("long") - $"inter") >= 0.9)
@@ -541,8 +627,9 @@ object TextOps {
     // the banding's miss probability at the 0.9 threshold is ≈2e-6 per
     // pair and the verify stage kills every false candidate, so LSH
     // output = exact output (deterministic for a fixed corpus). The
-    // rep/token tables are broadcast (set-cardinality, narrow) so the
-    // candidate pair stream never shuffles for the verify lookups.
+    // rep/token verify lookups are count-gated broadcasts
+    // (minhashRepPairs): map-side at set cardinality, shuffled
+    // equi-joins past BroadcastSetLimit.
     "q_minhash_lsh" -> { (s, dir) =>
       import s.implicits._
       val docs = load(s, dir, "documents")

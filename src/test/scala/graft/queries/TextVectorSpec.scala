@@ -107,6 +107,51 @@ class TextVectorSpec extends SparkSpec {
   }
 
 
+  test("minhash verify/expansion broadcasts are count-gated with an equi-join fallback") {
+    // Production corpora where set-cardinality ≈ corpus cardinality must
+    // not broadcast the rep/member token tables (VERDICT r6: the one
+    // scale-killer left). Force the fallback with a zero gate and pin:
+    // identical output, and the verify/expansion joins plan as shuffled
+    // equi-joins on their keys — never a broadcast build of the rep table.
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val t = docs.select($"doc_id",
+      array_sort(transform(array_distinct(split($"text", " ")), x => xxhash64(x))).as("toks"))
+    val groups = t.groupBy($"toks")
+      .agg(min($"doc_id").as("rep"), collect_list($"doc_id").as("members"))
+      .localCheckpoint(true)
+    def pairs(limit: Long) = TextOps
+      .expandGroupPairs(groups, TextOps.minhashRepPairs(groups, limit), limit)
+      .select($"doc_a", $"doc_b", $"jac").as[(Long, Long, Double)].collect().toSet
+    val viaBroadcast = pairs(Long.MaxValue)
+    // Past the gate the hint is dropped and Catalyst sizes the join
+    // itself; checkpointed test frames are tiny, so ALSO zero the auto
+    // threshold — that is exactly the stats a 100-TB rep table presents.
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (viaShuffle, shufflePlan) =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (pairs(0L),
+          TextOps.minhashRepPairs(groups, 0L).queryExecution.executedPlan.toString)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+    assert(viaBroadcast.nonEmpty)
+    assert(viaShuffle == viaBroadcast,
+      s"shuffle fallback diverged: ${(viaShuffle diff viaBroadcast).size} extra, " +
+        s"${(viaBroadcast diff viaShuffle).size} missing")
+    // plan shape: gated-off verify joins are equi-joins keyed on the pair
+    // ids (shuffled hash or sort-merge), with no quadratic fallback
+    Seq("doc_a", "doc_b").foreach { k =>
+      assert(s"(SortMergeJoin|ShuffledHashJoin) \\[$k#".r.findFirstIn(shufflePlan).isDefined,
+        s"verify join on $k did not fall back to a shuffled equi-join:\n$shufflePlan")
+    }
+    assert(!shufflePlan.contains("BroadcastNestedLoopJoin"))
+    assert(!shufflePlan.contains("CartesianProduct"))
+    // and the default gate still broadcasts at this (tiny) scale
+    val broadcastPlan = TextOps.minhashRepPairs(groups)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[doc_a#".r.findFirstIn(broadcastPlan).isDefined,
+      s"default gate should broadcast the rep table at set cardinality:\n$broadcastPlan")
+  }
+
   test("simhash: near-identical docs collide, fingerprints deterministic") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val sims = TextOps.simhashFingerprints(docs)
