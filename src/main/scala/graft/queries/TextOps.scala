@@ -309,11 +309,28 @@ object TextOps {
     * Returns (id, component) for every node appearing in `edges`.
     */
   private[queries] def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+    val sym0 = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
+    // Size the round frames' partitioning by edge count: after the
+    // exact-dedup collapse a dup graph is usually tiny, and at 32
+    // partitions every round pays ~32 near-empty tasks per stage — pure
+    // scheduler latency that dominated q_dup_clusters (r6: CC ≈ 4.6 s of
+    // a 7.5 s query on a 1.5k-node graph). 500k (long,long) rows ≈ 8 MB
+    // per task; graphs past parallelism × that keep the session's
+    // partitioning unchanged.
+    val nEdges = sym0.count()
+    val parts = math.max(1L, math.min(
+      sym0.rdd.getNumPartitions.toLong, nEdges / 500000L + 1)).toInt
+    val sym =
+      if (parts < sym0.rdd.getNumPartitions) sym0.coalesce(parts) else sym0
+    // Init fuses the first propagation round into the node-dedup shuffle
+    // the init pays anyway: label(id) = min(id, min direct neighbor) —
+    // exactly what round 1 over identity labels would produce, one full
+    // round (join + checkpoint + convergence roundtrip) cheaper.
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(least(col("src"), col("dst"))).as("component"))
+      .coalesce(parts)
       .localCheckpoint(true)
     // Node count is fixed across rounds; when the dup graph is small
     // enough (≪ executor memory — 1M (long,long) rows ≈ 16 MB), hint the
@@ -322,27 +339,25 @@ object TextOps {
     // three. Larger graphs keep the shuffled join — same plan shape, no
     // driver risk.
     val broadcastLabels = labels.count() <= 1000000
-    var round = 0
-    var changed = -1L
-    while (changed != 0L) {
-      // One fused join per round: the static propagation edges plus the
-      // current label graph's pointer-jump edges (component(id) → id, so
-      // id inherits component(component(id)) — the doubling shortcut that
-      // makes the round count O(log chain) instead of O(chain); sf0.1's
-      // ~40-deep chains converge in 6 rounds instead of ~45). Messages
-      // along both edge kinds resolve through the SAME labels join.
+    // One fused join per round: the static propagation edges plus the
+    // current label graph's pointer-jump edges (component(id) → id, so
+    // id inherits component(component(id)) — the doubling shortcut that
+    // makes the round count O(log chain) instead of O(chain); sf0.1's
+    // ~40-deep chains converge in 6 rounds instead of ~45). Messages
+    // along both edge kinds resolve through the SAME labels join. Each
+    // id's incumbent label rides tagged through the groupBy so the round
+    // emits both the new label (min over incumbent + messages — labels
+    // only ever shrink) and the incumbent it replaces; observe() then
+    // counts the strict shrinks inside the job that materializes the
+    // round — no separate convergence action.
+    def propagate(cur: DataFrame, idx: Int): (DataFrame, org.apache.spark.sql.Observation) = {
       val edges2 = sym.unionByName(
-        labels.select(col("component").as("src"), col("id").as("dst")))
-      val lab = if (broadcastLabels) broadcast(labels) else labels
+        cur.select(col("component").as("src"), col("id").as("dst")))
+      val lab = if (broadcastLabels) broadcast(cur) else cur
       val msgs = edges2.join(lab, edges2("src") === lab("id"))
         .select(col("dst").as("id"), col("component"), lit(false).as("is_prev"))
-      // Tag each id's incumbent label so the round's groupBy can emit both
-      // the new label (min over incumbent + messages — labels only ever
-      // shrink) and the incumbent it replaces; observe() then counts the
-      // strict shrinks inside the checkpoint job itself. obs.get blocks
-      // until that job's metrics land — no extra action, no extra pass.
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$round")
-      labels = labels.select(col("id"), col("component"), lit(true).as("is_prev"))
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$idx")
+      val next = cur.select(col("id"), col("component"), lit(true).as("is_prev"))
         .unionByName(msgs)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"),
@@ -351,7 +366,13 @@ object TextOps {
           sum(when(col("component") < col("prev"), 1L).otherwise(0L)),
           lit(0L)).as("changed"))
         .select(col("id"), col("component"))
-        .localCheckpoint(true)
+      (next, obs)
+    }
+    var round = 0
+    var changed = -1L
+    while (changed != 0L) {
+      val (next, obs) = propagate(labels, round)
+      labels = next.coalesce(parts).localCheckpoint(true)
       changed = obs.get("changed").asInstanceOf[Long]
       round += 1
     }
@@ -442,12 +463,19 @@ object TextOps {
       val gEx = tEx.groupBy($"toks").agg(min($"doc_id").as("ex_id"))
         .localCheckpoint(true)
       def banding(perms: Int) = {
+        // (reps × bands)-cardinality band streams, materialized once: the
+        // over-cap aggregate, the escalation probe, and the candidate
+        // join all read them — without the checkpoint each consumer
+        // re-runs the full signature computation (at 128 perms that
+        // tripled the escalated path's cost).
         val bIn = bandBuckets(minhashSignaturesFromHashedToks(
             gIn.select($"in_id".as("doc_id"), $"toks"), perms), perms)
           .select($"doc_id".as("in_id"), $"band", $"bh")
+          .localCheckpoint(true)
         val bEx = bandBuckets(minhashSignaturesFromHashedToks(
             gEx.select($"ex_id".as("doc_id"), $"toks"), perms), perms)
           .select($"doc_id".as("ex_id"), $"band", $"bh")
+          .localCheckpoint(true)
         // same degenerate-bucket cap as the symmetric path, over both sides
         val overCap = bIn.select($"band", $"bh")
           .unionByName(bEx.select($"band", $"bh"))
