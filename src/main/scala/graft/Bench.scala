@@ -4,9 +4,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Headline benchmark: every registered query + the end-to-end medallion
   * bulk pass, one JSON line to stdout (driver contract).
+  *
+  * Self-identification under contention (VERDICT r6 #1): three rounds in
+  * a row the gate artifact and the committed local artifact disagreed by
+  * 2-10× with the code innocent — a contended machine is indistinguishable
+  * from a regression unless the artifact says so itself. So beyond the
+  * headline per-query minimum, the JSON carries EVERY run's wall time,
+  * /proc/loadavg + MemAvailable snapshots at start/end (plus a probe
+  * after each heavyweight entry), and a `contended` verdict: a query is
+  * flagged when its two fastest runs still disagree >2× (a third attempt
+  * is made whenever the first two disagree, so one-off JIT/GC excursions
+  * don't flag), and the whole artifact is flagged when any query is or
+  * the machine load exceeds the CPU budget. A flagged artifact should be
+  * read as "re-measure", not "regression".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val wallT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // local-iteration filter: bench only these queries, skip the medallion
@@ -38,6 +52,23 @@ object Bench {
         l, org.apache.logging.log4j.Level.ERROR)
     }
 
+    def loadavg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    def memAvailMb(): Long =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get("/proc/meminfo")).asScala
+          .collectFirst { case l if l.startsWith("MemAvailable:") =>
+            l.trim.split("\\s+")(1).toLong / 1024 }
+          .getOrElse(-1L)
+      } catch { case _: Exception => -1L }
+
+    val loadStart = loadavg()
+    val memStart = memAvailMb()
+
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -56,9 +87,11 @@ object Bench {
     // Two passes per query, report the faster: the first execution pays
     // one-off whole-stage-codegen/JIT compilation of the generated
     // classes (tens of seconds for the widest expression trees), which
-    // a steady-state pipeline amortizes away. A query that fails on every
-    // attempt records the -1 sentinel — never the failed attempt's wall
-    // time, which would silently shrink the headline total.
+    // a steady-state pipeline amortizes away. When the two runs disagree
+    // >2× a THIRD runs, so the contended-query verdict below compares two
+    // warm runs rather than flagging routine first-run JIT. A query that
+    // fails on every attempt records the -1 sentinel — never the failed
+    // attempt's wall time, which would silently shrink the headline total.
     // The q_gold_* entries are composed correctness gates (a FULL bulk
     // medallion build + dashboard); their pipeline cost is already
     // measured once, cleanly, as medallion_e2e — timing them again here
@@ -68,17 +101,23 @@ object Bench {
     val skip = SparkEntry.queries.keySet.filter(_.startsWith("q_gold_"))
       .filterNot(n => only.exists(_.contains(n)))
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val runsLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val loadProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => !skip(name) && only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        val runs = (1 to 2).flatMap { _ =>
+        def attempt(): Option[Double] =
           try Some(time(exec(fn(spark, sfDir))))
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name: ${e.getMessage}"); None
           }
-        }
+        val two = (1 to 2).flatMap(_ => attempt())
+        val runs =
+          if (two.size == 2 && two.max / two.min > 2.0) two ++ attempt()
+          else two
         results(name) = if (runs.isEmpty) -1.0 else runs.min
+        runsLog(name) = runs
         // drop this query's cached/checkpointed blocks so 49 queries × 2
         // runs don't accumulate block-manager pressure that skews later
         // timings (each query's second run can still reuse its own cache).
@@ -101,6 +140,24 @@ object Bench {
         // 0.3s → 4.0s with zero code changes of its own). The gc runs
         // outside the timed region — it costs wall clock, not timings.
         System.gc()
+      }
+
+    def releaseAll(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
+    /** Record a single-run heavyweight entry plus a load probe right
+      * after it — the medallion/tick/streaming passes run once, so their
+      * contention evidence is the machine state around them.
+      */
+    def single(name: String)(f: => Double): Unit =
+      if (only.forall(_.contains(name))) {
+        val t = f
+        results(name) = t
+        runsLog(name) = Seq(t)
+        loadProbes(name) = loadavg()
       }
 
     // End-to-end medallion bulk pass (EP2): raw JSON lines → bronze →
@@ -129,47 +186,49 @@ object Bench {
       // same hygiene between the 100k and 1M passes — including the gc:
       // the 1M pass measured 2x slower when started on the old gen the
       // 55-query suite left fragmented (r6: 15.9s clean vs 32.7s in-suite)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      spark.catalog.clearCache()
-      System.gc()
+      releaseAll()
       t
     }
     // The medallion runs dead last: start it from a clean block manager and
     // a compacted heap so it measures the pipeline, not 51 queries' debris
     // (r4: medallion_e2e 9.9s -> 46.2s with zero medallion code changes).
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    spark.catalog.clearCache()
-    System.gc()
-    if (only.forall(_.contains("medallion_e2e")))
-      results("medallion_e2e") = medallion(1)
-    if (only.forall(_.contains("medallion_e2e_1m")))
-      results("medallion_e2e_1m") =
-        medallion(sys.env.getOrElse("SPARK_GRAFT_MEDALLION_REPLICATE", "10").toInt)
+    releaseAll()
+    single("medallion_e2e") { medallion(1) }
+    single("medallion_e2e_1m") {
+      medallion(sys.env.getOrElse("SPARK_GRAFT_MEDALLION_REPLICATE", "10").toInt)
+    }
+
+    // Shared tick fixture: the sf's FIRST event day replicated 16× with
+    // distinct event_ids (a real 15-minute batch holds minutes of events,
+    // not a month — one day touches 1-2 partitions like production).
+    // Replica index `rep` rides along so callers can carve ticks out of
+    // the replica range.
+    def tickDay(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val events0 = Tables.load(spark, sfDir, "events")
+      val day0 = events0.select(min(to_date(col("ts")))).head().getDate(0)
+      val rep = 16
+      events0.where(to_date(col("ts")) === lit(day0))
+        .crossJoin(spark.range(rep).select(col("id").as("rep")))
+        .withColumn("event_id", col("event_id") * rep + col("rep"))
+    }
 
     // EP1 — the reference's FLAGSHIP path: one steady-state 15-minute
     // incremental tick (staging scan → bronze → silver anti-join append →
     // dim upserts → fact append), measured on the second tick so the
     // warehouse and its bloom sidecars exist — the tick the deployment
-    // runs 96×/day, against the reference's 15-minute interval SLO. The
-    // sf's events split by id parity across two intervals; tick 2's rows
-    // are all-new, so the measurement exercises the covered fast path
-    // (bloom-negative probes, no existing-partition reads).
-    def medallionTick(): Double = {
+    // runs 96×/day, against the reference's 15-minute interval SLO.
+    // `redeliveredHalf = false`: tick 2's rows are all-new, so the
+    // measurement exercises the covered fast path (bloom-negative probes,
+    // no existing-partition reads). `redeliveredHalf = true`: half of
+    // tick 2 is a byte-identical redelivery of tick-1 rows — the
+    // reference's at-least-once regime — so the bloom-POSITIVE → exact
+    // anti-join verify fallback gets its own number too.
+    def medallionTick(redeliveredHalf: Boolean): Double = {
       import org.apache.spark.sql.functions._
       val staging = java.nio.file.Files.createTempDirectory("graft_bench_stg").toString
       val wh = java.nio.file.Files.createTempDirectory("graft_bench_tick_wh").toString
-      // A real 15-minute batch holds minutes of events, not a month:
-      // take the sf's FIRST event day and replicate it (distinct ids, the
-      // 1M-bulk mechanics) so each tick is a meaty single-day batch —
-      // ~26k events at sf0.1 — touching 1-2 partitions like production,
-      // instead of fanning one tick across 30 date partitions.
-      val events0 = Tables.load(spark, sfDir, "events")
-      val day0 = events0.select(min(to_date(col("ts")))).head.getDate(0)
-      val rep = 16
-      val day = events0.where(to_date(col("ts")) === lit(day0))
-        .crossJoin(spark.range(rep).select(col("id").as("rep")))
-        .withColumn("event_id", col("event_id") * rep + col("rep"))
-      val events = day // halves split below by replica index
+      val day = tickDay()
       def stage(raw: org.apache.spark.sql.DataFrame, t: java.time.LocalDateTime): Unit = {
         val dir = graft.pipeline.StagingToBronze.stagingPathFor(staging, t)
           .stripSuffix("/*.json")
@@ -181,28 +240,101 @@ object Bench {
         }
       }
       val t0 = java.time.LocalDateTime.of(2025, 9, 15, 10, 0)
+      // tick 1: replicas [0, 8). tick 2: all-new [8, 16), or — redelivered
+      // variant — [4, 12): four replicas re-staged byte-identical plus
+      // four new, the 50% redelivery mix.
+      val tick2Lo = if (redeliveredHalf) 4 else 8
       stage(graft.pipeline.RefEventsAdapter.toRawJson(
-        events.where(col("rep") < rep / 2).drop("rep")), t0)
+        day.where(col("rep") < 8).drop("rep")), t0)
       stage(graft.pipeline.RefEventsAdapter.toRawJson(
-        events.where(col("rep") >= rep / 2).drop("rep")), t0.plusMinutes(15))
+        day.where(col("rep") >= tick2Lo && col("rep") < tick2Lo + 8).drop("rep")),
+        t0.plusMinutes(15))
       val mb = new graft.runner.MicroBatch(spark, staging, wh)
       mb.runInterval(t0) // untimed: seeds warehouse + sidecar coverage
-      val t = time { mb.runInterval(t0.plusMinutes(15)) }
+      var factAfter = 0L
+      val t = time { factAfter = mb.runInterval(t0.plusMinutes(15))._3 }
+      // a tick that processed nothing measured nothing — fail loudly
+      // rather than record a vacuously fast number
+      require(factAfter > 0, s"bench tick (redelivered=$redeliveredHalf) was a no-op")
       Seq(staging, wh).foreach(d =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      spark.catalog.clearCache()
-      System.gc()
+      releaseAll()
       t
     }
-    if (only.forall(_.contains("medallion_tick")))
-      results("medallion_tick") = medallionTick()
+    single("medallion_tick") { medallionTick(redeliveredHalf = false) }
+    single("medallion_tick_redelivered") { medallionTick(redeliveredHalf = true) }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Structured-Streaming twin of the tick: AvailableNow drain of one
+    // staged batch through the streaming bronze → watermarked-dedup
+    // silver → foreachBatch gold chain, measured on the SECOND drain so
+    // the warehouse, dims, sidecars, and stream checkpoints all exist.
+    // Tick 2's event times advance one day past tick 1 so the persisted
+    // watermark (tick-1 max ts − 1 h) can't discard them as late.
+    def streamingTick(): Double = {
+      import org.apache.spark.sql.functions._
+      val staging = java.nio.file.Files.createTempDirectory("graft_bench_sstg").toString
+      val wh = java.nio.file.Files.createTempDirectory("graft_bench_swh").toString
+      val day = tickDay()
+      def stage(df: DataFrame, sub: String): Unit =
+        graft.pipeline.RefEventsAdapter.toRawJson(df).write.text(s"$staging/$sub")
+      def drain(): Unit = {
+        graft.streaming.StreamingIngest.runBronze(spark, s"$staging/*/part-*",
+          s"$wh/bronze", s"$wh/ckpt_b", "2025-09-15")
+        graft.streaming.StreamingIngest.runSilver(spark, s"$wh/bronze",
+          s"$wh/silver", s"$wh/ckpt_s")
+        graft.streaming.StreamingIngest.runGold(spark, s"$wh/silver", wh,
+          s"$wh/ckpt_g")
+      }
+      stage(day.where(col("rep") < 8).drop("rep"), "b1")
+      drain() // untimed: seeds warehouse + checkpoints + sidecar coverage
+      val factBefore = spark.read.parquet(s"$wh/fact_user_events").count()
+      stage(day.where(col("rep") >= 8).drop("rep")
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY")), "b2")
+      val t = time { drain() }
+      // the drain must have appended the second batch's facts — a no-op
+      // (e.g. rows discarded as late vs the persisted watermark) would
+      // record a vacuously fast number
+      require(spark.read.parquet(s"$wh/fact_user_events").count() > factBefore,
+        "bench streaming_tick drained nothing")
+      Seq(staging, wh).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      releaseAll()
+      t
+    }
+    single("streaming_tick") { streamingTick() }
+
+    val loadEnd = loadavg()
+    val memEnd = memAvailMb()
+    // A query is contended when even its two FASTEST runs disagree >2×
+    // (the third attempt already absorbed first-run JIT); the artifact is
+    // contended when any query is, or the 1-minute load exceeds the CPU
+    // budget this JVM was told it owns (another process is competing).
+    val contendedQueries = runsLog.collect {
+      case (n, rs) if rs.size >= 2 &&
+        rs.sorted.take(2).reduce((a, b) => b / a) > 2.0 => n
+    }.toSeq
+    val contended = contendedQueries.nonEmpty ||
+      math.max(loadStart, loadEnd) > cpus.toDouble * 1.5
+
+    def fmtMap(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = fmtMap(results.map { case (k, v) => k -> v.toString })
+    val runsJson = fmtMap(runsLog.map { case (k, v) =>
+      k -> v.mkString("[", ",", "]") })
+    val probesJson = fmtMap(loadProbes.map { case (k, v) => k -> v.toString })
+    val contendedJson = contendedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     // -1 sentinels mark failed queries; they must not subtract from the
     // headline total (the per-query map still shows them)
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val wall = (System.nanoTime() - wallT0) / 1e9
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""runs":$runsJson,"run_count":${runsLog.values.map(_.size).sum},""" +
+      s""""wall_sec":$wall,"cpus":$cpus,""" +
+      s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
+      s""""loadavg_probes":$probesJson,""" +
+      s""""mem_avail_start_mb":$memStart,"mem_avail_end_mb":$memEnd,""" +
+      s""""contended_queries":$contendedJson,"contended":$contended,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
