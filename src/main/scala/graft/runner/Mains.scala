@@ -171,6 +171,32 @@ object RefreshMain {
   }
 }
 
+/** Scheduled small-file compaction: `runMain graft.runner.CompactMain
+  * <warehouse> [maxRecordsPerFile] [--test-mode]` — the in-process twin
+  * of the reference's Iceberg `rewrite_data_files` binpack maintenance
+  * (README.md:231-242). The 15-minute tick loop appends small files
+  * forever; this job rewrites the silver and fact sinks to few
+  * right-sized files per partition and re-seeds their bloom sidecars
+  * from the rewritten rows, so the next tick's covered fast path keeps
+  * working ([[MicroBatch.compactSinks]]). Run on the maintenance
+  * schedule (the reference runs it daily), never per-tick.
+  */
+object CompactMain {
+  def main(args: Array[String]): Unit = {
+    val (a, testMode) = RunnerEnv.split(args)
+    require(a.length >= 1,
+      "usage: CompactMain <warehouse> [maxRecordsPerFile] [--test-mode]")
+    val warehouse = RunnerEnv.warehouse(a(0), testMode)
+    val maxRecords = a.lift(1).map(_.toLong).getOrElse(1000000L)
+    val spark = RunnerSession.build("graft-compact")
+    val mb = new MicroBatch(spark, stagingBase = "", warehouse,
+      RunnerEnv.tableSuffix(testMode))
+    mb.compactSinks(maxRecords)
+    println(s"compaction complete: ${mb.silverPath}, ${mb.factPath}")
+    spark.stop()
+  }
+}
+
 object ReplayMain {
   def main(args: Array[String]): Unit = {
     val (a, testMode) = RunnerEnv.split(args)

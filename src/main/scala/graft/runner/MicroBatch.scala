@@ -424,4 +424,51 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     swapOverwrite(dimUserPath,
       Dims.refreshAttributes(dim, attrs, Seq("user_id", "anonymous_id")))
   }
+
+  /** Scheduled small-file compaction of the append-only event sinks —
+    * the reference's `rewrite_data_files` binpack maintenance
+    * (README.md:231-242: avg 3.74 MB/file before compaction there). The
+    * 15-minute loop appends O(batch-partition) files per tick forever;
+    * this job rewrites silver and fact so each partition holds few
+    * right-sized files, and re-seeds each sink's bloom sidecar FROM THE
+    * REWRITTEN ROWS — the one maintenance step allowed to rebuild blooms,
+    * because a full rewrite by definition covers every row it publishes
+    * (the [[BloomSidecar]] overwrite-invalidation contract; data and
+    * blooms swap in together below, so no serving state ever
+    * under-approximates). Rows per partition are unchanged — pure
+    * re-bucketing. Run like the reference runs rewrite_data_files: on
+    * the maintenance schedule, never per-tick.
+    */
+  def compactSinks(maxRecordsPerFile: Long = 1000000L): Unit = {
+    compactSink(silverPath, Seq("year", "month", "day"), silverPartCol,
+      maxRecordsPerFile)
+    compactSink(factPath, Seq("created_date"),
+      concat(lit("created_date="), col("created_date")), maxRecordsPerFile)
+  }
+
+  private def compactSink(path: String, partitionCols: Seq[String],
+                          partExpr: org.apache.spark.sql.Column,
+                          maxRecordsPerFile: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    fs.delete(tmp, true) // debris from a crashed previous attempt
+    Scale.compact(spark.read.parquet(path), tmp.toString, partitionCols,
+      maxRecordsPerFile)
+    // Seed the rewritten sink's sidecar while it is still private: the
+    // usual bloom-BEFORE-data ordering protects a live sink mid-append;
+    // here data + blooms publish atomically in the swap below, and the
+    // next tick's fast path keeps working (no false negatives — the
+    // blooms are built from exactly the rows being published).
+    new BloomSidecar(spark, tmp.toString).addBatch(
+      spark.read.parquet(tmp.toString)
+        .select(partExpr.as("part"), col("event_id")),
+      trusted = true)
+    // same crash window as swapOverwrite (delete→rename): acceptable for
+    // a scheduled maintenance job, not a per-tick path
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $p")
+  }
 }

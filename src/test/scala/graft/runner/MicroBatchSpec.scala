@@ -459,6 +459,57 @@ class MicroBatchSpec extends SparkSpec {
       LocalDateTime.of(2025, 9, 15, 10, 30))
   }
 
+  test("scheduled compaction: bounded files, identical rows, bloom fast path survives") {
+    val staging = tmpDir("staging_c")
+    val wh = tmpDir("wh_c")
+    // four ticks appending into the SAME silver date partition — the
+    // small-file growth the reference fixes with rewrite_data_files
+    for (i <- 0 until 4)
+      writeStagingFile(staging, 2025, 9, 15, 10, 15 * i, Seq(
+        raw(s"c$i-1", s"u$i", f"2025-09-15T10:${15 * i + 1}%02d:00.000+09:00"),
+        raw(s"c$i-2", s"u$i", f"2025-09-15T10:${15 * i + 2}%02d:00.000+09:00")))
+    val mb = new MicroBatch(spark, staging, wh)
+    for (i <- 0 until 4) mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 15 * i))
+
+    def parquetFiles(root: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory && f.getName != "_bloom") f.listFiles().toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root)).map(_.getPath).filter(_.endsWith(".parquet"))
+    }
+    def rows(path: String): Seq[String] = {
+      val df = Warehouse.read(spark, path)
+      df.select(df.columns.sorted.map(col): _*)
+        .collect().map(_.toString).toSeq.sorted
+    }
+    val silverBefore = rows(mb.silverPath)
+    val factBefore = rows(mb.factPath)
+    val filesBefore = parquetFiles(mb.silverPath).size
+    assert(filesBefore >= 4, s"expected one file per tick, saw $filesBefore")
+
+    mb.compactSinks()
+
+    // one date partition → one right-sized file; rows byte-for-byte equal
+    assert(parquetFiles(mb.silverPath).size <= 2)
+    assert(parquetFiles(mb.factPath).size <= 2)
+    assert(rows(mb.silverPath) == silverBefore)
+    assert(rows(mb.factPath) == factBefore)
+
+    // the re-seeded sidecars still cover the rewritten partitions, and
+    // the next tick's fast path stays CORRECT: a redelivery of a
+    // pre-compaction row must still dedup (no false negative in the
+    // rebuilt blooms), a new row must still append
+    assert(mb.silverBloom.covered(Seq("year=2025/month=9/day=15")))
+    assert(mb.factBloom.covered(Seq("created_date=2025-09-15")))
+    writeStagingFile(staging, 2025, 9, 15, 11, 0, Seq(
+      raw("c0-1", "u0", "2025-09-15T10:01:00.000+09:00"), // pre-compaction redelivery
+      raw("cnew", "u9", "2025-09-15T11:01:00.000+09:00")))
+    val t = mb.runInterval(LocalDateTime.of(2025, 9, 15, 11, 0))
+    assert(t._2 == 9L && t._3 == 9L, s"tick after compaction: $t")
+    assert(Warehouse.read(spark, mb.silverPath).count() == 9)
+    assert(Warehouse.read(spark, mb.factPath).count() == 9)
+  }
+
   test("test-mode table suffix isolates sinks from the production paths") {
     val staging = tmpDir("staging8")
     val wh = tmpDir("wh8")
