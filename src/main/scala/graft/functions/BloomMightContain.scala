@@ -36,6 +36,19 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
 
+  // Content equality for the serialized bloom: a case-class Array[Byte]
+  // field compares by reference, so two semantically identical probes
+  // never compare equal — defeating Catalyst canonicalization and
+  // common-subexpression elimination across the where(probe)/
+  // where(!probe) pair in the tick's anti-join. Perf-only either way.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(

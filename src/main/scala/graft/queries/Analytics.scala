@@ -344,16 +344,22 @@ object Analytics {
     // the plan that survives a group outgrowing an executor. Output pins
     // the exact p50/p99 (bit-stable cross-engine, as q_percentiles
     // proves) plus booleans asserting each engine's OWN sketch lands
-    // inside a ±0.05-rank band around the true quantile — the booleans,
+    // inside a rank band around the true quantile — the booleans,
     // not the sketches, are the cross-engine contract (q_approx_dau
     // pattern; Spark and DuckDB sketch with different algorithms).
+    // Both engines merge sketch partials in nondeterministic order, so a
+    // sketch value can wobble slightly between runs; the a99 band's lower
+    // edge carries extra margin (0.90-rank, not 0.94) so an excursion
+    // near the edge can't flip the pinned boolean intermittently
+    // (ADVICE r6 — the a50 band keeps ±0.05: p50 sits in the value
+    // distribution's dense region where the sketch is tightest).
     "q_approx_percentiles" -> { (s, dir) =>
       import s.implicits._
       load(s, dir, "events")
         .groupBy($"event_type")
         .agg(
           count(lit(1)).as("n"),
-          expr("percentile(value, array(0.45, 0.5, 0.55, 0.94, 0.99))").as("ex"),
+          expr("percentile(value, array(0.45, 0.5, 0.55, 0.90, 0.99))").as("ex"),
           expr("approx_percentile(value, 0.5, 10000)").as("a50"),
           expr("approx_percentile(value, 0.99, 10000)").as("a99"),
           max($"value").as("v_max"))
@@ -639,7 +645,7 @@ object Analytics {
         |    BETWEEN quantile_cont(value, 0.45) AND quantile_cont(value, 0.55)
         |    AS a50_in_band,
         |  approx_quantile(value, 0.99)
-        |    BETWEEN quantile_cont(value, 0.94) AND MAX(value) AS a99_in_band
+        |    BETWEEN quantile_cont(value, 0.90) AND MAX(value) AS a99_in_band
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_approx_dau" ->

@@ -33,7 +33,14 @@ import org.apache.spark.util.sketch.BloomFilter
   *     always size-compatible, and overflowing the capacity degrades the
   *     false-positive rate — more exact-check work, never a wrong result.
   *     The roll is write-new-then-delete-old, so a crash mid-roll leaves
-  *     two files whose union over-approximates — again harmless.
+  *     two files whose union over-approximates — again harmless. The
+  *     inserted-key count rides in each file's NAME
+  *     (`<uuid>_n<total>.bloom`, summed on roll), so saturation is
+  *     detectable: past ~2× capacity the effective fpp climbs from 1%
+  *     toward ~15% and the "fast path" degrades into probe + near-full
+  *     exact verify — strictly worse than the plain anti-join. [[covered]]
+  *     reports a saturated partition as UNcovered, so ticks fall back to
+  *     the exact path instead (per-sink capacity is a constructor knob).
   *   - OVERWRITES INVALIDATE the sidecar: a bulk rebuild can replace a
   *     partition with rows the old blooms never saw — the one
   *     under-approximating state. Every overwrite writer
@@ -63,11 +70,30 @@ class BloomSidecar(spark: SparkSession, sinkPath: String,
     else f.listStatus(d).toSeq.filter(_.getPath.getName.endsWith(".bloom")).map(_.getPath)
   }
 
+  /** Keys inserted past this budget saturate the fixed-size bloom; the
+    * fast path then does more exact-verify work than the plain anti-join
+    * it replaces, so saturated partitions report uncovered.
+    */
+  private val saturationItems = 2 * expectedItems
+
+  /** Inserted-key count carried in a bloom file's name; a legacy file
+    * without the suffix reads 0 — the count is fallback telemetry, and
+    * under-reading it only delays the fallback, never breaks correctness
+    * (positives are always exactly verified).
+    */
+  private def fileCount(p: Path): Long =
+    "_n(\\d+)\\.bloom$".r.findFirstMatchIn(p.getName)
+      .map(_.group(1).toLong).getOrElse(0L)
+
   /** Every listed partition carries at least one bloom file (and so, by
-    * the write-order invariant, its blooms cover every row in it).
+    * the write-order invariant, its blooms cover every row in it) AND its
+    * recorded insert count is under the saturation budget.
     */
   def covered(partDirs: Seq[String]): Boolean =
-    partDirs.nonEmpty && partDirs.forall(d => bloomFiles(d).nonEmpty)
+    partDirs.nonEmpty && partDirs.forall { d =>
+      val files = bloomFiles(d)
+      files.nonEmpty && files.map(fileCount).sum <= saturationItems
+    }
 
   /** All bloom files of the listed partitions (a partition mid-roll
     * contributes both files; their union over-approximates — safe).
@@ -106,6 +132,13 @@ class BloomSidecar(spark: SparkSession, sinkPath: String,
     */
   def addBatch(keyed: DataFrame, trusted: Boolean = false): Unit = {
     val (n, p) = (expectedItems, fpp)
+    // Null keys or partitions never need bloom coverage — a null join key
+    // never matches the anti-join, so the row is always kept — and they
+    // would break the build (putString(null) NPEs in the task; a null
+    // part dir would file a bloom under "_bloom/null" while partitionBy
+    // writes the Hive default partition). Drop them up front.
+    import org.apache.spark.sql.functions.col
+    val clean = keyed.na.drop(keyed.columns.take(2).toIndexedSeq)
     // Cluster each partition's keys into one task first, THEN build: one
     // bloom ever lives per distinct partition (an aggregateByKey would
     // allocate a full fixed-size bloom per (partition × map-task)
@@ -113,37 +146,40 @@ class BloomSidecar(spark: SparkSession, sinkPath: String,
     // transiently held ~1000 empty 1.2 MB blooms). One extra O(batch)
     // shuffle of (dir, key) pairs buys memory bounded by the affected
     // partition count.
-    import org.apache.spark.sql.functions.col
-    val blooms = keyed.repartition(col(keyed.columns.head)).rdd
+    val blooms = clean.repartition(col(clean.columns.head)).rdd
       .map(r => (r.getString(0), r.getString(1)))
       .mapPartitions { it =>
         val m = scala.collection.mutable.LinkedHashMap[String, BloomFilter]()
+        val cnt = scala.collection.mutable.HashMap[String, Long]()
         it.foreach { case (dir, k) =>
           m.getOrElseUpdate(dir, BloomFilter.create(n, p)).putString(k)
+          cnt(dir) = cnt.getOrElse(dir, 0L) + 1
         }
-        m.iterator
+        m.iterator.map { case (dir, bf) => (dir, (bf, cnt(dir))) }
       }
       .collect()
-    blooms.foreach { case (partDir, bf) =>
+    blooms.foreach { case (partDir, (bf, added)) =>
       val fresh = !fs(dataDir(partDir)).exists(dataDir(partDir))
-      if (trusted || fresh || bloomFiles(partDir).nonEmpty) roll(partDir, bf)
+      if (trusted || fresh || bloomFiles(partDir).nonEmpty) roll(partDir, bf, added)
     }
   }
 
   /** Merge `bf` with the partition's current bloom files into one new
-    * file, then drop the old ones. Write-new-then-delete-old: no state
-    * in the sequence ever under-approximates the partition.
+    * file (cumulative insert count in the name), then drop the old ones.
+    * Write-new-then-delete-old: no state in the sequence ever
+    * under-approximates the partition.
     */
-  private def roll(partDir: String, bf: BloomFilter): Unit = {
+  private def roll(partDir: String, bf: BloomFilter, added: Long): Unit = {
     val old = bloomFiles(partDir)
     old.foreach { p =>
       val in = fs(p).open(p)
       try bf.mergeInPlace(BloomFilter.readFrom(in)) finally in.close()
     }
+    val total = added + old.map(fileCount).sum
     val d = bloomDir(partDir)
     val f = fs(d)
     f.mkdirs(d)
-    val next = new Path(d, s"${java.util.UUID.randomUUID()}.bloom")
+    val next = new Path(d, s"${java.util.UUID.randomUUID()}_n$total.bloom")
     val out = f.create(next, false)
     try bf.writeTo(out) finally out.close()
     old.foreach(p => fs(p).delete(p, false))

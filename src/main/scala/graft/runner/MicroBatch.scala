@@ -36,7 +36,8 @@ import graft.pipeline._
   * nothing here scans or rewrites the full table.
   */
 class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
-                 tableSuffix: String = "") {
+                 tableSuffix: String = "",
+                 bloomExpectedItems: Long = 1L << 20) {
 
   val bronzePath = s"$warehouse/bronze_events$tableSuffix"
   val silverPath = s"$warehouse/user_events_silver$tableSuffix"
@@ -116,8 +117,14 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     readOrEmpty(path, appended.schema)
   }
 
-  private[runner] val silverBloom = new BloomSidecar(spark, silverPath)
-  private[runner] val factBloom = new BloomSidecar(spark, factPath)
+  // `bloomExpectedItems` sizes the per-partition sidecar blooms: a
+  // deployment whose day partitions run ~10^9 rows should raise it (or
+  // accept the saturation fallback to the exact anti-join — see
+  // [[BloomSidecar.covered]]).
+  private[runner] val silverBloom =
+    new BloomSidecar(spark, silverPath, bloomExpectedItems)
+  private[runner] val factBloom =
+    new BloomSidecar(spark, factPath, bloomExpectedItems)
 
   /** Anti-join `batch` against the affected partitions' existing
     * `event_id`s, via the sink's bloom sidecar when every affected
@@ -461,7 +468,7 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     // here data + blooms publish atomically in the swap below, and the
     // next tick's fast path keeps working (no false negatives — the
     // blooms are built from exactly the rows being published).
-    new BloomSidecar(spark, tmp.toString).addBatch(
+    new BloomSidecar(spark, tmp.toString, bloomExpectedItems).addBatch(
       spark.read.parquet(tmp.toString)
         .select(partExpr.as("part"), col("event_id")),
       trusted = true)

@@ -71,6 +71,60 @@ class BloomSidecarSpec extends SparkSpec {
     assert(hits == srcs.filter(bf.mightContainString).toSet)
   }
 
+  test("null keys and null partitions are dropped from the bloom build, rows still dedup-safe") {
+    val sink = tmpDir("bloom_nulls")
+    val part = "created_date=2025-09-18"
+    val sc = new BloomSidecar(spark, sink)
+    // a null event_id (unparseable event surviving silver) and a null
+    // part dir (null year/month/day) used to NPE putString / mis-file
+    // under _bloom/null; both rows are always KEPT by the anti-join (a
+    // null key never matches), so they never need coverage
+    val rows = Seq((part, "n1"), (part, null), (null, "n2"))
+      .toDF("part", "event_id")
+    sc.addBatch(rows) // must not throw
+    assert(sc.covered(Seq(part)))
+    assert(!new java.io.File(s"$sink/_bloom/null").exists())
+    val blooms = sc.load(Seq(part))
+    assert(blooms.exists(_.mightContainString("n1")))
+  }
+
+  test("a saturated sidecar reports uncovered: ticks fall back to the exact anti-join") {
+    val sink = tmpDir("bloom_sat")
+    val part = "created_date=2025-09-19"
+    // capacity 8 → saturation budget 16: past it the probe's fpp has
+    // degraded to where the "fast path" does more exact-verify work than
+    // the plain anti-join it replaces
+    val sc = new BloomSidecar(spark, sink, expectedItems = 8)
+    sc.addBatch((0 until 10).map(i => (part, s"k$i")).toDF("part", "event_id"))
+    assert(sc.covered(Seq(part)), "under budget must stay covered")
+    sc.addBatch((10 until 30).map(i => (part, s"k$i")).toDF("part", "event_id"))
+    assert(!sc.covered(Seq(part)), "past 2x capacity must report uncovered")
+    // the count is cumulative across rolls, carried in the file name
+    val names = new java.io.File(s"$sink/_bloom/$part").listFiles()
+      .map(_.getName).filter(_.endsWith(".bloom"))
+    assert(names.length == 1 && names.head.contains("_n30."), names.mkString(","))
+  }
+
+  test("probe expressions with equal bloom bytes canonicalize equal (CSE-able)") {
+    import org.apache.spark.util.sketch.BloomFilter
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def bytes(keys: String*): Array[Byte] = {
+      val b = BloomFilter.create(100, 0.01); keys.foreach(b.putString)
+      val bos = new java.io.ByteArrayOutputStream(); b.writeTo(bos); bos.toByteArray
+    }
+    val key = Literal("probe-key")
+    val e1 = graft.functions.BloomMightContain(key, bytes("a", "b"))
+    val e2 = graft.functions.BloomMightContain(key, bytes("a", "b"))
+    val e3 = graft.functions.BloomMightContain(key, bytes("different"))
+    // serialized bytes compare by CONTENT (two independently serialized
+    // blooms of the same keys are byte-identical), so Catalyst can
+    // eliminate the common subexpression across the where(probe)/
+    // where(!probe) pair in the tick's anti-join
+    assert(e1 == e2 && e1.semanticEquals(e2))
+    assert(e1.hashCode == e2.hashCode)
+    assert(e1 != e3)
+  }
+
   test("a pre-sidecar partition is never silently claimed: untrusted adds skip it") {
     val sink = tmpDir("bloom_legacy")
     val part = "created_date=2025-09-16"
