@@ -978,9 +978,16 @@ object TextOps {
           (size(col("a.toks")).cast("long") + size(col("b.toks")).cast("long") - $"inter"))
         .where($"jac" >= 0.9)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), $"jac")
+      // fingerprint lookups are CORPUS cardinality (one 16-byte row per
+      // doc): same count gate as the minhash rep tables — broadcast only
+      // small corpora, else shuffle on the pair ids (the parquet count
+      // is metadata-cheap)
+      val nDocs = docs.count()
       adj
-        .join(broadcast(fps.select($"doc_id".as("doc_a"), $"simhash".as("fp_a"))), "doc_a")
-        .join(broadcast(fps.select($"doc_id".as("doc_b"), $"simhash".as("fp_b"))), "doc_b")
+        .join(gateBroadcast(fps.select($"doc_id".as("doc_a"), $"simhash".as("fp_a")),
+          nDocs, BroadcastSetLimit), "doc_a")
+        .join(gateBroadcast(fps.select($"doc_id".as("doc_b"), $"simhash".as("fp_b")),
+          nDocs, BroadcastSetLimit), "doc_b")
         .select($"doc_a", $"doc_b", $"jac",
           (bit_count($"fp_a".bitwiseXOR($"fp_b")) <= HammingBound).as("hamming_ok"))
         .orderBy($"doc_a", $"doc_b")
