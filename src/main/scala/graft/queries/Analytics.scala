@@ -275,6 +275,43 @@ object Analytics {
         .orderBy($"hour_start", $"event_type")
     },
 
+    // AS-OF JOIN — the temporal operator Spark has no native form of
+    // (last-touch attribution: every click/view/error/signup event joins
+    // the SAME user's most recent purchase at-or-before its timestamp).
+    // Deliberately NOT a range join: the scalable composition is
+    // union-tag + ONE per-user window — purchases sort ahead of
+    // same-instant events (ts asc, marker-first, event_id asc) and
+    // last(_, ignoreNulls) carries the latest purchase struct forward.
+    // One shuffle on user_id, one sort within partitions, zero interval
+    // explosion — the plan that survives a 100-TB clickstream, where the
+    // naive l.ts >= m.ts theta-join is quadratic per user. Equal-ts
+    // purchase ties resolve to the max event_id on both engines (the
+    // sort order here; an explicit dedup in the oracle, whose ASOF JOIN
+    // would otherwise pick an arbitrary equal-ts row).
+    "q_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+        .orderBy($"ts".asc, $"is_m".desc, $"event_id".asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      load(s, dir, "events")
+        .select($"event_id", $"event_type", $"user_id", $"ts", $"value",
+          ($"event_type" === "purchase").as("is_m"))
+        .withColumn("m", last(
+          when($"is_m", struct(
+            $"event_id".as("pid"),
+            unix_micros($"ts").as("pus"),
+            $"value".as("pval"))),
+          ignoreNulls = true).over(w))
+        .where(!$"is_m")
+        .select($"event_id", $"event_type", $"user_id",
+          unix_micros($"ts").as("ts_us"),
+          $"m.pid".as("purchase_event_id"),
+          $"m.pus".as("purchase_ts_us"),
+          $"m.pval".as("purchase_value"))
+        .orderBy($"event_id")
+    },
+
     // Percentile aggregates (beyond the reference's AVG-only metrics):
     // exact interpolated percentiles — both engines implement the same
     // (1-f)*lo + f*hi definition over identical doubles. The scale note:
@@ -596,6 +633,31 @@ object Analytics {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
         |  event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS users
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    // DuckDB has a native ASOF JOIN — the ideal oracle for the windowed
+    // composition: same match rule (greatest purchase ts <= event ts per
+    // user), with equal-ts purchases pre-deduped to the max event_id so
+    // both engines resolve ties identically (ASOF alone picks an
+    // arbitrary row among equal-ts matches).
+    "q_asof_join" ->
+      """WITH m0 AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'
+        |), m AS (
+        |  SELECT user_id AS mu, ts AS mts, event_id AS m_event_id,
+        |    value AS m_value
+        |  FROM m0 WHERE rn = 1
+        |)
+        |SELECT l.event_id, l.event_type, l.user_id,
+        |  epoch_us(CAST(l.ts AS TIMESTAMP)) AS ts_us,
+        |  m.m_event_id AS purchase_event_id,
+        |  epoch_us(CAST(m.mts AS TIMESTAMP)) AS purchase_ts_us,
+        |  m.m_value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+        |ASOF LEFT JOIN m ON l.user_id = m.mu AND l.ts >= m.mts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,
