@@ -312,6 +312,52 @@ object Analytics {
         .orderBy($"event_id")
     },
 
+    // RANGE JOIN (interval containment) — the other temporal join Spark
+    // has no native form of: every purchase opens a 30-minute attribution
+    // window [ts, ts+30m), and each window aggregates the OTHER events
+    // that fall inside it (any user — a pure temporal range join, not the
+    // per-user as-of above). A naive `p.ts BETWEEN w.lo AND w.hi` join
+    // plans as BroadcastNestedLoopJoin — O(events × windows), dead at
+    // 100 TB. The scalable composition buckets time by the window span:
+    // each point lands in exactly ONE bucket (ts div 30m) and each window
+    // explodes to the ≤2 buckets it overlaps, so the candidate join is a
+    // plain shuffled equi-join on the bucket key with a residual
+    // containment filter — each true (point, window) pair meets exactly
+    // once (in the point's bucket), no dedup needed. AQE handles bucket
+    // skew (a flash-sale minute) like any other shuffle key. Empty
+    // windows are kept via a left join back to the window list, matching
+    // the oracle's LEFT-JOIN-then-GROUP shape. Sum is exact decimal then
+    // one cast to double (the moneySum idiom) so engines agree bit-wise.
+    "q_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val bwUs = 1800000000L // bucket width == window span (30 min, µs)
+      val ev = load(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type",
+          unix_micros($"ts").as("ts_us"), $"value")
+      val windows = ev.where($"event_type" === "purchase")
+        .select($"event_id".as("window_id"), $"ts_us".as("lo_us"),
+          ($"ts_us" + bwUs).as("hi_us"))
+      val points = ev.where($"event_type" =!= "purchase")
+        .select($"user_id", $"ts_us", $"value",
+          expr(s"ts_us div $bwUs").as("b"))
+      val pairs = windows
+        .withColumn("b", explode(sequence(
+          expr(s"lo_us div $bwUs"), expr(s"(hi_us - 1) div $bwUs"))))
+        .join(points, Seq("b"))
+        .where($"ts_us" >= $"lo_us" && $"ts_us" < $"hi_us")
+      val agg = pairs.groupBy($"window_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          sum($"value".cast("decimal(18,4)")).cast("double").as("sum_value"))
+      windows.select($"window_id", $"lo_us")
+        .join(agg, Seq("window_id"), "left")
+        .select($"window_id", $"lo_us",
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          coalesce($"n_users", lit(0L)).as("n_users"),
+          coalesce($"sum_value", lit(0.0)).as("sum_value"))
+        .orderBy($"window_id")
+    },
+
     // Percentile aggregates (beyond the reference's AVG-only metrics):
     // exact interpolated percentiles — both engines implement the same
     // (1-f)*lo + f*hi definition over identical doubles. The scale note:
@@ -658,6 +704,28 @@ object Analytics {
         |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
         |ASOF LEFT JOIN m ON l.user_id = m.mu AND l.ts >= m.mts
         |ORDER BY l.event_id""".stripMargin,
+
+    // DuckDB plans the containment predicate as its native IEJoin — an
+    // independent range-join implementation checking the bucketed
+    // composition. Window bounds computed in epoch-µs on both engines.
+    "q_range_join" ->
+      """WITH w AS (
+        |  SELECT event_id AS window_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS lo_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS hi_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), p AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        |  FROM events WHERE event_type <> 'purchase'
+        |)
+        |SELECT w.window_id, w.lo_us,
+        |  COUNT(p.ts_us) AS n_events,
+        |  COUNT(DISTINCT p.user_id) AS n_users,
+        |  COALESCE(CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE), 0.0)
+        |    AS sum_value
+        |FROM w LEFT JOIN p ON p.ts_us >= w.lo_us AND p.ts_us < w.hi_us
+        |GROUP BY 1, 2
+        |ORDER BY window_id""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,

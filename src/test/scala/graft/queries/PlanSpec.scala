@@ -50,6 +50,16 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isDefined, "candidate join not keyed on bucket:\n" + p)
   }
 
+  test("range join keys its candidate join on the time bucket, never a nested loop") {
+    val p = plan("q_range_join")
+    // the containment predicate must ride as a residual filter on a
+    // bucket-keyed equi-join — a BNLJ here is O(events × windows)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[b#".r
+      .findFirstIn(p).isDefined, "candidate join not keyed on bucket:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join planned as a nested loop:\n" + p)
+  }
+
   test("gold dashboards broadcast their dim joins; no shuffle join, no cartesian") {
     Seq("q_gold_dau", "q_gold_wau", "q_gold_lift", "q_gold_heatmap").foreach { q =>
       val p = plan(q)
