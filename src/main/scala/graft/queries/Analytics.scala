@@ -358,6 +358,24 @@ object Analytics {
         .orderBy($"window_id")
     },
 
+    // SKEW-SALTED aggregation (Scale.saltedCount/saltedCountDistinct,
+    // §4): event_type has single-digit cardinality, so a plain
+    // groupBy(event_type).agg(countDistinct(user)) funnels the whole
+    // table through a handful of reducers at 100 TB. The salted pair —
+    // phase-1 partials on (key, salt), phase-2 merge; distinct via a
+    // (key, value)-keyed dedup shuffle — produces the identical result
+    // with no hot reducer. The oracle is the plain GROUP BY: same
+    // numbers, different (scale-safe) plan.
+    "q_salted_agg" -> { (s, dir) =>
+      import s.implicits._
+      val ev = load(s, dir, "events")
+      graft.pipeline.Scale.saltedCount(ev, $"event_type")
+        .join(graft.pipeline.Scale.saltedCountDistinct(ev, $"event_type", $"user_id"), Seq("k"))
+        .select($"k".as("event_type"), $"cnt".as("n_events"),
+          $"n_distinct".as("n_users"))
+        .orderBy($"event_type")
+    },
+
     // Percentile aggregates (beyond the reference's AVG-only metrics):
     // exact interpolated percentiles — both engines implement the same
     // (1-f)*lo + f*hi definition over identical doubles. The scale note:
@@ -726,6 +744,11 @@ object Analytics {
         |FROM w LEFT JOIN p ON p.ts_us >= w.lo_us AND p.ts_us < w.hi_us
         |GROUP BY 1, 2
         |ORDER BY window_id""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,
