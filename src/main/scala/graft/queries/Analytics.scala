@@ -74,6 +74,53 @@ object Analytics {
         .orderBy($"date_s", $"segment_type", $"segment_value")
     },
 
+    // GROUPING SETS — the single-scan twin of q_dau_rollup: Catalyst's
+    // Expand emits one row per grouping set from ONE pass over events,
+    // where the UNION ALL shape above re-scans and re-aggregates the
+    // table per level (4 scans at 100 TB; the cache that hides it on a
+    // test box doesn't exist for a cold 100-TB table). grouping_id()
+    // disambiguates levels — with grouping columns (d, user_segment,
+    // cooking_style, ab_grp), d is always grouped so gid ∈ {7,3,5,6}
+    // for the TOTAL/segment/style/ab levels respectively.
+    "q_grouping_sets" -> { (s, dir) =>
+      import s.implicits._
+      enriched(s, dir)
+        .groupingSets(
+          Seq(Seq($"d"), Seq($"d", $"user_segment"),
+            Seq($"d", $"cooking_style"), Seq($"d", $"ab_grp")),
+          $"d", $"user_segment", $"cooking_style", $"ab_grp")
+        .agg(countDistinct($"user_id").as("dau"),
+          count(lit(1)).as("n_events"), grouping_id().as("gid"))
+        .select($"d".cast("string").as("date_s"),
+          when($"gid" === 7, "TOTAL").when($"gid" === 3, "USER_SEGMENT")
+            .when($"gid" === 5, "COOKING_STYLE").otherwise("AB_TEST_GROUP")
+            .as("segment_type"),
+          when($"gid" === 7, "ALL").when($"gid" === 3, $"user_segment")
+            .when($"gid" === 5, $"cooking_style").otherwise($"ab_grp")
+            .as("segment_value"),
+          $"dau", $"n_events")
+        .orderBy($"date_s", $"segment_type", $"segment_value")
+    },
+
+    // SLIDING event-time windows (1 h span, 15 min slide) — the overlap
+    // variant of q_hourly_window's tumbling buckets. Spark's window()
+    // plans an Expand of span/slide = 4 rows per event ahead of the
+    // partial aggregation; that amplification is the documented cost of
+    // exact overlapping distinct-counts (a sum-mergeable metric could
+    // instead aggregate 15-min tumbling partials and roll 4 of them into
+    // each sliding window — but countDistinct partials don't merge by
+    // sum, so the exact form pays the Expand).
+    "q_sliding_window" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .groupBy(window($"ts", "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"))
+        .select(unix_micros($"window.start").as("ws_us"),
+          $"n_events", $"n_users")
+        .orderBy($"ws_us")
+    },
+
     // W4 — weekly actives + LAG WoW growth per segment (WAU.sql:56-61).
     "q_wau_wow" -> { (s, dir) =>
       import s.implicits._
@@ -749,6 +796,40 @@ object Analytics {
       """SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // DuckDB's native GROUPING SETS + GROUPING() mirror the Spark
+    // Expand plan level-for-level.
+    "q_grouping_sets" ->
+      s"""$enrichedCte
+         |SELECT strftime(d, '%Y-%m-%d') AS date_s,
+         |  CASE WHEN GROUPING(user_segment) = 0 THEN 'USER_SEGMENT'
+         |    WHEN GROUPING(cooking_style) = 0 THEN 'COOKING_STYLE'
+         |    WHEN GROUPING(ab_grp) = 0 THEN 'AB_TEST_GROUP'
+         |    ELSE 'TOTAL' END AS segment_type,
+         |  COALESCE(CASE WHEN GROUPING(user_segment) = 0 THEN user_segment
+         |    WHEN GROUPING(cooking_style) = 0 THEN cooking_style
+         |    WHEN GROUPING(ab_grp) = 0 THEN ab_grp END, 'ALL') AS segment_value,
+         |  COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events
+         |FROM e
+         |GROUP BY GROUPING SETS ((d), (d, user_segment),
+         |  (d, cooking_style), (d, ab_grp))
+         |ORDER BY date_s, segment_type, segment_value""".stripMargin,
+
+    // Every event lands in exactly the 4 slide-grid windows
+    // [grid(ts) - k*15min, +1h) for k in 0..3 — same epoch-aligned grid
+    // Spark's window() uses.
+    "q_sliding_window" ->
+      """WITH p AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id FROM events
+        |), x AS (
+        |  SELECT (us // 900000000) * 900000000
+        |      - CAST(k AS BIGINT) * 900000000 AS ws_us,
+        |    user_id
+        |  FROM p CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k)
+        |)
+        |SELECT ws_us, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM x GROUP BY 1 ORDER BY ws_us""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,

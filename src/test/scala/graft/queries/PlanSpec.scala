@@ -60,6 +60,13 @@ class PlanSpec extends SparkSpec {
       "range join planned as a nested loop:\n" + p)
   }
 
+  test("grouping sets plans ONE scan + Expand, not a union of re-scans") {
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"), "grouping sets lost its Expand:\n" + p)
+    assert("FileScan|Scan parquet".r.findAllIn(p).size == 1,
+      "4-level rollup re-scans the table:\n" + p)
+  }
+
   test("gold dashboards broadcast their dim joins; no shuffle join, no cartesian") {
     Seq("q_gold_dau", "q_gold_wau", "q_gold_lift", "q_gold_heatmap").foreach { q =>
       val p = plan(q)
