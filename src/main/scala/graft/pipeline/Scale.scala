@@ -54,4 +54,59 @@ object Scale {
       .distinct() // shuffles on (k, v) — no single-reducer hot key
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_distinct"))
+
+  /** Morton (Z-order) curve value for two numeric columns, each min/max
+    * normalized to `bits` bits and bit-interleaved. Sorting a write by
+    * this single value clusters the file layout in BOTH dimensions, so
+    * parquet min/max (zone-map) stats prune file scans for predicates on
+    * either column — a sort by (a, b) prunes only on `a`. This is the
+    * layout trick behind Delta/Iceberg OPTIMIZE ZORDER, composed here
+    * from plain Catalyst bit ops (shiftright/&/shiftleft — all
+    * codegen'd, no UDF).
+    *
+    * `aMin/aMax/bMin/bMax` are the global ranges (two scalars per
+    * column; callers get them from one cheap agg over the write batch —
+    * write-time metadata, not a per-row driver loop).
+    */
+  def zvalue(a: Column, aMin: Long, aMax: Long,
+             b: Column, bMin: Long, bMax: Long, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 31)
+    def norm(c: Column, lo: Long, hi: Long): Column = {
+      val span = math.max(1L, hi - lo)
+      // scale into [0, 2^bits); Column./ is double division, so cast
+      // back to long for the bit ops (exact: products stay < 2^53);
+      // clamp for values outside the sampled range (late rows)
+      val scaled = ((c.cast("long") - lit(lo)) * lit((1L << bits) - 1) /
+        lit(span.toDouble)).cast("long")
+      greatest(lit(0L), least(lit((1L << bits) - 1L), scaled))
+    }
+    val (na, nb) = (norm(a, aMin, aMax), norm(b, bMin, bMax))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(na, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(nb, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order clustered write: range-partition + sort the batch by the
+    * Morton value of two key columns, so every output file covers a
+    * small rectangle of the (a, b) key space and scans filtered on
+    * EITHER column skip most files on min/max stats alone. `files`
+    * controls output file count (range partitioning keeps them
+    * near-equal-sized regardless of key skew).
+    */
+  def zorderWrite(df: DataFrame, a: String, b: String, outPath: String,
+                  files: Int): Unit = {
+    val r = df.agg(
+      min(col(a).cast("long")), max(col(a).cast("long")),
+      min(col(b).cast("long")), max(col(b).cast("long"))).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"zorderWrite needs a non-empty batch with non-null $a/$b")
+    val z = zvalue(col(a), r.getLong(0), r.getLong(1),
+      col(b), r.getLong(2), r.getLong(3))
+    df.withColumn("_z", z)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(outPath)
+  }
 }

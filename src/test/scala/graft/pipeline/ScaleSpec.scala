@@ -18,6 +18,39 @@ class ScaleSpec extends SparkSpec {
     assert(plain("hot") == 9000L)
   }
 
+  test("z-order layout prunes file scans on BOTH key dimensions") {
+    // 256×256 grid of (a, b) keys, arrival order deliberately hostile
+    // (row id ≡ neither key): a linear (b, a) sort would cluster files
+    // only on b, so any a-predicate touches every file. Z-order must
+    // keep per-file min/max rectangles tight on both.
+    val n = 65536
+    val df = spark.range(n).select(
+      (($"id" * 40503L) % n % 256).as("a"), // Fibonacci-ish scramble
+      (($"id" * 40503L) % n / 256).cast("long").as("b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Scale.zorderWrite(df, "a", "b", dir, files = 16)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getAbsolutePath).toSeq
+    assert(files.size >= 12, s"range partitioning produced ${files.size} files")
+    // per-file zone maps, as a reader would get from parquet footers
+    val zones = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min($"a"), max($"a"), min($"b"), max($"b")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // nothing lost in the rewrite
+    val total = files.map(f => spark.read.parquet(f).count()).sum
+    assert(total == n)
+    def touchedA(lo: Long, hi: Long) = zones.count(z => z._1 <= hi && z._2 >= lo)
+    def touchedB(lo: Long, hi: Long) = zones.count(z => z._3 <= hi && z._4 >= lo)
+    // a narrow range on EITHER dimension must skip most files — the
+    // property a single-column sort cannot give for the other column
+    assert(touchedA(96, 103) <= files.size / 2,
+      s"a-range touches ${touchedA(96, 103)} of ${files.size} files")
+    assert(touchedB(96, 103) <= files.size / 2,
+      s"b-range touches ${touchedB(96, 103)} of ${files.size} files")
+  }
+
   test("salted distinct-count equals countDistinct") {
     val df = spark.range(5000)
       .select(($"id" % 3).cast("string").as("k"), ($"id" % 97).as("v"))
