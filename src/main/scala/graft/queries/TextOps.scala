@@ -904,6 +904,61 @@ object TextOps {
         .orderBy($"source")
     },
 
+    // Temperature-based corpus mixing (the T5/PaLM α-mixing scheme,
+    // beyond q_sample_mix's fixed tier rates): per-source keep-rate
+    // r_i = sqrt(n_min / n_i) (α = 0.5 — the smallest source keeps
+    // everything, larger sources keep a sqrt-damped fraction, flattening
+    // the mixture toward uniform). Rates derive from one tiny per-source
+    // count aggregate (source cardinality — the global-min window runs
+    // over THAT frame, whitelisted in PlanSpec); the keep decision is
+    // the same deterministic md5-threshold used by every sampler here,
+    // compared in hex-string space (floor(r·16⁶) → 6-char lowercase hex)
+    // so neither engine parses hex to int. Broadcast-joined back to the
+    // corpus: one narrow pass over docs, no corpus-wide shuffle.
+    "q_temperature_mix" -> { (s, dir) =>
+      import s.implicits._
+      val docs = load(s, dir, "documents")
+        .withColumn("n_toks", size(split($"text", " ")).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      val rates = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
+        .withColumn("rate",
+          sqrt(min($"n_src").over(w).cast("double") / $"n_src"))
+        .withColumn("thr", lpad(lower(hex(
+          floor($"rate" * 16777216L).cast("long"))), 6, "0"))
+      docs.join(broadcast(rates), Seq("source"))
+        .withColumn("kept", $"rate" >= 1.0 ||
+          substring(md5(concat(lit("graft-temp-v1:"),
+            $"doc_id".cast("string"))), 1, 6) < $"thr")
+        .groupBy($"source", $"n_src", $"rate")
+        .agg(sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"kept", $"n_toks").otherwise(0L)).as("tokens_kept"))
+        .select($"source", $"n_src".as("n_total"), $"rate",
+          $"n_kept", $"tokens_kept")
+        .orderBy($"source")
+    },
+
+    // Document chunking for embedding/RAG and training windows: fixed
+    // 64-token chunks on a 48-token stride (16-token overlap), one row
+    // per (doc, chunk). Pure narrow map: explode(sequence) with a
+    // bounded factor n_toks/stride, array slice, no shuffle until the
+    // presentation sort. Chunk text is pinned by md5 rather than
+    // emitted (the oracle must rebuild byte-identical chunks to match).
+    "q_chunk_text" -> { (s, dir) =>
+      import s.implicits._
+      val (size_, stride) = (64, 48)
+      load(s, dir, "documents")
+        .withColumn("toks", split($"text", " "))
+        .withColumn("n_toks", size($"toks").cast("long"))
+        .withColumn("chunk_idx", explode(sequence(
+          lit(0L), floor(($"n_toks" - 1) / stride).cast("long"))))
+        .withColumn("chunk",
+          slice($"toks", ($"chunk_idx" * stride + 1).cast("int"), lit(size_)))
+        .select($"doc_id", $"chunk_idx",
+          size($"chunk").cast("long").as("n_chunk_toks"),
+          md5(array_join($"chunk", " ")).as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
     // PII scrubbing — regex masking of emails/phones with per-doc audit
     // counts. The corpus carries no PII, so the query plants it
     // deterministically first (doc_id % 3 → an email, doc_id % 5 → a
@@ -1363,6 +1418,53 @@ object TextOps {
         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / COUNT(*) AS kept_pct,
         |  CAST(SUM(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // sqrt/division over the same integers produce bit-identical IEEE
+    // doubles on both engines, so `rate` compares exactly; the keep
+    // threshold is the same 6-hex-digit floor on both sides.
+    "q_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT source, n_src,
+        |    sqrt(CAST((SELECT MIN(n_src) FROM c) AS DOUBLE) / n_src) AS rate
+        |  FROM c
+        |), t AS (
+        |  SELECT *, lpad(lower(hex(CAST(floor(rate * 16777216) AS BIGINT))),
+        |    6, '0') AS thr
+        |  FROM r
+        |), d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    substr(md5('graft-temp-v1:' || CAST(doc_id AS VARCHAR)), 1, 6) AS h6
+        |  FROM documents
+        |)
+        |SELECT d.source, t.n_src AS n_total, t.rate,
+        |  CAST(SUM(CASE WHEN t.rate >= 1.0 OR d.h6 < t.thr
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN t.rate >= 1.0 OR d.h6 < t.thr
+        |    THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept
+        |FROM d JOIN t ON d.source = t.source
+        |GROUP BY 1, 2, 3 ORDER BY d.source""".stripMargin,
+
+    // DuckDB rebuilds the identical chunks via UNNEST of a per-row
+    // generate_series list + 1-based inclusive list_slice.
+    "q_chunk_text" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), x AS (
+        |  SELECT doc_id, toks,
+        |    UNNEST(generate_series(0, (n_toks - 1) // 48)) AS idx
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, idx * 48 + 1, idx * 48 + 64)) AS BIGINT)
+        |    AS n_chunk_toks,
+        |  md5(array_to_string(list_slice(toks, idx * 48 + 1, idx * 48 + 64),
+        |    ' ')) AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_pii_scrub" ->
       """WITH p AS (

@@ -97,6 +97,9 @@ class PlanSpec extends SparkSpec {
       "q_dim_refresh" -> "fixture dim SK assignment over part keys",
       // W6: global MIN/MAX OVER () on a 168-row (hour x dow) aggregate
       "q_heatmap_norm" -> "global min/max over bounded aggregate",
+      // global MIN over the per-source count aggregate (source
+      // cardinality — tens of rows, never corpus rows)
+      "q_temperature_mix" -> "global min over per-source counts",
       // same W6 normalization through the gold layer (168-row aggregate)
       "q_gold_timeheat" -> "global min/max over bounded aggregate")
     graft.SparkEntry.queries.keys.foreach { q =>
