@@ -423,6 +423,24 @@ object Analytics {
         .orderBy($"event_type")
     },
 
+    // Z-ORDER value — oracle-gates the exact bit math behind
+    // Scale.zorderWrite's layout clustering (ScaleSpec proves the file
+    // pruning; this pins the Morton curve itself): both key dimensions
+    // reduced to a known 0..255 range, normalized and bit-interleaved
+    // per event. The oracle recomputes the identical interleave from
+    // DuckDB's bit operators; floor() is explicit there because DuckDB's
+    // double→BIGINT cast rounds where Spark's truncates. Pure narrow
+    // map — no shuffle until the presentation sort.
+    "q_zorder_value" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .withColumn("a", $"user_id" % 256)
+        .withColumn("b", expr("(unix_micros(ts) div 86400000000) % 256"))
+        .withColumn("z", graft.pipeline.Scale.zvalue($"a", 0, 255, $"b", 0, 255))
+        .select($"event_id", $"a", $"b", $"z")
+        .orderBy($"event_id")
+    },
+
     // Percentile aggregates (beyond the reference's AVG-only metrics):
     // exact interpolated percentiles — both engines implement the same
     // (1-f)*lo + f*hi definition over identical doubles. The scale note:
@@ -796,6 +814,27 @@ object Analytics {
       """SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_zorder_value" -> {
+      // the 16-bit Morton interleave, spelled out in DuckDB bit ops
+      val zTerms = (0 until 16).map(i =>
+        s"(((na >> $i) & 1) << ${2 * i}) | (((nb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH x AS (
+         |  SELECT event_id,
+         |    CAST(user_id % 256 AS BIGINT) AS a,
+         |    CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 256
+         |      AS BIGINT) AS b
+         |  FROM events
+         |), n AS (
+         |  SELECT event_id, a, b,
+         |    CAST(floor((a * 65535) / 255.0) AS BIGINT) AS na,
+         |    CAST(floor((b * 65535) / 255.0) AS BIGINT) AS nb
+         |  FROM x
+         |)
+         |SELECT event_id, a, b, ($zTerms) AS z
+         |FROM n ORDER BY event_id""".stripMargin
+    },
 
     // DuckDB's native GROUPING SETS + GROUPING() mirror the Spark
     // Expand plan level-for-level.
