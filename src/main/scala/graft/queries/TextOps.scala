@@ -1046,6 +1046,59 @@ object TextOps {
         .select($"doc_a", $"doc_b", $"jac",
           (bit_count($"fp_a".bitwiseXOR($"fp_b")) <= HammingBound).as("hamming_ok"))
         .orderBy($"doc_a", $"doc_b")
+    },
+
+    // Char-trigram language ID, Cavnar–Trenkle rank profiles: train a
+    // top-K trigram profile per language on the md5-designated train
+    // split (same engine-independent routing as q_split_hash), weight
+    // each profile trigram by rank (top gram = K … Kth gram = 1, so
+    // every language's profile carries the same total mass — raw corpus
+    // frequencies would just elect the biggest training language), then
+    // classify every document by the rank-weight sum of its distinct
+    // trigrams with deterministic tie-breaks (score desc, lang asc;
+    // gram-free docs fall out as 'und'). All-integer math end to end —
+    // no float divergence between engines. Scale: profile training
+    // shuffles on (lang, gram) with map-side partials over the train
+    // SAMPLE only; the profile is bounded by construction (#langs × K
+    // rows — broadcast is safe at any corpus size, unlike the
+    // count-gated corpus-cardinality tables above); classification is
+    // one narrow trigram explode + broadcast join + a doc_id-keyed
+    // argmax shuffle. On this synthetic same-vocab corpus the
+    // PREDICTIONS are noise by design — the gate pins the pipeline's
+    // determinism, not model accuracy.
+    "q_lang_id" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val profK = 200
+      val docs = load(s, dir, "documents")
+      val grams = docs
+        .where(length($"text") >= 3)
+        .select($"doc_id", $"lang",
+          explode(array_distinct(transform(
+            sequence(lit(1), length($"text") - 2),
+            i => $"text".substr(i, lit(3))))).as("gram"))
+      val trainHex = Seq("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
+      val profile = grams
+        .where(substring(md5(concat(lit("graft-split-v1:"),
+          $"doc_id".cast("string"))), 1, 1).isin(trainHex: _*))
+        .groupBy($"lang".as("plang"), $"gram")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"plang").orderBy($"cnt".desc, $"gram")))
+        .where($"rn" <= profK)
+        .select($"plang", $"gram", (lit(profK + 1) - $"rn").cast("long").as("w"))
+      val best = grams.join(broadcast(profile), "gram")
+        .groupBy($"doc_id", $"plang")
+        .agg(sum($"w").as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")))
+        .where($"rn" === 1)
+      docs.select($"doc_id", $"lang")
+        .join(best.select($"doc_id", $"plang", $"score"), Seq("doc_id"), "left")
+        .select($"doc_id", $"lang",
+          coalesce($"plang", lit("und")).as("pred_lang"),
+          coalesce($"score", lit(0L)).as("score"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -1509,6 +1562,43 @@ object TextOps {
         |    ELSE 'ok' END AS quality,
         |  CASE WHEN n_stop * 20 >= n_tokens THEN 'en_like'
         |    ELSE 'other' END AS predicted_lang
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Same rank-profile classifier in DuckDB: trigrams via
+    // unnest(generate_series), identical md5 train routing, identical
+    // integer rank weights and tie-breaks.
+    "q_lang_id" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id, lang, substr(text, i, 3) AS gram
+        |  FROM (SELECT doc_id, lang, text,
+        |          unnest(generate_series(1, length(text)-2)) AS i
+        |        FROM documents WHERE length(text) >= 3)
+        |),
+        |counts AS (
+        |  SELECT lang AS plang, gram, COUNT(*) AS cnt
+        |  FROM grams
+        |  WHERE substr(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |    IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |  GROUP BY 1, 2
+        |),
+        |profile AS (
+        |  SELECT plang, gram, CAST(201 - rn AS BIGINT) AS w FROM (
+        |    SELECT plang, gram,
+        |      row_number() OVER (PARTITION BY plang ORDER BY cnt DESC, gram) AS rn
+        |    FROM counts) WHERE rn <= 200
+        |),
+        |best AS (
+        |  SELECT doc_id, plang, score FROM (
+        |    SELECT doc_id, plang, score,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+        |    FROM (
+        |      SELECT g.doc_id, p.plang, CAST(SUM(p.w) AS BIGINT) AS score
+        |      FROM grams g JOIN profile p USING (gram)
+        |      GROUP BY 1, 2)) WHERE rn = 1
+        |)
+        |SELECT d.doc_id, d.lang, COALESCE(b.plang, 'und') AS pred_lang,
+        |  CAST(COALESCE(b.score, 0) AS BIGINT) AS score
+        |FROM documents d LEFT JOIN best b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 }
