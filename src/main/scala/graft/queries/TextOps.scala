@@ -1099,6 +1099,45 @@ object TextOps {
           coalesce($"plang", lit("und")).as("pred_lang"),
           coalesce($"score", lit(0L)).as("score"))
         .orderBy($"doc_id")
+    },
+
+    // Winnowing document fingerprints (the MOSS rolling-hash scheme,
+    // Schleimer/Wilkerson/Aiken 2003): hash every char 8-gram, keep the
+    // minimum hash of each 16-gram window — any shared substring of
+    // length ≥ k+w-1 = 23 chars is GUARANTEED to surface as a shared
+    // fingerprint, which is what token-set methods (MinHash/Jaccard
+    // above) structurally cannot promise. Hashes live in md5-hex STRING
+    // space so the window minimum is a lexicographic compare — the one
+    // total order both engines implement identically (same trick as the
+    // md5-threshold sampling in q_sample_mix); a production variant
+    // would swap in a 64-bit rolling Rabin hash via a native Expression,
+    // same plumbing. Per-doc selection is a narrow higher-order-function
+    // map (no shuffle); the only shuffles are the fingerprint-keyed
+    // share count and the doc_id re-aggregation — both linear in
+    // selected fingerprints (~n/w per doc, 2/(w+1) density in
+    // expectation). On this synthetic small-vocab corpus nearly every
+    // doc shares some 8-gram, so the dup flag saturating true is a data
+    // artifact; n_shared/n_fp carries the real per-doc signal.
+    "q_winnow_fp" -> { (s, dir) =>
+      import s.implicits._
+      val k = 8; val w = 16
+      val fps = load(s, dir, "documents")
+        .where(length($"text") >= k + w - 1)
+        .withColumn("grams", transform(
+          sequence(lit(1), length($"text") - (k - 1)),
+          i => md5($"text".substr(i, lit(k)))))
+        .select($"doc_id", explode(array_distinct(transform(
+          sequence(lit(1), size($"grams") - (w - 1)),
+          j => array_min(slice($"grams", j, lit(w)))))).as("fp"))
+      val shareCounts = fps.groupBy($"fp")
+        .agg(countDistinct($"doc_id").as("n_docs"))
+      fps.join(shareCounts, "fp")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_fp"),
+          sum(when($"n_docs" > 1, 1L).otherwise(0L)).as("n_shared"))
+        .select($"doc_id", $"n_fp", $"n_shared",
+          ($"n_shared" * 2 >= $"n_fp").as("substring_dup"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -1599,6 +1638,33 @@ object TextOps {
         |SELECT d.doc_id, d.lang, COALESCE(b.plang, 'und') AS pred_lang,
         |  CAST(COALESCE(b.score, 0) AS BIGINT) AS score
         |FROM documents d LEFT JOIN best b USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Same winnowing selection via DuckDB list comprehensions: md5-hex
+    // 8-gram hashes, inclusive 1-based list slice [j : j+15] = Spark
+    // slice(grams, j, 16), lexicographic list min.
+    "q_winnow_fp" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    [md5(substr(text, i, 8)) for i in generate_series(1, length(text)-7)]
+        |      AS grams
+        |  FROM documents WHERE length(text) >= 23
+        |),
+        |f AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [list_aggregate(grams[j:j+15], 'min')
+        |     for j in generate_series(1, len(grams)-15)])) AS fp
+        |  FROM g
+        |),
+        |shared AS (
+        |  SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM f GROUP BY fp
+        |)
+        |SELECT f.doc_id, COUNT(*) AS n_fp,
+        |  CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 2 >= COUNT(*)
+        |    AS substring_dup
+        |FROM f JOIN shared s USING (fp)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

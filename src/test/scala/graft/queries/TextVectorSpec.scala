@@ -304,6 +304,37 @@ class TextVectorSpec extends SparkSpec {
       .select($"media_id", $"meta.n_bytes".as("n_bytes"))
     assert(batch.select("media_id", "n_bytes").except(meta).count() == 0)
   }
+
+  test("winnowing guarantee: a >=23-char shared substring always yields a shared fp") {
+    // k=8, w=16 → guarantee length k+w-1 = 23: any shared substring of
+    // that length contains one full window of identical 8-grams, whose
+    // minimum is selected in BOTH documents. Construct: A and B share an
+    // exactly-23-char run inside otherwise-different text; C is written
+    // in a disjoint alphabet (digits), sharing no 8-gram with anyone.
+    val shared = "the quick brown fox jum" // 23 chars
+    assert(shared.length == 23)
+    val docs = Seq(
+      (0L, s"aaaa bbbb cccc dddd eeee $shared ffff gggg hhhh iiii jjjj"),
+      (1L, s"zzzz yyyy xxxx wwww vvvv $shared uuuu tttt ssss rrrr qqqq"),
+      (2L, "0123456789 9876543210 0011223344 4433221100 5566778899 1234567890")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src_t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = tmpDir("winnow")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntryAccess.run(spark, "q_winnow_fp", dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(0L)._2 >= 1, "doc A must share a fingerprint with doc B")
+    assert(out(1L)._2 >= 1, "doc B must share a fingerprint with doc A")
+    assert(out(2L)._2 == 0, "disjoint-alphabet doc C must share nothing")
+    assert(!out(2L)._3 && out.values.forall(_._1 > 0))
+    // deterministic end to end
+    val again = SparkEntryAccess.run(spark, "q_winnow_fp", dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out == again)
+  }
 }
 
 /** Test-only access to SparkEntry queries by name. */
