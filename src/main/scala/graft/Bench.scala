@@ -303,6 +303,54 @@ object Bench {
     }
     single("streaming_tick") { streamingTick() }
 
+    // Co-bucketed vs shuffle join on identical data: the same fact ×
+    // per-user-profile equi-join read once from plain parquet (both
+    // sides re-shuffle every run) and once from co-bucketed tables
+    // (shuffle paid at the untimed write; the scan itself reports
+    // HashPartitioning so the SMJ plans with zero Exchange — asserted in
+    // CatalogBulkSpec). Broadcast is disabled for both so the pair
+    // isolates exactly the shuffle cost that bucketing amortizes away —
+    // at 100 TB this is the fact × fact join shape (retention, corpus
+    // probe) where neither side ever broadcasts.
+    def bucketedVsShuffleJoin(): Unit = {
+      import org.apache.spark.sql.functions._
+      val db = "graft_bench_bucket"
+      val whDir = java.nio.file.Files.createTempDirectory("graft_bench_bkt").toString
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      spark.sql(s"CREATE DATABASE $db")
+      val rep = 16
+      val events0 = Tables.load(spark, sfDir, "events")
+      val fact = events0.select(col("user_id"), col("event_type"), col("value"))
+        .crossJoin(spark.range(rep).select(col("id").as("rep"))).drop("rep")
+      val profile = events0.groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("n_types"),
+          sum(col("value")).as("total"))
+      fact.write.mode("overwrite").parquet(s"$whDir/fact_plain")
+      profile.write.mode("overwrite").parquet(s"$whDir/prof_plain")
+      graft.pipeline.Bucketed.writeBucketed(fact, s"$db.fact_b", "user_id", cpus.toInt)
+      graft.pipeline.Bucketed.writeBucketed(profile, s"$db.prof_b", "user_id", cpus.toInt)
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        releaseAll()
+        single("join_shuffle") { time { exec(
+          spark.read.parquet(s"$whDir/fact_plain").join(
+            spark.read.parquet(s"$whDir/prof_plain"), Seq("user_id"))) } }
+        single("join_bucketed") { time { exec(
+          graft.pipeline.Bucketed.bucketJoin(spark,
+            s"$db.fact_b", s"$db.prof_b", "user_id")) } }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(whDir))
+        releaseAll()
+      }
+    }
+    if (only.forall(o => o.contains("join_shuffle") || o.contains("join_bucketed")))
+      bucketedVsShuffleJoin()
+
     val loadEnd = loadavg()
     val memEnd = memAvailMb()
     // A query is contended when even its two FASTEST runs disagree >2×

@@ -79,6 +79,54 @@ class CatalogBulkSpec extends SparkSpec {
       dr("cooking_time") =!= master("cooking_time")).count() == 0)
   }
 
+  test("co-bucketed join and aggregation plan with zero shuffle exchanges") {
+    spark.sql("DROP DATABASE IF EXISTS graft_bucket_db CASCADE")
+    Catalog.ensureDatabase(spark, "graft_bucket_db")
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", $"event_type", $"value")
+    val users = events.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    Bucketed.writeBucketed(events, "graft_bucket_db.ev_b", "user_id", 8)
+    Bucketed.writeBucketed(users, "graft_bucket_db.us_b", "user_id", 8)
+
+    // force the join shape under test: no broadcast fallback
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketed.bucketJoin(spark, "graft_bucket_db.ev_b",
+        "graft_bucket_db.us_b", "user_id")
+      val jPlan = joined.queryExecution.executedPlan.toString
+      assert(jPlan.contains("SortMergeJoin"),
+        "co-bucketed join not planned as SMJ:\n" + jPlan)
+      assert(!jPlan.contains("Exchange"),
+        "co-bucketed join still shuffles:\n" + jPlan)
+      // same rows as the un-bucketed shuffle join
+      val plain = events.join(users, Seq("user_id"))
+      assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+
+      // groupBy on the bucket key: one HashAggregate, no exchange
+      val agg = spark.table("graft_bucket_db.ev_b")
+        .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      val aPlan = agg.queryExecution.executedPlan.toString
+      assert(!aPlan.contains("Exchange"),
+        "bucketed groupBy still shuffles:\n" + aPlan)
+      assert(agg.exceptAll(users.withColumnRenamed("n_events", "n")).isEmpty)
+
+      // write-side file layout: bucket files bounded by the bucket count
+      // (the pre-repartition keeps one writer task per bucket)
+      val loc = spark.sql("DESCRIBE EXTENDED graft_bucket_db.ev_b")
+        .where($"col_name" === "Location").select("data_type").head.getString(0)
+      val files = Option(new java.io.File(new java.net.URI(loc)).listFiles())
+        .toSeq.flatten.filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty && files.size <= 8,
+        s"${files.size} files for 8 buckets")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("dimRecipeFromMaster reproduces the reference master rename + shape") {
     val master = Seq(
       (7L, "bibimbap", "rice", "veg", "raw", "daily", "easy", 20),
