@@ -14,15 +14,26 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 rejects outright. Read nanos as LONG and convert to a
-    * microsecond TimestampType (integer `div`, no double round-trip — ns
-    * values exceed 2^53). Matches DuckDB, which also truncates ns → µs.
+  /** The `events` table's `ts` encoding has varied across driver
+    * testdata generations: parquet TIMESTAMP(NANOS) (which Spark 4
+    * rejects outright — read nanos as LONG and integer-`div` to a
+    * microsecond timestamp; no double round-trip, ns values exceed
+    * 2^53), or a native microsecond timestamp (isAdjustedToUTC=false →
+    * TIMESTAMP_NTZ in Spark, plain naive TIMESTAMP in DuckDB). Normalize
+    * both to session-zone TimestampType (session tz is pinned UTC
+    * everywhere, so the NTZ cast is wall-clock identity and matches
+    * DuckDB's naive read).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 }

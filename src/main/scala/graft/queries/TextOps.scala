@@ -1065,7 +1065,11 @@ object TextOps {
     // one narrow trigram explode + broadcast join + a doc_id-keyed
     // argmax shuffle. On this synthetic same-vocab corpus the
     // PREDICTIONS are noise by design — the gate pins the pipeline's
-    // determinism, not model accuracy.
+    // determinism, not model accuracy. Trigram extraction is the fused
+    // native CharNGrams expression (one pass, stays in codegen) — the
+    // composed array_distinct/transform/substr chain ran both scans
+    // through the HOF interpreter and dominated the query
+    // (CharNGramsSpec pins set-parity with the composed form).
     "q_lang_id" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -1074,9 +1078,7 @@ object TextOps {
       val grams = docs
         .where(length($"text") >= 3)
         .select($"doc_id", $"lang",
-          explode(array_distinct(transform(
-            sequence(lit(1), length($"text") - 2),
-            i => $"text".substr(i, lit(3))))).as("gram"))
+          explode(graft.functions.CharNGrams($"text", 3)).as("gram"))
       val trainHex = Seq("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
       val profile = grams
         .where(substring(md5(concat(lit("graft-split-v1:"),
@@ -1109,26 +1111,26 @@ object TextOps {
     // above) structurally cannot promise. Hashes live in md5-hex STRING
     // space so the window minimum is a lexicographic compare — the one
     // total order both engines implement identically (same trick as the
-    // md5-threshold sampling in q_sample_mix); a production variant
-    // would swap in a 64-bit rolling Rabin hash via a native Expression,
-    // same plumbing. Per-doc selection is a narrow higher-order-function
-    // map (no shuffle); the only shuffles are the fingerprint-keyed
-    // share count and the doc_id re-aggregation — both linear in
-    // selected fingerprints (~n/w per doc, 2/(w+1) density in
-    // expectation). On this synthetic small-vocab corpus nearly every
-    // doc shares some 8-gram, so the dup flag saturating true is a data
-    // artifact; n_shared/n_fp carries the real per-doc signal.
+    // md5-threshold sampling in q_sample_mix). Per-doc selection is the
+    // fused native `WinnowFingerprints` expression — one O(L) pass with
+    // a monotonic-deque window minimum over raw digests (unsigned byte
+    // order == hex lexicographic order), bit-identical to the
+    // composed md5/transform/slice/array_min chain it replaced
+    // (WinnowFingerprintsSpec pins the equality; the HOF chain walked
+    // the interpreter at O(L·w) and was the slowest registry entry).
+    // The only shuffles are the fingerprint-keyed share count and the
+    // doc_id re-aggregation — both linear in selected fingerprints
+    // (~2/(w+1) of gram count in expectation). On this synthetic
+    // small-vocab corpus nearly every doc shares some 8-gram, so the
+    // dup flag saturating true is a data artifact; n_shared/n_fp
+    // carries the real per-doc signal.
     "q_winnow_fp" -> { (s, dir) =>
       import s.implicits._
       val k = 8; val w = 16
       val fps = load(s, dir, "documents")
         .where(length($"text") >= k + w - 1)
-        .withColumn("grams", transform(
-          sequence(lit(1), length($"text") - (k - 1)),
-          i => md5($"text".substr(i, lit(k)))))
-        .select($"doc_id", explode(array_distinct(transform(
-          sequence(lit(1), size($"grams") - (w - 1)),
-          j => array_min(slice($"grams", j, lit(w)))))).as("fp"))
+        .select($"doc_id", explode(
+          graft.functions.WinnowFingerprints($"text", k, w)).as("fp"))
       val shareCounts = fps.groupBy($"fp")
         .agg(countDistinct($"doc_id").as("n_docs"))
       fps.join(shareCounts, "fp")
