@@ -605,6 +605,81 @@ object Analytics {
         .orderBy($"ts".desc, $"event_id".desc).limit(1)
         .select($"event_id", $"event_type", $"user_id",
           unix_timestamp($"ts").as("ts_unix"))
+    },
+
+    // Statistical aggregate family (corr / covar / stddev — the surface
+    // a metrics layer adds next after AVG): per-event-type second-moment
+    // stats between value and a bounded user bucket. Cross-engine float
+    // determinism via the moment decomposition: every SUM is an EXACT
+    // decimal/bigint (order-independent), each moment is cast to double
+    // ONCE, and mean/stddev/corr are derived from those doubles with the
+    // identical expression tree on both engines — no engine-native
+    // corr()/stddev() whose partial-merge order could flip low bits.
+    // One shuffle on the 5-key groupBy with partial aggregation; the
+    // derivation is a narrow post-agg projection. Scales linearly.
+    "q_stats_moments" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .select($"event_type",
+          $"value".cast("decimal(18,4)").as("x"),
+          ($"user_id" % 100).as("y"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"x").cast("double").as("sx"),
+          sum($"x" * $"x").cast("double").as("sx2"),
+          sum($"y").cast("double").as("sy"),
+          sum($"y" * $"y").cast("double").as("sy2"),
+          sum($"x" * $"y").cast("double").as("sxy"))
+        .select($"event_type", $"n",
+          ($"sx" / $"n").as("mean_v"),
+          sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("stddev_v"),
+          (($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1)).as("covar_vy"),
+          (($"n" * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n" * $"sx2" - $"sx" * $"sx") *
+              sqrt($"n" * $"sy2" - $"sy" * $"sy"))).as("corr_vy"))
+        .orderBy($"event_type")
+    },
+
+    // Fixed-width histogram binning (width_bucket surface): integer
+    // bucket = floor(value/50) over identical input doubles, so bucket
+    // assignment is bit-deterministic on both engines and the output is
+    // pure integer counts. Partial-aggregated single shuffle on
+    // (event_type, bucket) — the standard distribution dashboard at any
+    // scale. Buckets carry their numeric range for the UI.
+    "q_histogram" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .select($"event_type",
+          floor($"value" / 50.0).cast("int").as("bucket"))
+        .groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("n"))
+        .select($"event_type", $"bucket",
+          ($"bucket" * 50).cast("double").as("lo"),
+          (($"bucket" + 1) * 50).cast("double").as("hi"),
+          $"n")
+        .orderBy($"event_type", $"bucket")
+    },
+
+    // Session path mining (product-analytics surface the reference's
+    // funnel queries stop short of): consecutive event-type transitions
+    // within each user-day, counted corpus-wide. The sequence order is
+    // the deterministic total order (ts, event_id) so lag() agrees
+    // across engines even on equal timestamps. One window shuffle keyed
+    // (user_id, d) — user-bounded partitions, never global — then a
+    // 25-key transition aggregate. The 100-TB shape: both shuffles key
+    // on high-cardinality/bounded keys; nothing collects.
+    "q_event_bigrams" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"d").orderBy($"ts", $"event_id")
+      load(s, dir, "events")
+        .withColumn("d", to_date($"ts"))
+        .withColumn("prev_event", lag($"event_type", 1).over(w))
+        .where($"prev_event".isNotNull)
+        .groupBy($"prev_event", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"prev_event", $"event_type")
     }
   )
 
@@ -976,6 +1051,48 @@ object Analytics {
     "q_latest" ->
       """SELECT event_id, event_type, user_id,
         |  CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS ts_unix
-        |FROM events ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin
+        |FROM events ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,
+
+    // Moments as exact decimal/bigint sums, ONE cast to double each,
+    // then the same double-expression tree as the Spark side.
+    "q_stats_moments" ->
+      """WITH m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sx2,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(y * y) AS DOUBLE) AS sy2,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |  FROM (SELECT event_type, CAST(value AS DECIMAL(18,4)) AS x,
+        |          user_id % 100 AS y FROM events)
+        |  GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |  sx / n AS mean_v,
+        |  sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev_v,
+        |  (sxy - sx * sy / n) / (n - 1) AS covar_vy,
+        |  (n * sxy - sx * sy)
+        |    / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr_vy
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS INTEGER) AS bucket,
+        |  CAST(CAST(floor(value / 50.0) AS INTEGER) * 50 AS DOUBLE) AS lo,
+        |  CAST((CAST(floor(value / 50.0) AS INTEGER) + 1) * 50 AS DOUBLE) AS hi,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2, 3, 4 ORDER BY event_type, bucket""".stripMargin,
+
+    "q_event_bigrams" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS prev_event
+        |  FROM events
+        |)
+        |SELECT prev_event, event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM seq WHERE prev_event IS NOT NULL
+        |GROUP BY prev_event, event_type
+        |ORDER BY prev_event, event_type""".stripMargin
   )
 }
