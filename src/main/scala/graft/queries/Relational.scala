@@ -106,6 +106,73 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"),
           moneySum($"o_totalprice").as("total_price"))
         .orderBy($"o_orderstatus")
+    },
+
+    // INTERSECT / EXCEPT distinct-set operators (the U-surface beyond
+    // UNION ALL): high-value purchase users vs high-value error users,
+    // all three set regions tagged in one output. Catalyst plans these
+    // as left-semi / left-anti joins over distinct inputs — one shuffle
+    // per branch on user_id, no global sort until the bounded output.
+    // The 150 cutoff keeps every branch non-empty at all three sfs.
+    "q_set_ops" -> { (s, dir) =>
+      import s.implicits._
+      val e = load(s, dir, "events")
+      def users(t: String) = e
+        .where($"event_type" === t && $"value" > 150.0)
+        .select($"user_id").distinct()
+      val p = users("purchase"); val err = users("error")
+      p.intersect(err).withColumn("op", lit("both"))
+        .unionByName(p.except(err).withColumn("op", lit("purchase_only")))
+        .unionByName(err.except(p).withColumn("op", lit("error_only")))
+        .select($"op", $"user_id")
+        .orderBy($"op", $"user_id")
+    },
+
+    // FULL OUTER join (the one join type the reference never uses but a
+    // metrics-reconciliation layer needs): per-user high-value purchase
+    // stats ⋈ high-value error stats, keeping users present on either
+    // side only. Both inputs aggregate BEFORE the join (user-cardinality
+    // frames), so the full-outer shuffle carries one row per user per
+    // side; no broadcast (full outer can't build-broadcast anyway).
+    "q_full_outer" -> { (s, dir) =>
+      import s.implicits._
+      val e = load(s, dir, "events")
+      val p = e.where($"event_type" === "purchase" && $"value" > 150.0)
+        .groupBy($"user_id").agg(
+          count(lit(1)).as("n_hi_purchase"),
+          moneySum($"value").as("hi_purchase_value"))
+      val err = e.where($"event_type" === "error" && $"value" > 150.0)
+        .groupBy($"user_id").agg(count(lit(1)).as("n_hi_error"))
+      p.join(err, Seq("user_id"), "full_outer")
+        .select($"user_id", $"n_hi_purchase", $"hi_purchase_value",
+          $"n_hi_error",
+          ($"n_hi_purchase".isNotNull && $"n_hi_error".isNotNull)
+            .as("on_both_sides"))
+        .orderBy($"user_id")
+    },
+
+    // Correlated scalar aggregate subquery (TPC-H Q17 shape) — run
+    // through spark.sql so Catalyst's RewriteCorrelatedScalarSubquery
+    // path is exercised (decorrelates to an aggregate + join; the
+    // DataFrame twin would hand-build that join and skip the rewrite).
+    // Revenue of line items under half their part's average quantity.
+    // Cross-engine float determinism: the per-part average is an exact
+    // decimal SUM cast to double once, divided by the exact count — the
+    // moment idiom — so the comparison threshold is bit-identical.
+    "q_corr_subquery" -> { (s, dir) =>
+      val view = s"lineitem_corr_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      load(s, dir, "lineitem").createOrReplaceTempView(view)
+      val out = s.sql(
+        s"""SELECT l_returnflag, COUNT(*) AS n_small,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_rev
+           |FROM $view o
+           |WHERE l_quantity < (
+           |  SELECT 0.5 * (CAST(SUM(CAST(i.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           |                / COUNT(*))
+           |  FROM $view i WHERE i.l_partkey = o.l_partkey)
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      s.catalog.dropTempView(view)
+      out
     }
   )
 
@@ -152,6 +219,45 @@ object Relational {
         |  SELECT o_custkey FROM orders GROUP BY o_custkey
         |  ORDER BY COUNT(*) DESC, o_custkey ASC LIMIT 10)
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q_set_ops" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND value > 150),
+        |e AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'error' AND value > 150)
+        |SELECT 'both' AS op, user_id
+        |  FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+        |UNION ALL
+        |SELECT 'purchase_only', user_id
+        |  FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+        |UNION ALL
+        |SELECT 'error_only', user_id
+        |  FROM (SELECT user_id FROM e EXCEPT SELECT user_id FROM p)
+        |ORDER BY op, user_id""".stripMargin,
+    "q_full_outer" ->
+      """WITH p AS (
+        |  SELECT user_id, COUNT(*) AS n_hi_purchase,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS hi_purchase_value
+        |  FROM events WHERE event_type = 'purchase' AND value > 150
+        |  GROUP BY user_id
+        |), e AS (
+        |  SELECT user_id, COUNT(*) AS n_hi_error
+        |  FROM events WHERE event_type = 'error' AND value > 150
+        |  GROUP BY user_id
+        |)
+        |SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+        |  n_hi_purchase, hi_purchase_value, n_hi_error,
+        |  (n_hi_purchase IS NOT NULL AND n_hi_error IS NOT NULL) AS on_both_sides
+        |FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_corr_subquery" ->
+      """SELECT l_returnflag, COUNT(*) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_rev
+        |FROM lineitem o
+        |WHERE l_quantity < (
+        |  SELECT 0.5 * (CAST(SUM(CAST(i.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |                / COUNT(*))
+        |  FROM lineitem i WHERE i.l_partkey = o.l_partkey)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
