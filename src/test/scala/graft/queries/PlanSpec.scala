@@ -114,6 +114,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned fact joined to a filtered dim prunes partitions dynamically") {
+    // The 100-TB read-path contract for star joins over a partitioned
+    // fact: when the partition-key filter lives on the DIM side (the
+    // usual dashboard shape — "weekend days only", "this campaign's
+    // dates"), the fact scan must prune partitions at RUNTIME from the
+    // broadcast dim values (dynamic partition pruning), not read all
+    // partitions and filter post-scan. Static pruning can't see through
+    // the join; without DPP this plan reads the full fact.
+    // Gotcha pinned here on purpose: the dim-side filter must be one
+    // Catalyst considers "likely selective" (a comparison/In/LIKE — see
+    // PartitionPruning.hasSelectivePredicate). A bare boolean attribute
+    // filter (`.where($"is_weekend")`) is NOT, and silently disables
+    // DPP — so the dim models the flag as a category column.
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graft_dpp")
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("d", to_date(col("ts")))
+      .write.partitionBy("d").mode("overwrite").parquet(s"$dir/fact")
+    spark.range(0, 60)
+      .select(date_add(lit("2024-01-01").cast("date"), col("id").cast("int")).as("d"))
+      .withColumn("day_kind",
+        when(dayofweek(col("d")).isin(1, 7), "weekend").otherwise("weekday"))
+      .write.mode("overwrite").parquet(s"$dir/dim_date")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim_date")
+      .where(col("day_kind") === "weekend")
+    val q = fact.join(broadcast(dim), Seq("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "fact scan has no dynamic partition pruning filter:\n" + p)
+    // and the pruned plan computes the same answer as an explicit filter
+    val viaDpp = q.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    val explicit = fact.join(
+        broadcast(dim.select(col("d"))), Seq("d"), "left_semi")
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(viaDpp == explicit && viaDpp.nonEmpty,
+      s"DPP result mismatch or vacuous: $viaDpp vs $explicit")
+  }
+
   test("no query plans an unbounded quadratic join (cartesian or unlisted BNLJ)") {
     // BroadcastNestedLoopJoin is quadratic in general; it is legitimate
     // ONLY where one side is intentionally tiny/bounded. Anything not on
