@@ -102,6 +102,25 @@ object Analytics {
         .orderBy($"date_s", $"segment_type", $"segment_value")
     },
 
+    // CUBE — the full 2^k grouping power set in ONE Expand pass (the
+    // q_grouping_sets machinery at its limit): every (segment, ab_grp)
+    // combination plus each one-dimension margin plus the grand total,
+    // distinguished by grouping_id. Same scale shape as grouping sets:
+    // one scan, Expand factor 4, partial aggregation before the single
+    // shuffle — where the UNION ALL twin would re-scan 4×.
+    "q_cube" -> { (s, dir) =>
+      import s.implicits._
+      enriched(s, dir)
+        .cube($"user_segment", $"ab_grp")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          grouping_id().as("gid"))
+        .select(coalesce($"user_segment", lit("ALL")).as("segment"),
+          coalesce($"ab_grp", lit("ALL")).as("ab_group"),
+          $"gid", $"n_events", $"n_users")
+        .orderBy($"gid", $"segment", $"ab_group")
+    },
+
     // SLIDING event-time windows (1 h span, 15 min slide) — the overlap
     // variant of q_hourly_window's tumbling buckets. Spark's window()
     // plans an Expand of span/slide = 4 rows per event ahead of the
@@ -910,6 +929,18 @@ object Analytics {
          |SELECT event_id, a, b, ($zTerms) AS z
          |FROM n ORDER BY event_id""".stripMargin
     },
+
+    // DuckDB's CUBE + multi-arg GROUPING() use the same bit order as
+    // Spark's grouping_id (first listed column = most significant bit).
+    "q_cube" ->
+      s"""$enrichedCte
+         |SELECT COALESCE(user_segment, 'ALL') AS segment,
+         |  COALESCE(ab_grp, 'ALL') AS ab_group,
+         |  CAST(GROUPING(user_segment, ab_grp) AS BIGINT) AS gid,
+         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+         |FROM e
+         |GROUP BY CUBE (user_segment, ab_grp)
+         |ORDER BY gid, segment, ab_group""".stripMargin,
 
     // DuckDB's native GROUPING SETS + GROUPING() mirror the Spark
     // Expand plan level-for-level.
