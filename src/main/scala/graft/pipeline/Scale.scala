@@ -23,6 +23,48 @@ object Scale {
       .partitionBy(partitionCols: _*)
       .parquet(outPath)
 
+  /** Scalable running sum — two-phase prefix sum over (group, order)
+    * without ever holding a whole group in one task. A plain
+    * `sum(v) OVER (PARTITION BY group ORDER BY order)` puts each
+    * group's full history through one window task: fine for a quiet
+    * day, an OOM for the hot day at 100 TB. Here the caller supplies a
+    * deterministic coarse BUCKET of the order key — MONOTONIC in the
+    * order within each group (e.g. epoch-hour under a day group;
+    * hour-of-day breaks when a group's rows cross midnight): phase 1
+    * computes local prefixes inside each
+    * (group, bucket) chunk — parallel, bounded tasks — and phase 2
+    * window-sums the per-(group, bucket) TOTALS frame (groups ×
+    * buckets rows, thousands not billions) into per-bucket offsets
+    * joined back. The bucket is derived from the DATA, not
+    * spark_partition_id(), so re-computation of any branch can never
+    * disagree with the chunk assignment (range-partition + partition-id
+    * schemes break exactly there: the exchange's sampled bounds are not
+    * stable across branch recomputation).
+    *
+    * Tie semantics match the single-window form: both use the default
+    * RANGE frame, so order-key peers share one cumulative value (ties
+    * cannot straddle buckets — the bucket is a function of the order
+    * key). ScaleSpec pins equality against the naive window on real
+    * events.
+    */
+  def bucketedRunningSum(df: DataFrame, groupCol: Column, bucketCol: Column,
+                         orderCols: Seq[Column], valueCol: Column,
+                         outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = df.withColumn("__g", groupCol).withColumn("__b", bucketCol)
+    val localW = Window.partitionBy(col("__g"), col("__b")).orderBy(orderCols: _*)
+    val local = staged.withColumn("__local", sum(valueCol).over(localW))
+    val offsetW = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = staged.groupBy(col("__g"), col("__b"))
+      .agg(sum(valueCol).as("__btot"))
+      .withColumn("__off", coalesce(sum(col("__btot")).over(offsetW), lit(0L)))
+      .select(col("__g"), col("__b"), col("__off"))
+    local.join(offsets, Seq("__g", "__b"))
+      .withColumn(outCol, col("__local") + col("__off"))
+      .drop("__g", "__b", "__local")
+  }
+
   /** Two-phase skew-salted aggregation: counts per key where a handful
     * of keys dominate. Phase 1 aggregates on (key, salt) — spreading a
     * hot key over `buckets` reducers — phase 2 merges the partials per

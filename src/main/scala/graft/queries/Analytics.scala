@@ -626,6 +626,61 @@ object Analytics {
           unix_timestamp($"ts").as("ts_unix"))
     },
 
+    // Peak concurrency via sweep-line (interval-overlap aggregation —
+    // the ops-dashboard "max simultaneous open sessions" number): each
+    // event opens a 5-minute presence interval; +1/-1 boundary deltas,
+    // a day-partitioned running sum, then max per day. Determinism:
+    // the window orders by (t, delta) so closes sort before opens at
+    // the same instant (adjacent intervals never overlap), and the
+    // default RANGE frame gives all order-key ties the same cumulative
+    // value on both engines. Scale: the window partitions by day —
+    // bounded, parallel across days; within one hot day the sweep is a
+    // single ordered pass, and the documented 1000×-day upgrade is the
+    // same two-phase prefix sum the SK assigner uses (per-partition
+    // partials + offsets), not a different algorithm.
+    "q_peak_concurrency" -> { (s, dir) =>
+      import s.implicits._
+      val e = load(s, dir, "events").withColumn("d", to_date($"ts"))
+      val deltas = e.select($"d", $"ts".as("t"), lit(1L).as("delta"))
+        .unionByName(e.select($"d",
+          ($"ts" + expr("INTERVAL 5 MINUTES")).as("t"), lit(-1L).as("delta")))
+      val w = Window.partitionBy($"d").orderBy($"t", $"delta")
+      deltas.withColumn("open_now", sum($"delta").over(w))
+        .groupBy($"d")
+        .agg(max($"open_now").as("peak_concurrent"),
+          count(lit(1)).as("n_boundaries"))
+        .select($"d".cast("string").as("date_s"),
+          $"peak_concurrent", $"n_boundaries")
+        .orderBy($"date_s")
+    },
+
+    // The 100-TB twin of q_peak_concurrency: same sweep, but the
+    // running sum goes through Scale.bucketedRunningSum (two-phase
+    // prefix sum chunked by EPOCH-hour — absolute, so the bucket stays
+    // monotonic in t even for end boundaries that spill past midnight
+    // while keeping the start day's group; hour-of-day would wrap to 0
+    // and mis-order them) so no task ever holds a whole day — the
+    // upgrade the simple form's doc promises, gated against the SAME
+    // oracle to prove the decomposition changes nothing.
+    "q_peak_concurrency_scaled" -> { (s, dir) =>
+      import s.implicits._
+      val e = load(s, dir, "events").withColumn("d", to_date($"ts"))
+      val deltas = e.select($"d", $"ts".as("t"), lit(1L).as("delta"))
+        .unionByName(e.select($"d",
+          ($"ts" + expr("INTERVAL 5 MINUTES")).as("t"), lit(-1L).as("delta")))
+      graft.pipeline.Scale.bucketedRunningSum(
+          deltas, groupCol = $"d",
+          bucketCol = floor(unix_timestamp($"t") / 3600),
+          orderCols = Seq($"t", $"delta"), valueCol = $"delta",
+          outCol = "open_now")
+        .groupBy($"d")
+        .agg(max($"open_now").as("peak_concurrent"),
+          count(lit(1)).as("n_boundaries"))
+        .select($"d".cast("string").as("date_s"),
+          $"peak_concurrent", $"n_boundaries")
+        .orderBy($"date_s")
+    },
+
     // Statistical aggregate family (corr / covar / stddev — the surface
     // a metrics layer adds next after AVG): per-event-type second-moment
     // stats between value and a bounded user bucket. Cross-engine float
@@ -1083,6 +1138,42 @@ object Analytics {
       """SELECT event_id, event_type, user_id,
         |  CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS ts_unix
         |FROM events ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,
+
+    // Same sweep: boundary deltas keep the START day's partition (a
+    // presence interval crossing midnight stays in its opening day's
+    // sweep), ties share the RANGE-frame cumulative on both engines.
+    "q_peak_concurrency" ->
+      """WITH deltas AS (
+        |  SELECT CAST(ts AS DATE) AS d, ts AS t, CAST(1 AS BIGINT) AS delta
+        |  FROM events
+        |  UNION ALL
+        |  SELECT CAST(ts AS DATE) AS d, ts + INTERVAL 5 MINUTE AS t,
+        |    CAST(-1 AS BIGINT) AS delta
+        |  FROM events
+        |), swept AS (
+        |  SELECT d, SUM(delta) OVER (PARTITION BY d ORDER BY t, delta) AS open_now
+        |  FROM deltas
+        |)
+        |SELECT strftime(d, '%Y-%m-%d') AS date_s,
+        |  MAX(open_now) AS peak_concurrent, COUNT(*) AS n_boundaries
+        |FROM swept GROUP BY d ORDER BY date_s""".stripMargin,
+
+    // The scaled twin must produce byte-identical output — same oracle.
+    "q_peak_concurrency_scaled" ->
+      """WITH deltas AS (
+        |  SELECT CAST(ts AS DATE) AS d, ts AS t, CAST(1 AS BIGINT) AS delta
+        |  FROM events
+        |  UNION ALL
+        |  SELECT CAST(ts AS DATE) AS d, ts + INTERVAL 5 MINUTE AS t,
+        |    CAST(-1 AS BIGINT) AS delta
+        |  FROM events
+        |), swept AS (
+        |  SELECT d, SUM(delta) OVER (PARTITION BY d ORDER BY t, delta) AS open_now
+        |  FROM deltas
+        |)
+        |SELECT strftime(d, '%Y-%m-%d') AS date_s,
+        |  MAX(open_now) AS peak_concurrent, COUNT(*) AS n_boundaries
+        |FROM swept GROUP BY d ORDER BY date_s""".stripMargin,
 
     // Moments as exact decimal/bigint sums, ONE cast to double each,
     // then the same double-expression tree as the Spark side.

@@ -18,6 +18,52 @@ class ScaleSpec extends SparkSpec {
     assert(plain("hot") == 9000L)
   }
 
+  test("bucketed running sum equals the single-window prefix sum, incl. ties") {
+    // Real events + synthetic TIES (several rows sharing one (t, delta))
+    // and a cross-midnight boundary: the two-phase form must agree with
+    // the naive group-window everywhere, and its plan must contain no
+    // window partitioned by the group alone (the whole point).
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("d", to_date($"ts"))
+    val deltas = e.select($"d", $"ts".as("t"), lit(1L).as("delta"))
+      .unionByName(e.select($"d",
+        ($"ts" + expr("INTERVAL 5 MINUTES")).as("t"), lit(-1L).as("delta")))
+      // duplicate a slice so (t, delta) ties exist
+      .unionByName(e.limit(50).select($"d", $"ts".as("t"), lit(1L).as("delta")))
+    val naiveW = Window.partitionBy($"d").orderBy($"t", $"delta")
+    val naive = deltas.withColumn("open_now", sum($"delta").over(naiveW))
+      .groupBy($"d", $"t", $"delta")
+      .agg(count(lit(1)).as("n"), sum($"open_now").as("s"))
+    val bucketed = Scale.bucketedRunningSum(
+        deltas, groupCol = $"d",
+        bucketCol = floor(unix_timestamp($"t") / 3600),
+        orderCols = Seq($"t", $"delta"), valueCol = $"delta",
+        outCol = "open_now")
+      .groupBy($"d", $"t", $"delta")
+      .agg(count(lit(1)).as("n"), sum($"open_now").as("s"))
+    assert(naive.count() > 0)
+    assert(naive.except(bucketed).count() == 0 &&
+      bucketed.except(naive).count() == 0,
+      "two-phase prefix sum diverges from the single-window form")
+    // no single-task-per-group window in the scaled plan
+    val opt = Scale.bucketedRunningSum(deltas, $"d",
+        floor(unix_timestamp($"t") / 3600),
+        Seq($"t", $"delta"), $"delta", "open_now")
+      .queryExecution.optimizedPlan
+    // group-only windows are OK only over an aggregated (bounded
+    // groups × buckets) frame — the offsets pass; a group-only window
+    // directly over raw rows would be the naive single-task sweep
+    val badWindows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.size == 1 && w.child.find(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]
+        ).isEmpty => w
+    }
+    assert(badWindows.isEmpty,
+      s"scaled form still plans a group-only window over raw rows: $badWindows")
+  }
+
   test("z-order layout prunes file scans on BOTH key dimensions") {
     // 256×256 grid of (a, b) keys, arrival order deliberately hostile
     // (row id ≡ neither key): a linear (b, a) sort would cluster files
