@@ -904,6 +904,27 @@ object TextOps {
         .orderBy($"source")
     },
 
+    // Stratified EXACT-N sampling per (lang, source) stratum — the
+    // per-source cap step of a data recipe (rate samplers like
+    // q_sample_mix can't promise "at most N docs from source X").
+    // Selection order is md5(seed || doc_id): deterministic, unbiased
+    // within the stratum, identical on any engine. Scale: the rank
+    // filter rk <= N lets Spark plan a WindowGroupLimit — each task
+    // keeps a local top-N heap per group BEFORE the full sort, so the
+    // shuffle carries ~N·strata rows, not the corpus (PlanSpec pins the
+    // operator).
+    "q_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ord = md5(concat(lit("graft-strat-v1:"), $"doc_id".cast("string")))
+      val w = Window.partitionBy($"lang", $"source").orderBy(ord, $"doc_id")
+      load(s, dir, "documents")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where($"rk" <= 20)
+        .select($"doc_id", $"lang", $"source", $"rk")
+        .orderBy($"lang", $"source", $"rk")
+    },
+
     // Temperature-based corpus mixing (the T5/PaLM α-mixing scheme,
     // beyond q_sample_mix's fixed tier rates): per-source keep-rate
     // r_i = sqrt(n_min / n_i) (α = 0.5 — the smallest source keeps
@@ -1491,6 +1512,18 @@ object TextOps {
         |)
         |SELECT doc_id, token, tf, df, score, CAST(rn AS BIGINT) AS rank
         |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY md5('graft-strat-v1:' || CAST(doc_id AS VARCHAR)),
+        |        doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 20
+        |ORDER BY lang, source, rk""".stripMargin,
 
     "q_sample_mix" ->
       """WITH d AS (

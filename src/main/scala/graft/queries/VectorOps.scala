@@ -294,6 +294,30 @@ object VectorOps {
         .orderBy($"vec_id")
     },
 
+    // Per-label centroids over EVERY dimension (the k-means/IVF building
+    // block as a first-class op, and the class-prototype step of
+    // embedding-space analysis): posexplode to (label, dim) grain, snap
+    // each element to integer NANO-UNITS via floor(v·1e9) AFTER the
+    // exact float→double widen — floor has NO rounding-tie behavior, so
+    // it is bit-deterministic on identical doubles (a decimal(18,9)
+    // snap hit a half-up vs half-even tie at sf0.1) — sum the bigints
+    // exactly (order-free), divide once in double. One shuffle on
+    // label×dim keys with partial aggregation — linear, no collect; the
+    // output frame is labels × dims, never corpus-sized.
+    "q_embed_centroids" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "embeddings")
+        .select($"label".cast("long").as("label"),
+          posexplode(asDouble($"embedding")).as(Seq("idx0", "v")))
+        .select($"label", ($"idx0" + 1).cast("long").as("idx"),
+          floor($"v" * 1e9).as("vs_nano"))
+        .groupBy($"label", $"idx")
+        .agg(count(lit(1)).as("n"), sum($"vs_nano").as("sum_nano"))
+        .select($"label", $"idx", $"n", $"sum_nano",
+          ($"sum_nano".cast("double") / 1e9 / $"n").as("mean_v"))
+        .orderBy($"label", $"idx")
+    },
+
     // Per-label embedding stats: element means via per-row decimal snap
     // (order-free exact sums), plus vector norms — the "is my embedding
     // column sane" profiling pass.
@@ -394,6 +418,18 @@ object VectorOps {
         |  SELECT cluster_rep, COUNT(*) AS n FROM asg GROUP BY cluster_rep
         |) c ON a.cluster_rep = c.cluster_rep
         |ORDER BY a.vec_id""".stripMargin,
+
+    "q_embed_centroids" ->
+      """WITH flat AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS idx,
+        |    CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1e9) AS BIGINT) AS vs_nano
+        |  FROM embeddings
+        |)
+        |SELECT label, idx, COUNT(*) AS n,
+        |  SUM(vs_nano) AS sum_nano,
+        |  CAST(SUM(vs_nano) AS DOUBLE) / 1e9 / COUNT(*) AS mean_v
+        |FROM flat GROUP BY label, idx ORDER BY label, idx""".stripMargin,
 
     "q_embed_stats" ->
       """WITH emb AS (

@@ -114,6 +114,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("stratified sampler plans a WindowGroupLimit, not a full per-group sort-rank") {
+    // rk <= N over row_number lets Spark keep a local top-N heap per
+    // group before the window sort — the shuffle carries ~N·strata
+    // rows instead of the corpus. Losing this (e.g. by filtering after
+    // a different window function) silently reverts to sorting every
+    // group in full.
+    assert(plan("q_stratified_sample").contains("WindowGroupLimit"),
+      "rank filter did not push into a WindowGroupLimit")
+  }
+
   test("date-partitioned fact joined to a filtered dim prunes partitions dynamically") {
     // The 100-TB read-path contract for star joins over a partitioned
     // fact: when the partition-key filter lives on the DIM side (the
