@@ -626,6 +626,41 @@ object Analytics {
           unix_timestamp($"ts").as("ts_unix"))
     },
 
+    // ORDERED funnel with step deadlines — strict event-sequence
+    // progression (view, then a click within 24 h strictly after it,
+    // then a purchase within 24 h strictly after that), which the
+    // reference's MAX(CASE) funnel can't express: that shape counts a
+    // user who purchased BEFORE ever viewing, and has no step-latency
+    // bound (without the deadline every multi-event user eventually
+    // saturates every stage and the gate stops discriminating). Three
+    // user-keyed min-aggregates, each gated on the previous stage's
+    // timestamp via an equi-join on user_id — all shuffles on user_id
+    // and Catalyst reuses the partitioning across stages; counts and
+    // double ratios are engine-identical. Linear at any scale.
+    "q_ordered_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val e = load(s, dir, "events").select($"user_id", $"event_type", $"ts")
+      val v = e.where($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+      val c = e.where($"event_type" === "click").join(v, "user_id")
+        .where($"ts" > $"v_ts" &&
+          $"ts" <= $"v_ts" + expr("INTERVAL 24 HOURS"))
+        .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+      val p = e.where($"event_type" === "purchase").join(c, "user_id")
+        .where($"ts" > $"c_ts" &&
+          $"ts" <= $"c_ts" + expr("INTERVAL 24 HOURS"))
+        .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+      // 1-row stage counts combined in-plan (the q_scalar_subquery
+      // broadcast pattern — whitelisted 1-row BNLJ, no driver actions)
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+        .select($"n_view", $"n_click_after_view", $"n_purchase_after_click",
+          ($"n_click_after_view" * 100.0 / $"n_view").as("view_to_click_pct"),
+          ($"n_purchase_after_click" * 100.0 / $"n_click_after_view")
+            .as("click_to_purchase_pct"))
+    },
+
     // Peak concurrency via sweep-line (interval-overlap aggregation —
     // the ops-dashboard "max simultaneous open sessions" number): each
     // event opens a 5-minute presence interval; +1/-1 boundary deltas,
@@ -1138,6 +1173,31 @@ object Analytics {
       """SELECT event_id, event_type, user_id,
         |  CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS ts_unix
         |FROM events ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,
+
+    "q_ordered_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS c_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |    AND e.ts <= v.v_ts + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS p_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |    AND e.ts <= c.c_ts + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id
+        |)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |  (SELECT COUNT(*) FROM c) AS n_click_after_view,
+        |  (SELECT COUNT(*) FROM p) AS n_purchase_after_click,
+        |  (SELECT COUNT(*) FROM c) * 100.0 / (SELECT COUNT(*) FROM v)
+        |    AS view_to_click_pct,
+        |  (SELECT COUNT(*) FROM p) * 100.0 / (SELECT COUNT(*) FROM c)
+        |    AS click_to_purchase_pct""".stripMargin,
 
     // Same sweep: boundary deltas keep the START day's partition (a
     // presence interval crossing midnight stays in its opening day's

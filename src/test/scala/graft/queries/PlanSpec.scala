@@ -185,6 +185,8 @@ class PlanSpec extends SparkSpec {
       "q_scalar_subquery",
       // same 1-row pattern: the funnel's raw_n denominator
       "q_data_funnel",
+      // same 1-row pattern: three stage-count aggregates combined
+      "q_ordered_funnel",
       // same 1-row pattern: the corpus-size N in the idf ratio
       "q_tfidf")
     graft.SparkEntry.queries.keys.foreach { q =>
