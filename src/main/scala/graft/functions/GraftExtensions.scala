@@ -10,8 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.heavyHittersDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -20,10 +22,24 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
     (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)))
 
+  // the analyzer wraps a bare AggregateFunction from the registry in
+  // its AggregateExpression, so the builder returns the function
+  private val heavyHittersBuilder = (exprs: Seq[Expression]) =>
+    HeavyHitters(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue())
+
+  private val heavyHittersDescriptor = (
+    FunctionIdentifier("heavy_hitters"),
+    new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
+    heavyHittersBuilder)
+
   /** Imperative twin of the extensions hook for already-built sessions. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "heavy_hitters", heavyHittersBuilder, "built-in")
+  }
 }

@@ -861,6 +861,38 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // Heavy-hitter token frequencies via the NATIVE Misra-Gries
+    // aggregate (functions.HeavyHitters, a TypedImperativeAggregate —
+    // the one-pass, k-counters-per-partial answer to "top tokens"
+    // where exact counting shuffles every distinct token of a 100-TB
+    // vocabulary). The sketch buffer is arrival-order-dependent, so
+    // the gate pins its ORDER-INDEPENDENT guarantees as booleans
+    // against in-query exact counts (ANN-recall contract style): every
+    // token with true count > N/(k+1) per lang must be captured,
+    // under-estimated, and within the N/(k+1) bound — all in integer
+    // arithmetic, no division. HeavyHittersSpec pins the lossy regime
+    // (k ≪ vocab, adversarial interleave) where the oracle can't.
+    "q_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val k = 64
+      val toks = load(s, dir, "documents")
+        .select($"lang", explode(split($"text", " ")).as("tok"))
+        .where(length($"tok") > 0)
+      val totals = toks.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+      val exact = toks.groupBy($"lang", $"tok").agg(count(lit(1)).as("n_tok"))
+      val sk = toks.groupBy($"lang")
+        .agg(graft.functions.HeavyHitters($"tok", k).as("hh"))
+        .select($"lang", explode($"hh").as(Seq("tok", "est")))
+      exact.join(totals, "lang")
+        .where($"n_tok" * (k + 1) > $"n_l")
+        .join(sk, Seq("lang", "tok"), "left")
+        .select($"lang", $"tok", $"n_tok",
+          $"est".isNotNull.as("captured"),
+          ($"est" <= $"n_tok").as("under_est"),
+          (($"n_tok" - $"est") * (k + 1) <= $"n_l").as("within_bound"))
+        .orderBy($"lang", $"tok")
+    },
+
     // Vocabulary building — the tokenizer-training precursor: global
     // token counts, top-100 with a deterministic (count DESC, token ASC)
     // tiebreak so the cut is stable cross-engine. Classic wordcount shape:
@@ -1493,6 +1525,24 @@ object TextOps {
       """SELECT token, COUNT(*) AS n_occurrences
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+
+    // The Misra-Gries guarantees hold for ANY arrival order, so the
+    // oracle states them as literal truths over the exact counts.
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT lang, tok FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE len(tok) > 0
+        |), tot AS (
+        |  SELECT lang, COUNT(*) AS n_l FROM t GROUP BY lang
+        |), ex AS (
+        |  SELECT lang, tok, COUNT(*) AS n_tok FROM t GROUP BY lang, tok
+        |)
+        |SELECT ex.lang, ex.tok, ex.n_tok,
+        |  TRUE AS captured, TRUE AS under_est, TRUE AS within_bound
+        |FROM ex JOIN tot ON ex.lang = tot.lang
+        |WHERE ex.n_tok * 65 > tot.n_l
+        |ORDER BY ex.lang, ex.tok""".stripMargin,
 
     "q_tfidf" ->
       """WITH tok AS (
