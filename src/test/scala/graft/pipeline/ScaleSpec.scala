@@ -64,6 +64,45 @@ class ScaleSpec extends SparkSpec {
       s"scaled form still plans a group-only window over raw rows: $badWindows")
   }
 
+  test("AQE splits a skewed shuffle join at runtime (skew=true in the final plan)") {
+    // The runtime half of the skew story (Scale.salted* is the static
+    // half for aggregations): a 90%-hot key in a sort-merge join must
+    // be SPLIT by adaptive execution into multiple tasks instead of one
+    // straggler reading the whole hot partition. Thresholds are scaled
+    // down so test-sized data trips the same code path a hot day
+    // partition trips at 100 TB.
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      val left = spark.range(200000)
+        .select(when($"id" % 10 < 9, 0L).otherwise($"id").as("k"), $"id".as("v"))
+      val right = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("w"))
+      val j = left.join(right, "k")
+      // execute THIS dataframe (count() would plan a separate query and
+      // leave j's adaptive plan unfinalized), then read the final plan
+      val n = j.collect().length
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"),
+        "AQE did not mark the hot-key join skewed:\n" + plan)
+      // semantics unchanged: same count as the broadcast plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      assert(n == left.join(broadcast(right), "k").count())
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("z-order layout prunes file scans on BOTH key dimensions") {
     // 256×256 grid of (a, b) keys, arrival order deliberately hostile
     // (row id ≡ neither key): a linear (b, a) sort would cluster files
