@@ -27,6 +27,28 @@ object Formats {
         .withColumn("avg_fmt", format_string("%.2f", $"avg_value"))
         .withColumn("label", concat($"event_type", lit(" ("), $"n_fmt", lit(" events)")))
         .orderBy($"event_type")
+    },
+
+    // from_json to MAP — the third from_json target shape (struct and
+    // array are gated in q_silver_parse / q_array_props): parse the
+    // free-form props payload as map<string,bigint> WITHOUT a declared
+    // struct schema (the dynamic-keys case a fixed StructType can't
+    // model), explode to (key, value) grain, aggregate per key. Narrow
+    // parse + one bounded-key shuffle; exact integer stats.
+    "q_map_props" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .where($"props".isNotNull)
+        .select(explode(from_json($"props",
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType)))
+          .as(Seq("key", "val")))
+        .where($"val".isNotNull)
+        .groupBy($"key")
+        .agg(count(lit(1)).as("n"), sum($"val").as("sum_val"),
+          min($"val").as("min_val"), max($"val").as("max_val"))
+        .orderBy($"key")
     }
   )
 
@@ -43,6 +65,22 @@ object Formats {
         |  format('{:,}', n) AS n_fmt,
         |  format('{:.2f}', avg_value) AS avg_fmt,
         |  event_type || ' (' || format('{:,}', n) || ' events)' AS label
-        |FROM agg ORDER BY event_type""".stripMargin
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // DuckDB's json table functions aren't available offline; the
+    // scalar pair json_keys + json_extract_string covers the map shape.
+    "q_map_props" ->
+      """WITH kv AS (
+        |  SELECT unnest(json_keys(props)) AS key, props
+        |  FROM events WHERE props IS NOT NULL
+        |), v AS (
+        |  SELECT key,
+        |    CAST(json_extract_string(props, '$."' || key || '"') AS BIGINT) AS val
+        |  FROM kv
+        |)
+        |SELECT key, COUNT(*) AS n, SUM(val) AS sum_val,
+        |  MIN(val) AS min_val, MAX(val) AS max_val
+        |FROM v WHERE val IS NOT NULL
+        |GROUP BY key ORDER BY key""".stripMargin
   )
 }
