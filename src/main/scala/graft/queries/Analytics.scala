@@ -626,6 +626,34 @@ object Analytics {
           unix_timestamp($"ts").as("ts_unix"))
     },
 
+    // Rank-function family (the W-surface beyond row_number/lag:
+    // ntile, percent_rank, cume_dist, first_value) — value deciles per
+    // event type with distribution positions. The window orders by the
+    // unique (value, event_id) key so every rank function is
+    // deterministic; percent_rank/cume_dist divide identical integers
+    // on both engines. Emitted at per-decile grain (type × 10 rows),
+    // aggregated from the windowed frame — the window partitions by
+    // event_type (parallel; at 100 TB a per-type partition is the
+    // bucketedRunningSum decomposition's job, same as every other
+    // ordered sweep here).
+    "q_rank_family" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+      load(s, dir, "events")
+        .select($"event_type", $"value", $"event_id")
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("fv", first_value($"value").over(w))
+        .groupBy($"event_type", $"decile")
+        .agg(count(lit(1)).as("n"),
+          min($"value".cast("decimal(18,4)")).cast("double").as("min_v"),
+          max($"value".cast("decimal(18,4)")).cast("double").as("max_v"),
+          max($"pr").as("max_pr"), max($"cd").as("max_cd"),
+          min($"fv".cast("decimal(18,4)")).cast("double").as("type_min_v"))
+        .orderBy($"event_type", $"decile")
+    },
+
     // ORDERED funnel with step deadlines — strict event-sequence
     // progression (view, then a click within 24 h strictly after it,
     // then a purchase within 24 h strictly after that), which the
@@ -1173,6 +1201,24 @@ object Analytics {
       """SELECT event_id, event_type, user_id,
         |  CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS ts_unix
         |FROM events ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,
+
+    "q_rank_family" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value, event_id,
+        |    CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd,
+        |    first_value(value) OVER w AS fv
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |)
+        |SELECT event_type, decile, COUNT(*) AS n,
+        |  CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_v,
+        |  CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_v,
+        |  MAX(pr) AS max_pr, MAX(cd) AS max_cd,
+        |  CAST(MIN(CAST(fv AS DECIMAL(18,4))) AS DOUBLE) AS type_min_v
+        |FROM ranked GROUP BY event_type, decile
+        |ORDER BY event_type, decile""".stripMargin,
 
     "q_ordered_funnel" ->
       """WITH v AS (
