@@ -29,6 +29,23 @@ object Formats {
         .orderBy($"event_type")
     },
 
+    // Path-based JSON extraction (get_json_object) — the schema-free
+    // complement of from_json: pull one path out of the payload without
+    // declaring any structure (the exploratory/one-field read that a
+    // full parse wastes work on). Narrow codegen'd map + one bounded
+    // shuffle; exact integer stats per event type.
+    "q_json_extract" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .where($"k".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+
     // from_json to MAP — the third from_json target shape (struct and
     // array are gated in q_silver_parse / q_array_props): parse the
     // free-form props payload as map<string,bigint> WITHOUT a declared
@@ -66,6 +83,15 @@ object Formats {
         |  format('{:.2f}', avg_value) AS avg_fmt,
         |  event_type || ' (' || format('{:,}', n) || ' events)' AS label
         |FROM agg ORDER BY event_type""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |WHERE k IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // DuckDB's json table functions aren't available offline; the
     // scalar pair json_keys + json_extract_string covers the map shape.
