@@ -58,22 +58,31 @@ def main():
         else:
             for col in a.columns:
                 av, bv = a[col].to_numpy(), b[col].to_numpy()
-                if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
-                    af = av.astype(float)
-                    bf = bv.astype(float)
-                    exact = np.array_equal(af, bf, equal_nan=True)
-                    if not exact:
-                        close = np.allclose(af, bf, rtol=1e-9, atol=1e-12, equal_nan=True)
-                        i = int(np.argmax(~np.isclose(af, bf, rtol=1e-9, atol=1e-12, equal_nan=True))) if not close else int(np.argmax(af != bf))
-                        probs.append(f"col {col}: exact=False close={close} e.g. row {i}: {af[i]!r} vs {bf[i]!r}")
-                else:
-                    # normalize null encodings (None / nan / NaT / <NA>)
-                    # before stringify so dtype differences can't false-fail
-                    sa = a[col].where(a[col].notna(), None).astype(str).to_numpy()
-                    sb = b[col].where(b[col].notna(), None).astype(str).to_numpy()
-                    if not np.array_equal(sa, sb):
-                        i = int(np.argmax(sa != sb))
-                        probs.append(f"col {col}: row {i}: {sa[i]!r} vs {sb[i]!r}")
+                # The driver hashes STRINGIFIED values, so a dtype
+                # divergence (e.g. DuckDB SUM(BIGINT)->HUGEINT which
+                # pandas renders as float64 "99111.0" vs Spark's int64
+                # "99111") is a real gate failure even when the values
+                # are numerically identical. String equality is the
+                # authority here; numeric closeness is diagnostic only.
+                ka, kb = av.dtype.kind, bv.dtype.kind
+                if ka != kb and {ka, kb} <= {"i", "u", "f"}:
+                    probs.append(
+                        f"col {col}: dtype kind mismatch spark={av.dtype} "
+                        f"duck={bv.dtype} (driver hashes stringified values "
+                        f"-- add CAST(... AS BIGINT) in the oracle?)")
+                    continue
+                # normalize null encodings (None / nan / NaT / <NA>)
+                # before stringify so null spelling can't false-fail
+                sa = a[col].where(a[col].notna(), None).astype(str).to_numpy()
+                sb = b[col].where(b[col].notna(), None).astype(str).to_numpy()
+                if not np.array_equal(sa, sb):
+                    i = int(np.argmax(sa != sb))
+                    msg = f"col {col}: row {i}: {sa[i]!r} vs {sb[i]!r}"
+                    if ka == "f" and kb == "f":
+                        close = np.allclose(av.astype(float), bv.astype(float),
+                                            rtol=1e-9, atol=1e-12, equal_nan=True)
+                        msg += f" (floats numerically close={close})"
+                    probs.append(msg)
         if probs:
             print(f"FAIL {name}: " + "; ".join(probs[:3]))
             n_fail += 1

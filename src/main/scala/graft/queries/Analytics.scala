@@ -1261,7 +1261,7 @@ object Analytics {
         |  FROM deltas
         |)
         |SELECT strftime(d, '%Y-%m-%d') AS date_s,
-        |  MAX(open_now) AS peak_concurrent, COUNT(*) AS n_boundaries
+        |  CAST(MAX(open_now) AS BIGINT) AS peak_concurrent, COUNT(*) AS n_boundaries
         |FROM swept GROUP BY d ORDER BY date_s""".stripMargin,
 
     // The scaled twin must produce byte-identical output — same oracle.
@@ -1278,7 +1278,7 @@ object Analytics {
         |  FROM deltas
         |)
         |SELECT strftime(d, '%Y-%m-%d') AS date_s,
-        |  MAX(open_now) AS peak_concurrent, COUNT(*) AS n_boundaries
+        |  CAST(MAX(open_now) AS BIGINT) AS peak_concurrent, COUNT(*) AS n_boundaries
         |FROM swept GROUP BY d ORDER BY date_s""".stripMargin,
 
     // Moments as exact decimal/bigint sums, ONE cast to double each,

@@ -86,7 +86,7 @@ object Formats {
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
@@ -104,7 +104,7 @@ object Formats {
         |    CAST(json_extract_string(props, '$."' || key || '"') AS BIGINT) AS val
         |  FROM kv
         |)
-        |SELECT key, COUNT(*) AS n, SUM(val) AS sum_val,
+        |SELECT key, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS sum_val,
         |  MIN(val) AS min_val, MAX(val) AS max_val
         |FROM v WHERE val IS NOT NULL
         |GROUP BY key ORDER BY key""".stripMargin

@@ -427,7 +427,7 @@ object VectorOps {
         |  FROM embeddings
         |)
         |SELECT label, idx, COUNT(*) AS n,
-        |  SUM(vs_nano) AS sum_nano,
+        |  CAST(SUM(vs_nano) AS BIGINT) AS sum_nano,
         |  CAST(SUM(vs_nano) AS DOUBLE) / 1e9 / COUNT(*) AS mean_v
         |FROM flat GROUP BY label, idx ORDER BY label, idx""".stripMargin,
 
