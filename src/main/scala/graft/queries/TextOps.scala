@@ -65,6 +65,17 @@ object TextOps {
     */
   private val EscalatedNumPerms = 128
 
+  /** Degenerate-banding recovery budget: when over-cap buckets appear,
+    * the docs they touch (the cohort) may be verified pair-exhaustively
+    * instead of re-banded — but only while |cohortIn| × |cohortEx| stays
+    * within this bound, so the direct product is never more work than
+    * the escalated banding it replaces (which at sf0.1 emits 6.5M
+    * candidate rows for 3.4M possible pairs). Beyond the budget — the
+    * 100-TB shape, where a cohort this collided would mean billions of
+    * pairs — the escalated re-band path runs instead.
+    */
+  private val DirectVerifyPairBudget = 8000000L
+
   /** Lookup sides at or under this row count are broadcast; above it the
     * join runs as a shuffled equi-join on its key — the same count-gated
     * pattern as [[connectedComponents]]. Sized well under executor
@@ -254,7 +265,8 @@ object TextOps {
     val repPairs = a.join(b, col("a.lang") === col("b.lang") &&
         col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id"))
-      .withColumn("inter", size(array_intersect(col("a.toks"), col("b.toks"))).cast("long"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize(col("a.toks"), col("b.toks")).cast("long"))
       .withColumn("la", size(col("a.toks")).cast("long"))
       .withColumn("lb", size(col("b.toks")).cast("long"))
       .withColumn("jac", col("inter") * 1.0 / (col("la") + col("lb") - col("inter")))
@@ -282,7 +294,8 @@ object TextOps {
     cands
       .join(gated(reps.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))), "doc_a")
       .join(gated(reps.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))), "doc_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize(col("toks_a"), col("toks_b")).cast("long"))
       .withColumn("jac", col("inter") * 1.0 /
         (size(col("toks_a")).cast("long") + size(col("toks_b")).cast("long") - col("inter")))
       .where(col("jac") >= 0.9)
@@ -476,29 +489,80 @@ object TextOps {
             gEx.select($"ex_id".as("doc_id"), $"toks"), perms), perms)
           .select($"doc_id".as("ex_id"), $"band", $"bh")
           .localCheckpoint(true)
-        // same degenerate-bucket cap as the symmetric path, over both sides
+        // same degenerate-bucket cap as the symmetric path, over both
+        // sides; checkpointed because FOUR consumers read it (emptiness
+        // probe, both cohort extractions, the sub-cap anti-joins) and
+        // each would otherwise re-run the union-aggregate shuffle
         val overCap = bIn.select($"band", $"bh")
           .unionByName(bEx.select($"band", $"bh"))
           .groupBy($"band", $"bh").agg(count(lit(1)).as("n"))
           .where($"n" > MaxBucket).select($"band", $"bh")
+          .localCheckpoint(true)
         (bIn, bEx, overCap)
       }
       // Adaptive banding fidelity: an over-cap bucket is DROPPED from
       // candidate generation, so on a degenerate vocabulary (2-row band
       // sigs collide into mega-buckets) sub-1.0 pairs inside it would be
-      // silently missed. One cheap emptiness probe on the over-cap list
-      // decides: any hit → re-band at EscalatedNumPerms, where every true
-      // pair gets 64 bucket chances instead of 8 (measured 0 misses at
-      // 128 perms on the worst-case sf0.1 vocab). Healthy corpora have no
-      // over-cap bucket and never pay the escalation.
-      val (bIn, bEx, overCap) = {
-        val base = banding(NumPerms)
-        if (base._3.isEmpty) base else banding(EscalatedNumPerms)
+      // silently missed. Any over-cap hit picks one of two recoveries:
+      //
+      //  (a) COHORT DIRECT VERIFY (preferred when bounded): the docs
+      //      touching any over-cap bucket — the only ones whose pairs
+      //      banding can drop — form a cohort; if |cohortIn|×|cohortEx|
+      //      fits DirectVerifyPairBudget, verify that cross product
+      //      exactly and keep the already-materialized sub-cap 16-perm
+      //      candidates for everyone else. Fidelity dominates the
+      //      128-perm re-band (which drops ITS over-cap buckets too):
+      //      a true pair either collides in an over-cap bucket (both
+      //      ends in cohort → verified directly) or in a sub-cap one
+      //      (kept); only a pair colliding in ZERO of 8 bands is missed,
+      //      P ≤ (1-0.9²)⁸ ≈ 2e-6. And it is far cheaper: measured at
+      //      sf0.1, escalated banding emitted 6.5M pre-dedup candidate
+      //      rows deduping to 2.1M of the 3.4M possible pairs — a mega
+      //      dedup shuffle to approximate the 3.0M-pair cohort product.
+      //  (b) ESCALATED RE-BAND (the 100-TB fallback): a cohort too big
+      //      to product re-bands at EscalatedNumPerms, where every true
+      //      pair gets 64 bucket chances instead of 8 (measured 0
+      //      misses on the worst-case sf0.1 vocab).
+      //
+      // Healthy corpora have no over-cap bucket and pay neither.
+      val cands = {
+        val (bIn, bEx, overCap) = banding(NumPerms)
+        // dedup=false leaves band-duplicate pairs in the stream: the
+        // exact-Jaccard verify is idempotent and, with the merge-walk
+        // [[graft.functions.SortedIntersectSize]] kernel, re-scoring a
+        // ≤8×-duplicated pair costs less than the dropDuplicates shuffle
+        // that would remove it. The healthy path keeps the dedup — at
+        // 100 TB its verify joins shuffle on rep ids, and a pre-deduped
+        // pair stream is 8× less shuffle input there.
+        def subCapCands(i: DataFrame, e: DataFrame, oc: DataFrame,
+                        dedup: Boolean) = {
+          val pairs = i.join(broadcast(oc), Seq("band", "bh"), "left_anti")
+            .join(e.join(broadcast(oc), Seq("band", "bh"), "left_anti"),
+              Seq("band", "bh"))
+            .select($"in_id", $"ex_id")
+          if (dedup) pairs.dropDuplicates() else pairs
+        }
+        if (overCap.isEmpty) subCapCands(bIn, bEx, overCap, dedup = true)
+        else {
+          val oc = broadcast(overCap)
+          val cohIn = bIn.join(oc, Seq("band", "bh"), "left_semi")
+            .select($"in_id").distinct().localCheckpoint(true)
+          val cohEx = bEx.join(oc, Seq("band", "bh"), "left_semi")
+            .select($"ex_id").distinct().localCheckpoint(true)
+          val nCI = cohIn.count(); val nCE = cohEx.count()
+          // overflow-safe product bound (counts are driver Longs)
+          if (nCI == 0 || nCE <= DirectVerifyPairBudget / nCI) {
+            // cohort pairs are unique by construction — no pair-level
+            // dedup needed before the (idempotent) exact-Jaccard verify
+            subCapCands(bIn, bEx, overCap, dedup = false)
+              .unionByName(cohIn.crossJoin(
+                gateBroadcast(cohEx, nCE, BroadcastSetLimit)))
+          } else {
+            val (eIn, eEx, eOc) = banding(EscalatedNumPerms)
+            subCapCands(eIn, eEx, eOc, dedup = true)
+          }
+        }
       }
-      val cands = bIn.join(broadcast(overCap), Seq("band", "bh"), "left_anti")
-        .join(bEx.join(broadcast(overCap), Seq("band", "bh"), "left_anti"),
-          Seq("band", "bh"))
-        .select($"in_id", $"ex_id").dropDuplicates()
       // Identical sets (jac = 1.0) never depend on banding: a direct
       // equi-join on the sorted hashed-token array catches them exactly,
       // whatever the bucket structure — the asymmetric twin of the
@@ -514,7 +578,8 @@ object TextOps {
           nIn, BroadcastSetLimit), "in_id")
         .join(gateBroadcast(gEx.select($"ex_id", $"toks".as("te")),
           nEx, BroadcastSetLimit), "ex_id")
-        .withColumn("inter", size(array_intersect($"ti", $"te")).cast("long"))
+        .withColumn("inter",
+          graft.functions.SortedIntersectSize($"ti", $"te").cast("long"))
         .where($"inter" * 1.0 /
           (size($"ti").cast("long") + size($"te").cast("long") - $"inter") >= 0.9)
         .select($"in_id")
