@@ -23,10 +23,22 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)))
 
   // the analyzer wraps a bare AggregateFunction from the registry in
-  // its AggregateExpression, so the builder returns the function
-  private val heavyHittersBuilder = (exprs: Seq[Expression]) =>
-    HeavyHitters(exprs(0),
-      exprs(1).eval().asInstanceOf[Number].intValue())
+  // its AggregateExpression, so the builder returns the function. The
+  // k argument must be a literal the planner can read at build time —
+  // reject anything else with a clean analysis error instead of the
+  // opaque runtime exception eval() on an unbound reference throws.
+  private val heavyHittersBuilder = (exprs: Seq[Expression]) => {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    exprs(1) match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+        HeavyHitters(exprs(0), v)
+      case other => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3065",
+        messageParameters = Map("clazz" -> "heavy_hitters",
+          "msg" -> ("second argument (k) must be an INT literal, got " +
+            other.sql)))
+    }
+  }
 
   private val heavyHittersDescriptor = (
     FunctionIdentifier("heavy_hitters"),

@@ -116,8 +116,10 @@ object WinnowFingerprints {
       i += 1
     }
     // Monotonic deque of candidate indices: front = current window min.
-    // Ties keep the earlier index; the selected VALUE is identical either
-    // way, and only values reach the output.
+    // The pop condition is true on equality, so ties keep the LATER
+    // (rightmost) index — the Schleimer et al. robust-winnowing tie
+    // rule; the selected VALUE is identical either way, and only values
+    // reach the output.
     val deque = new Array[Int](nGrams)
     var head = 0; var tail = 0 // [head, tail) holds candidate indices
     val seen = new java.util.LinkedHashSet[UTF8String]()

@@ -51,18 +51,29 @@ object Scale {
                          orderCols: Seq[Column], valueCol: Column,
                          outCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val staged = df.withColumn("__g", groupCol).withColumn("__b", bucketCol)
-    val localW = Window.partitionBy(col("__g"), col("__b")).orderBy(orderCols: _*)
-    val local = staged.withColumn("__local", sum(valueCol).over(localW))
-    val offsetW = Window.partitionBy(col("__g")).orderBy(col("__b"))
+    // collision-proof internal names (a caller's own __g/__b would be
+    // silently overwritten otherwise)
+    val g = "__graft_brs_g"; val b = "__graft_brs_b"
+    val loc = "__graft_brs_local"; val tot = "__graft_brs_btot"
+    val off = "__graft_brs_off"
+    require(!df.columns.exists(_.startsWith("__graft_brs_")),
+      "input already carries __graft_brs_* columns")
+    val staged = df.withColumn(g, groupCol).withColumn(b, bucketCol)
+    val localW = Window.partitionBy(col(g), col(b)).orderBy(orderCols: _*)
+    val local = staged.withColumn(loc, sum(valueCol).over(localW))
+    val offsetW = Window.partitionBy(col(g)).orderBy(col(b))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = staged.groupBy(col("__g"), col("__b"))
-      .agg(sum(valueCol).as("__btot"))
-      .withColumn("__off", coalesce(sum(col("__btot")).over(offsetW), lit(0L)))
-      .select(col("__g"), col("__b"), col("__off"))
-    local.join(offsets, Seq("__g", "__b"))
-      .withColumn(outCol, col("__local") + col("__off"))
-      .drop("__g", "__b", "__local")
+    val offsets = staged.groupBy(col(g), col(b))
+      .agg(sum(valueCol).as(tot))
+      .withColumn(off, coalesce(sum(col(tot)).over(offsetW), lit(0L)))
+      .select(col(g).as(s"${g}_r"), col(b).as(s"${b}_r"), col(off))
+    // null-SAFE equi-join: window partitioning treats NULL group/bucket
+    // values as ordinary partition keys, so the offset join must too —
+    // a plain inner equi-join would silently drop those rows
+    local.join(offsets,
+        col(g) <=> col(s"${g}_r") && col(b) <=> col(s"${b}_r"))
+      .withColumn(outCol, col(loc) + col(off))
+      .drop(g, b, loc, off, s"${g}_r", s"${b}_r")
   }
 
   /** Two-phase skew-salted aggregation: counts per key where a handful
@@ -74,11 +85,22 @@ object Scale {
     * Salting matters when a single key's rows exceed what one task
     * should hold; AQE's skew-join handling covers joins, this covers
     * aggregations with algebraic merge functions.
+    *
+    * The salt is CONTENT-derived — `xxhash64` over the full row — not
+    * `spark_partition_id()`/`monotonically_increasing_id()`: those
+    * depend on task/partition layout, so under a lost-shuffle-partition
+    * stage retry the recomputed map task can emit different salts than
+    * the fetch-completed reducers already consumed (the SPARK-23207
+    * nondeterminism class). A content hash reproduces identical shuffle
+    * output on any recomputation, and spreads a hot key just as well
+    * whenever rows carry any varying column (events always do — ids,
+    * timestamps). Fully identical rows co-locate, which is the correct
+    * degenerate outcome: their partial is a single merged count.
     */
   def saltedCount(df: DataFrame, key: Column, buckets: Int = 16): DataFrame = {
     require(buckets > 0)
-    df.groupBy(key.as("k"), pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(buckets)).as("salt"))
+    df.groupBy(key.as("k"),
+        pmod(xxhash64(df.columns.map(col): _*), lit(buckets)).as("salt"))
       .agg(count(lit(1)).as("partial"))
       .groupBy(col("k"))
       .agg(sum(col("partial")).as("cnt"))

@@ -55,6 +55,15 @@ class HeavyHittersSpec extends SparkSpec {
     assert(m == Map("x" -> 2L, "y" -> 1L))
   }
 
+  test("non-literal k raises a clean analysis error, not a runtime NPE") {
+    GraftExtensions.register(spark)
+    Seq("x").toDF("w").createOrReplaceTempView("hh_badk")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT heavy_hitters(w, length(w)) FROM hh_badk").collect()
+    }
+    assert(e.getMessage.contains("heavy_hitters"))
+  }
+
   test("null inputs are skipped; works under groupBy keys") {
     val df = Seq(("a", Some("x")), ("a", Some("x")), ("a", None),
       ("b", Some("y"))).toDF("g", "w")

@@ -18,6 +18,28 @@ class ScaleSpec extends SparkSpec {
     assert(plain("hot") == 9000L)
   }
 
+  test("salt assignment is stable across physical layouts (stage-retry determinism)") {
+    // A recomputed map task must emit the SAME (key, salt) partials its
+    // reducers already consumed, whatever partition layout the retry
+    // lands on — i.e. the salt is a pure function of row content, never
+    // of spark_partition_id()/monotonically_increasing_id(). Simulate a
+    // retry's layout change with two different repartitions of one input
+    // and pin identical phase-1 salt assignment per row.
+    val base = spark.range(1000)
+      .select(($"id" % 5).cast("string").as("k"), ($"id" * 31 % 997).as("v"))
+    def phase1(numParts: Int): Map[(String, Long), Long] = {
+      val df = base.repartition(numParts)
+      df.groupBy($"k", pmod(xxhash64(df.columns.map(col): _*), lit(16)).as("salt"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val a = phase1(2)
+    val b = phase1(13)
+    assert(a == b, "phase-1 (key, salt) partials differ across layouts")
+    // and the hot key really is spread over multiple salt buckets
+    assert(a.keys.count(_._1 == "0") > 1)
+  }
+
   test("bucketed running sum equals the single-window prefix sum, incl. ties") {
     // Real events + synthetic TIES (several rows sharing one (t, delta))
     // and a cross-midnight boundary: the two-phase form must agree with
@@ -62,6 +84,25 @@ class ScaleSpec extends SparkSpec {
     }
     assert(badWindows.isEmpty,
       s"scaled form still plans a group-only window over raw rows: $badWindows")
+  }
+
+  test("bucketed running sum keeps NULL group/bucket keys (null-safe offset join)") {
+    // Window partitioning treats NULL as an ordinary key value; the
+    // phase-2 offset join must not drop those rows the way a plain
+    // inner equi-join would.
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (Some("g1"), 1L, 1L), (Some("g1"), 2L, 2L),
+      (None, 1L, 5L), (None, 2L, 7L), (None, 3L, 11L)
+    ).toDF("g", "t", "v")
+    val naive = df.withColumn("rs",
+        sum($"v").over(Window.partitionBy($"g").orderBy($"t")))
+      .select($"g", $"t", $"rs")
+    val scaled = Scale.bucketedRunningSum(df, $"g", floor($"t" / 2),
+        Seq($"t"), $"v", "rs")
+      .select($"g", $"t", $"rs")
+    assert(scaled.count() == df.count(), "null-keyed rows were dropped")
+    assert(naive.except(scaled).count() == 0 && scaled.except(naive).count() == 0)
   }
 
   test("AQE splits a skewed shuffle join at runtime (skew=true in the final plan)") {
