@@ -351,16 +351,146 @@ object Bench {
     if (only.forall(o => o.contains("join_shuffle") || o.contains("join_bucketed")))
       bucketedVsShuffleJoin()
 
-    val loadEnd = loadavg()
-    val memEnd = memAvailMb()
+    // Scheduled small-file compaction (CompactMain's in-process body):
+    // build a 2-tick warehouse, then time ONLY compactSinks — the
+    // rewrite of silver+fact to right-sized files plus the bloom
+    // sidecar re-seed from the rewritten rows. Afterwards, two
+    // correctness gates run untimed: the file count must have SHRUNK
+    // (the job's whole purpose), and a byte-identical redelivery tick
+    // must still append zero facts (the re-seeded blooms + anti-join
+    // reject every duplicate — compaction must not poke holes in the
+    // at-least-once defense).
+    def compactBench(): Double = {
+      import org.apache.spark.sql.functions._
+      val staging = java.nio.file.Files.createTempDirectory("graft_bench_cstg").toString
+      val wh = java.nio.file.Files.createTempDirectory("graft_bench_cwh").toString
+      val day = tickDay()
+      def stage(raw: DataFrame, t: java.time.LocalDateTime): Unit = {
+        val dir = graft.pipeline.StagingToBronze.stagingPathFor(staging, t)
+          .stripSuffix("/*.json")
+        raw.write.text(dir)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).foreach { st =>
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, st.getPath.getName + ".json"))
+        }
+      }
+      val t0 = java.time.LocalDateTime.of(2025, 9, 15, 10, 0)
+      val tick2 = day.where(col("rep") >= 8).drop("rep")
+      stage(graft.pipeline.RefEventsAdapter.toRawJson(
+        day.where(col("rep") < 8).drop("rep")), t0)
+      stage(graft.pipeline.RefEventsAdapter.toRawJson(tick2), t0.plusMinutes(15))
+      val mb = new graft.runner.MicroBatch(spark, staging, wh)
+      val t1 = mb.runInterval(t0)
+      val t2 = mb.runInterval(t0.plusMinutes(15))
+      require(t1._3 > 0 && t2._3 > 0,
+        s"seed ticks were no-ops: $t1 / $t2")
+      def dataFiles(path: String): Int = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        var n = 0
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+      val filesBefore = dataFiles(mb.silverPath) + dataFiles(mb.factPath)
+      val factBefore = spark.read.parquet(mb.factPath).count()
+      val t = time { mb.compactSinks() }
+      val filesAfter = dataFiles(mb.silverPath) + dataFiles(mb.factPath)
+      require(filesAfter < filesBefore,
+        s"compaction did not shrink the sinks: $filesBefore -> $filesAfter files")
+      require(spark.read.parquet(mb.factPath).count() == factBefore,
+        "compaction changed the fact row count")
+      // redeliver tick 2 byte-identical at the next interval: the
+      // re-seeded blooms must keep the fast path AND the exact
+      // fallback correct — zero new facts
+      stage(graft.pipeline.RefEventsAdapter.toRawJson(tick2), t0.plusMinutes(30))
+      val t3 = mb.runInterval(t0.plusMinutes(30))
+      // bronze > 0 proves the tick actually read the redelivered files
+      // (a path mix-up would no-op and pass the fact check vacuously)
+      require(t3._1 > 0, s"redelivery tick read nothing: $t3")
+      require(spark.read.parquet(mb.factPath).count() == factBefore,
+        "redelivered tick appended duplicate facts after compaction")
+      Seq(staging, wh).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      releaseAll()
+      t
+    }
+    single("compact_sinks") { compactBench() }
+
+    // Watermarked stream-stream interval join (StreamJoin): drain one
+    // seeded batch untimed (creates checkpoints + join state), then
+    // time the SECOND AvailableNow drain — the steady-state increment a
+    // deployment pays per tick, including state-store maintenance and
+    // watermark-driven eviction.
+    def streamJoinBench(): Double = {
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files.createTempDirectory("graft_bench_sj").toString
+      val eventsDir = s"$base/events"
+      val ev = Tables.load(spark, sfDir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_id").cast("long").as("event_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"), col("value").cast("double").as("value"))
+      ev.write.mode("append").parquet(eventsDir)
+      graft.streaming.StreamJoin.run(spark, eventsDir, s"$base/out", s"$base/ckpt")
+      val before = spark.read.parquet(s"$base/out").count()
+      // batch 2: one day later (safely past the persisted watermark),
+      // fresh ids — its clicks and purchases must match each other
+      ev.withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))
+        .withColumn("event_id", col("event_id") + lit(1000000000L))
+        .write.mode("append").parquet(eventsDir)
+      val t = time {
+        graft.streaming.StreamJoin.run(spark, eventsDir, s"$base/out", s"$base/ckpt")
+      }
+      require(spark.read.parquet(s"$base/out").count() > before,
+        "bench stream_join drained nothing")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      releaseAll()
+      t
+    }
+    single("stream_join") { streamJoinBench() }
+
     // A query is contended when even its two FASTEST runs disagree >2×
     // (the third attempt already absorbed first-run JIT); the artifact is
     // contended when any query is, or the 1-minute load exceeds the CPU
     // budget this JVM was told it owns (another process is competing).
-    val contendedQueries = runsLog.collect {
+    def contendedOf(): Seq[String] = runsLog.collect {
       case (n, rs) if rs.size >= 2 &&
         rs.sorted.take(2).reduce((a, b) => b / a) > 2.0 => n
     }.toSeq
+    // Cool-down pass: a flag raised mid-suite can be the MACHINE's
+    // fault (the driver's verify gate runs concurrently), and by the
+    // time the suite finishes the competition may be gone. Each flagged
+    // registry query gets ONE more attempt now, from a clean block
+    // manager at end-of-suite load; if its two fastest runs then agree,
+    // the flag clears and the artifact reports an uncontended number.
+    // Queries that stay flagged after the retry were noisy under the
+    // best conditions this run could offer — the artifact says which.
+    val cooldownRetried = contendedOf().filter(SparkEntry.queries.contains)
+    if (cooldownRetried.nonEmpty) {
+      releaseAll()
+      cooldownRetried.foreach { name =>
+        try {
+          val t = time(exec(SparkEntry.queries(name)(spark, sfDir)))
+          runsLog(name) = runsLog(name) :+ t
+          results(name) = math.min(results(name), t)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] cooldown $name: ${e.getMessage}")
+        }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        spark.catalog.clearCache()
+        System.gc()
+      }
+    }
+    val loadEnd = loadavg()
+    val memEnd = memAvailMb()
+    val contendedQueries = contendedOf()
     val contended = contendedQueries.nonEmpty ||
       math.max(loadStart, loadEnd) > cpus.toDouble * 1.5
 
@@ -381,6 +511,8 @@ object Bench {
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""loadavg_probes":$probesJson,""" +
       s""""mem_avail_start_mb":$memStart,"mem_avail_end_mb":$memEnd,""" +
+      s""""cooldown_retried":${cooldownRetried.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")},""" +
       s""""contended_queries":$contendedJson,"contended":$contended,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -119,22 +119,27 @@ object Scale {
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_distinct"))
 
-  /** Morton (Z-order) curve value for two numeric columns, each min/max
+  /** Morton (Z-order) curve value for N numeric columns, each min/max
     * normalized to `bits` bits and bit-interleaved. Sorting a write by
-    * this single value clusters the file layout in BOTH dimensions, so
+    * this single value clusters the file layout in EVERY dimension, so
     * parquet min/max (zone-map) stats prune file scans for predicates on
-    * either column — a sort by (a, b) prunes only on `a`. This is the
+    * any column — a sort by (a, b, c) prunes only on `a`. This is the
     * layout trick behind Delta/Iceberg OPTIMIZE ZORDER, composed here
     * from plain Catalyst bit ops (shiftright/&/shiftleft — all
     * codegen'd, no UDF).
     *
-    * `aMin/aMax/bMin/bMax` are the global ranges (two scalars per
-    * column; callers get them from one cheap agg over the write batch —
-    * write-time metadata, not a per-row driver loop).
+    * `dims` carries (column, globalMin, globalMax) per dimension (two
+    * scalars per column; callers get them from one cheap agg over the
+    * write batch — write-time metadata, not a per-row driver loop). Bit
+    * i of dimension j lands at position `i * n + j` (dimension 0 in the
+    * lowest lane), so the 2-column overload below keeps its historical
+    * bit layout. `n * bits` must fit a signed long.
     */
-  def zvalue(a: Column, aMin: Long, aMax: Long,
-             b: Column, bMin: Long, bMax: Long, bits: Int = 16): Column = {
-    require(bits > 0 && bits <= 31)
+  def zvalueN(dims: Seq[(Column, Long, Long)], bits: Int = 16): Column = {
+    val n = dims.size
+    require(n >= 2, "z-order needs at least two dimensions")
+    require(bits > 0 && n * bits <= 63,
+      s"$n dims x $bits bits overflow a signed long")
     def norm(c: Column, lo: Long, hi: Long): Column = {
       val span = math.max(1L, hi - lo)
       // scale into [0, 2^bits); Column./ is double division, so cast
@@ -144,33 +149,47 @@ object Scale {
         lit(span.toDouble)).cast("long")
       greatest(lit(0L), least(lit((1L << bits) - 1L), scaled))
     }
-    val (na, nb) = (norm(a, aMin, aMax), norm(b, bMin, bMax))
-    (0 until bits).map { i =>
-      shiftleft(shiftright(na, i).bitwiseAND(1), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(nb, i).bitwiseAND(1), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    val lanes = dims.zipWithIndex.map { case ((c, lo, hi), j) =>
+      val nc = norm(c, lo, hi)
+      (0 until bits).map(i =>
+        shiftleft(shiftright(nc, i).bitwiseAND(1), i * n + j))
+        .reduce(_ bitwiseOR _)
+    }
+    lanes.reduce(_ bitwiseOR _)
   }
 
+  /** Two-column Morton value (the common case; see [[zvalueN]]). */
+  def zvalue(a: Column, aMin: Long, aMax: Long,
+             b: Column, bMin: Long, bMax: Long, bits: Int = 16): Column =
+    zvalueN(Seq((a, aMin, aMax), (b, bMin, bMax)), bits)
+
   /** Z-order clustered write: range-partition + sort the batch by the
-    * Morton value of two key columns, so every output file covers a
-    * small rectangle of the (a, b) key space and scans filtered on
-    * EITHER column skip most files on min/max stats alone. `files`
+    * Morton value of the key columns, so every output file covers a
+    * small hyper-rectangle of the key space and scans filtered on ANY
+    * key column skip most files on min/max stats alone. `files`
     * controls output file count (range partitioning keeps them
     * near-equal-sized regardless of key skew).
     */
-  def zorderWrite(df: DataFrame, a: String, b: String, outPath: String,
+  def zorderWrite(df: DataFrame, keys: Seq[String], outPath: String,
                   files: Int): Unit = {
-    val r = df.agg(
-      min(col(a).cast("long")), max(col(a).cast("long")),
-      min(col(b).cast("long")), max(col(b).cast("long"))).head()
-    require(!r.isNullAt(0) && !r.isNullAt(2),
-      s"zorderWrite needs a non-empty batch with non-null $a/$b")
-    val z = zvalue(col(a), r.getLong(0), r.getLong(1),
-      col(b), r.getLong(2), r.getLong(3))
+    require(keys.size >= 2)
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k).cast("long")), max(col(k).cast("long"))))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    keys.indices.foreach(j => require(!r.isNullAt(2 * j),
+      s"zorderWrite needs a non-empty batch with non-null ${keys(j)}"))
+    val z = zvalueN(keys.zipWithIndex.map { case (k, j) =>
+      (col(k), r.getLong(2 * j), r.getLong(2 * j + 1))
+    })
     df.withColumn("_z", z)
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite").parquet(outPath)
   }
+
+  /** Two-column overload (historical signature). */
+  def zorderWrite(df: DataFrame, a: String, b: String, outPath: String,
+                  files: Int): Unit =
+    zorderWrite(df, Seq(a, b), outPath, files)
 }

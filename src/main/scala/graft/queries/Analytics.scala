@@ -460,6 +460,22 @@ object Analytics {
         .orderBy($"event_id")
     },
 
+    // 3-column Morton interleave (the common lakehouse OPTIMIZE ZORDER
+    // ask is 3 keys): same normalization, bit i of dim j at position
+    // 3i + j. Gates Scale.zvalueN's N-ary generalization with an
+    // independent DuckDB recomputation.
+    "q_zorder3_value" -> { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .withColumn("a", $"user_id" % 256)
+        .withColumn("b", expr("(unix_micros(ts) div 86400000000) % 256"))
+        .withColumn("c", $"event_id" % 256)
+        .withColumn("z", graft.pipeline.Scale.zvalueN(Seq(
+          (col("a"), 0L, 255L), (col("b"), 0L, 255L), (col("c"), 0L, 255L))))
+        .select($"event_id", $"a", $"b", $"c", $"z")
+        .orderBy($"event_id")
+    },
+
     // Percentile aggregates (beyond the reference's AVG-only metrics):
     // exact interpolated percentiles — both engines implement the same
     // (1-f)*lo + f*hi definition over identical doubles. The scale note:
@@ -1045,6 +1061,30 @@ object Analytics {
          |  FROM x
          |)
          |SELECT event_id, a, b, ($zTerms) AS z
+         |FROM n ORDER BY event_id""".stripMargin
+    },
+
+    "q_zorder3_value" -> {
+      // the 3-dim 16-bit Morton interleave: bit i of dim j at 3i + j
+      val zTerms = (0 until 16).map(i =>
+        s"(((na >> $i) & 1) << ${3 * i}) | (((nb >> $i) & 1) << ${3 * i + 1})" +
+          s" | (((nc >> $i) & 1) << ${3 * i + 2})")
+        .mkString(" | ")
+      s"""WITH x AS (
+         |  SELECT event_id,
+         |    CAST(user_id % 256 AS BIGINT) AS a,
+         |    CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 256
+         |      AS BIGINT) AS b,
+         |    CAST(event_id % 256 AS BIGINT) AS c
+         |  FROM events
+         |), n AS (
+         |  SELECT event_id, a, b, c,
+         |    CAST(floor((a * 65535) / 255.0) AS BIGINT) AS na,
+         |    CAST(floor((b * 65535) / 255.0) AS BIGINT) AS nb,
+         |    CAST(floor((c * 65535) / 255.0) AS BIGINT) AS nc
+         |  FROM x
+         |)
+         |SELECT event_id, a, b, c, ($zTerms) AS z
          |FROM n ORDER BY event_id""".stripMargin
     },
 

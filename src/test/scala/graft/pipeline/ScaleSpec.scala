@@ -177,6 +177,53 @@ class ScaleSpec extends SparkSpec {
       s"b-range touches ${touchedB(96, 103)} of ${files.size} files")
   }
 
+  test("3-column z-order prunes file scans on ALL THREE key dimensions") {
+    // 32x32x32 key cube, scrambled arrival order — a lexicographic
+    // (c, b, a) sort clusters only c; z-order must keep per-file
+    // min/max boxes tight on every axis.
+    val n = 32768
+    val df = spark.range(n).select(
+      (($"id" * 40503L) % n % 32).as("a"),
+      (($"id" * 40503L) % n / 32 % 32).cast("long").as("b"),
+      (($"id" * 40503L) % n / 1024).cast("long").as("c"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder3").toString
+    // 64 files over a 32^3 cube -> each file holds ~one 8x8x8 z-box, so
+    // a width-8 slab aligned inside one quarter of a dimension should
+    // hit ~1/4 of the files (sample-based range boundaries smear a bit)
+    Scale.zorderWrite(df, Seq("a", "b", "c"), dir, files = 64)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getAbsolutePath).toSeq
+    assert(files.size >= 48, s"range partitioning produced ${files.size} files")
+    val zones = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min($"a"), max($"a"), min($"b"), max($"b"),
+        min($"c"), max($"c")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }
+    assert(files.map(f => spark.read.parquet(f).count()).sum == n)
+    def touched(lo: Long, hi: Long, zl: Int): Int = zones.count { z =>
+      val (zlo, zhi) = zl match {
+        case 0 => (z._1, z._2); case 1 => (z._3, z._4); case _ => (z._5, z._6)
+      }
+      zlo <= hi && zhi >= lo
+    }
+    // A quarter-aligned width-8 slab must prune on EVERY dimension
+    // (lexicographic sort gives 100% touch on the non-leading dims).
+    // Ideal is 1/4 touched; sampled range boundaries rarely align with
+    // z-box edges and a straddling file widens its extent most in the
+    // LOWEST interleave lane (dim 0 — its quarter flips between
+    // adjacent boxes), so per-dim tolerance is 3/5 and the mean across
+    // dims must stay under 45%.
+    val touch = Seq(0, 1, 2).map(d => touched(16, 23, d))
+    touch.zipWithIndex.foreach { case (t, d) =>
+      assert(t <= files.size * 3 / 5,
+        s"dim $d slab touches $t of ${files.size} files")
+    }
+    assert(touch.sum * 100 / (3 * files.size) <= 45,
+      s"mean slab touch ${touch.sum}/${3 * files.size} exceeds 45%")
+  }
+
   test("salted distinct-count equals countDistinct") {
     val df = spark.range(5000)
       .select(($"id" % 3).cast("string").as("k"), ($"id" % 97).as("v"))

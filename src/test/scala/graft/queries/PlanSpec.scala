@@ -165,6 +165,23 @@ class PlanSpec extends SparkSpec {
       s"DPP result mismatch or vacuous: $viaDpp vs $explicit")
   }
 
+  test("q_salted_agg gets map-side partial aggregation in both phases") {
+    // The whole point of the two-phase salted design is that each
+    // shuffle moves pre-combined partials, not raw rows. Catalyst plans
+    // a HashAggregate pair (partial_count / partial_sum before the
+    // exchange, final merge after) for each phase — if either phase
+    // lost its partial (e.g. a non-algebraic rewrite), the hot key
+    // would hit one reducer with its full row set and the salting
+    // bought nothing.
+    val p = plan("q_salted_agg")
+    assert("partial_count".r.findAllIn(p).size >= 2,
+      "phase-1 (key,salt) counts are not map-side partial:\n" + p)
+    assert(p.contains("partial_sum"),
+      "phase-2 merge of partials is not itself partial-aggregated:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expected partial+final HashAggregate per phase:\n" + p)
+  }
+
   test("no query plans an unbounded quadratic join (cartesian or unlisted BNLJ)") {
     // BroadcastNestedLoopJoin is quadratic in general; it is legitimate
     // ONLY where one side is intentionally tiny/bounded. Anything not on
