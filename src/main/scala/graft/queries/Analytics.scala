@@ -476,6 +476,57 @@ object Analytics {
         .orderBy($"event_id")
     },
 
+    // INCREMENTAL ROLLUP MAINTENANCE — partition-scoped aggregate
+    // recompute (pipeline.IncrementalRollup) exercised end-to-end: the
+    // events stream arrives in three date-tercile ticks with ~10% of
+    // each tick's rows LATE (delivered one tick after their date
+    // tercile), the fact sink grows by appends, and after every tick
+    // only the AFFECTED date partitions of the daily-KPI rollup are
+    // recomputed and dynamic-partition-overwritten. Late data makes an
+    // old date affected again, so its partition is recomputed — tick 2
+    // must splice updated tercile-1 dates against untouched tercile-0
+    // partitions. The oracle is the FULL daily aggregate over all
+    // events: splice-by-overwrite must converge to exactly the table a
+    // full rebuild produces (the partition-local agg contract).
+    "q_incr_rollup" -> { (s, dir) =>
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_incr_rollup").toString
+      val factPath = s"$base/fact"
+      val ev = load(s, dir, "events")
+        .withColumn("event_date", to_date($"ts").cast("string"))
+      val dates = ev.select($"event_date").distinct().orderBy($"event_date")
+        .as[String].collect() // bounded: distinct calendar dates
+      val tickFrame = s.createDataFrame(
+        dates.zipWithIndex.map { case (d, i) => (d, i * 3 / dates.length) }.toSeq
+      ).toDF("event_date", "base_tick")
+      val ticked = ev.join(broadcast(tickFrame), Seq("event_date"))
+        .withColumn("tick", least(
+          $"base_tick" + when($"event_id" % 10 === 0, 1).otherwise(0), lit(2)))
+      def agg(fact: DataFrame): DataFrame = fact
+        .groupBy($"event_date", $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          sum($"value".cast("decimal(18,4)")).cast("double").as("sum_value"))
+      (0 to 2).foreach { t =>
+        val batch = ticked.where($"tick" === t)
+          .select($"event_date", $"event_type", $"user_id", $"value")
+        batch.write.mode("append").partitionBy("event_date").parquet(factPath)
+        val affected = batch.select($"event_date").distinct().as[String]
+          .collect().toSeq // bounded: dates touched by one tick
+        graft.pipeline.IncrementalRollup.update(
+          s, factPath, s"$base/rollup", "event_date", affected, agg)
+      }
+      // materialize before the temp warehouse disappears (partition
+      // values come back DATE-inferred — cast to match the oracle)
+      val out = s.read.parquet(s"$base/rollup")
+        .select($"event_date".cast("string").as("event_date"),
+          $"event_type", $"n_events", $"n_users", $"sum_value")
+        .orderBy($"event_date", $"event_type")
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      out
+    },
+
     // Percentile aggregates (beyond the reference's AVG-only metrics):
     // exact interpolated percentiles — both engines implement the same
     // (1-f)*lo + f*hi definition over identical doubles. The scale note:
@@ -1087,6 +1138,15 @@ object Analytics {
          |SELECT event_id, a, b, c, ($zTerms) AS z
          |FROM n ORDER BY event_id""".stripMargin
     },
+
+    // full rebuild — the incremental splice must converge to exactly this
+    "q_incr_rollup" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+        |  event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY event_date, event_type""".stripMargin,
 
     // DuckDB's CUBE + multi-arg GROUPING() use the same bit order as
     // Spark's grouping_id (first listed column = most significant bit).
