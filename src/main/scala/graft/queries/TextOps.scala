@@ -1258,6 +1258,227 @@ object TextOps {
         .select($"doc_id", $"n_fp", $"n_shared",
           ($"n_shared" * 2 >= $"n_fp").as("substring_dup"))
         .orderBy($"doc_id")
+    },
+
+    // NORMALIZED ("fuzzy-exact") dedup — the CCNet/RefinedWeb pass that
+    // exact digest dedup misses: lowercase, strip every non-[a-z0-9 ]
+    // rune, collapse whitespace, THEN digest. Two fetches of the same
+    // page that differ only in case/punctuation/formatting collapse to
+    // one normalized group; the keep decision is "globally-first doc_id
+    // per group". Non-vacuity is engineered: re-serialized variants
+    // (uppercased + trailing punctuation, fresh ids) of every 7th doc
+    // are unioned in — they MUST land in their source's group. Scale:
+    // the normalization is a narrow map; grouping + the merge-back join
+    // both key on the 128-bit digest with map-side partial aggregation —
+    // identical shape (and cost) to exact dedup, no extra shuffle.
+    "q_norm_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val base = load(s, dir, "documents").select($"doc_id", $"text")
+      val variants = base.where($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(upper($"text"), lit(" !!")).as("text"))
+      val norm = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]+", " "), " +", " "))
+      val docs = base.unionByName(variants).withColumn("digest", md5(norm))
+      val groups = docs.groupBy($"digest")
+        .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("group_n"))
+      docs.join(groups, "digest")
+        .select($"doc_id", $"rep_id", $"group_n",
+          ($"doc_id" === $"rep_id").as("kept"))
+        .orderBy($"doc_id")
+    },
+
+    // Quality-WEIGHTED sampling — per-doc keep probability proportional
+    // to a quality proxy (here length: w = min(1, n_chars/400)), decided
+    // by comparing a deterministic md5-derived uniform against w. The
+    // uniform is the first 13 hex digits of md5(seed || doc_id) read as
+    // an integer over 2^52 — both engines compute the identical IEEE
+    // double (every value < 2^52 is exactly representable, the divisor
+    // is a power of two), so the survivor set is bit-identical
+    // cross-engine with no RNG and no partition dependence. Pure narrow
+    // map + bounded-key report; composes with q_sample_mix's tier rates
+    // and q_temperature_mix's α-flattening as the third sampler of a
+    // data recipe.
+    "q_weighted_sample" -> { (s, dir) =>
+      import s.implicits._
+      val u = conv(substring(
+          md5(concat(lit("graft-wt-v1:"), $"doc_id".cast("string"))), 1, 13),
+          16, 10).cast("long").cast("double") / 4503599627370496.0
+      val w = least(lit(1.0), $"n_chars".cast("double") / 400.0)
+      load(s, dir, "documents")
+        .withColumn("kept", u < w)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"kept", $"n_chars").otherwise(0L)).as("chars_kept"))
+        .orderBy($"source")
+    },
+
+    // EXACT cross-document substring duplication (the measurement pass
+    // of Lee et al. 2021's "Deduplicating Training Data Makes Language
+    // Models Better" — q_winnow_fp is the sampled/fingerprint twin;
+    // this is the exact per-position account): every char 40-gram of
+    // every doc, counted across DISTINCT docs; a doc's dup_ratio is the
+    // fraction of its positions whose 40-gram also appears in some
+    // OTHER doc. Non-vacuity is engineered: a 200-char contiguous
+    // excerpt (fresh id) of every 10th doc is unioned in — excerpt and
+    // source must flag each other's shared span. Scale: gram explosion
+    // is a narrow map (grams carried as 128-bit digests, not text); the
+    // only shuffles key on gram digest with map-side partial aggs —
+    // never doc×doc. At 100 TB the same plan runs on a stride/winnow
+    // sample of positions (bounded blowup); stride 1 is the exact
+    // variant the oracle can check.
+    "q_substring_dup" -> { (s, dir) =>
+      import s.implicits._
+      val K = 40
+      val base = load(s, dir, "documents").select($"doc_id", $"text")
+      val excerpts = base.where($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          $"text".substr(lit(50), lit(200)).as("text"))
+      val docs = base.unionByName(excerpts).where(length($"text") >= K)
+      val grams = docs.select($"doc_id",
+        explode(transform(sequence(lit(1), length($"text") - (K - 1)),
+          i => md5($"text".substr(i, lit(K))))).as("g"))
+      val nd = grams.groupBy($"g").agg(countDistinct($"doc_id").as("nd"))
+      grams.join(nd, "g")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_ratio", $"n_dup" * 1.0 / $"n_grams")
+        .orderBy($"doc_id")
+    },
+
+    // Unigram-LM quality scoring — the integer-deterministic twin of the
+    // CCNet/Wikipedia-LM perplexity filter: train unigram counts on the
+    // md5 train split (same routing as q_split_hash), then score every
+    // doc's per-token SURPRISE quantized to whole bits — surprise(t) =
+    // bitlen(N) - bitlen(c_t) ≈ log2(N/c_t), where bitlen is the binary-
+    // digit count (length(bin(x))), an exact integer on both engines —
+    // no libm, no float-sum order dependence. OOV tokens (never seen in
+    // train) take the max surprise bitlen(N); non-vacuity is engineered
+    // by planting a unique token on each HELD-OUT doc (train docs are
+    // untouched, so the plants are OOV by construction). mean_surprise
+    // is one exact-int division at the end. Scale: wordcount-shaped
+    // count + a token-keyed shuffled join (vocab never broadcasts —
+    // at 100 TB it's billions of types) + doc-keyed partial agg; the
+    // 1-row N frame is the only broadcast.
+    "q_unigram_lm" -> { (s, dir) =>
+      import s.implicits._
+      val split1 = substring(md5(concat(lit("graft-split-v1:"), $"doc_id".cast("string"))), 1, 1)
+      val isTrain = split1.isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
+      val planted = load(s, dir, "documents")
+        .select($"doc_id", isTrain.as("is_train"),
+          when(isTrain, $"text")
+            .otherwise(concat($"text", lit(" zzq"), $"doc_id".cast("string"))).as("text"))
+      val tok = planted.select($"doc_id", $"is_train",
+        explode(split($"text", " ")).as("token"))
+      val counts = tok.where($"is_train").groupBy($"token").agg(count(lit(1)).as("c"))
+      val nTrain = counts.agg(sum($"c").as("n_train"))
+      tok.join(counts, Seq("token"), "left").crossJoin(nTrain)
+        .withColumn("surprise",
+          length(bin($"n_train")) - when($"c".isNull, 0).otherwise(length(bin($"c"))))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when($"c".isNull, 1L).otherwise(0L)).as("oov_n"),
+          sum($"surprise").cast("long").as("surp_sum"))
+        .withColumn("mean_surprise", $"surp_sum".cast("double") / $"n_toks")
+        .orderBy($"doc_id")
+    },
+
+    // PMI collocations — corpus-level phrase mining (the tokenizer-merge
+    // / stop-phrase precursor): adjacent-token bigrams via lag() over the
+    // per-doc position order, scored with the ratio form of pointwise
+    // mutual information, score = c_xy·N / (c_x·c_y) ∝ exp(PMI) — every
+    // factor an exact integer count, ONE double division at the end, so
+    // ranking is bit-identical cross-engine (products stay far under
+    // 2^53 at gate scale; at 100 TB the same plan runs over bigint
+    // products or a count floor). Min support c_xy ≥ 3 kills noise
+    // pairs. Scale: doc-keyed window for adjacency (never global),
+    // wordcount aggregates, token-keyed joins of bigrams to the two
+    // unigram marginals, bounded top-50 via TakeOrdered — the vocabulary
+    // is never globally sorted.
+    "q_collocations" -> { (s, dir) =>
+      import s.implicits._
+      val tok = load(s, dir, "documents")
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "token")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      val bi = tok.withColumn("prev", lag($"token", 1).over(w))
+        .where($"prev".isNotNull)
+        .groupBy($"prev".as("t1"), $"token".as("t2"))
+        .agg(count(lit(1)).as("c_xy"))
+        .where($"c_xy" >= 3)
+      val uni = tok.groupBy($"token").agg(count(lit(1)).as("c"))
+      val n = uni.agg(sum($"c").as("n_tok"))
+      bi.join(uni.select($"token".as("t1"), $"c".as("c_x")), Seq("t1"))
+        .join(uni.select($"token".as("t2"), $"c".as("c_y")), Seq("t2"))
+        .crossJoin(n)
+        .withColumn("score",
+          ($"c_xy" * $"n_tok").cast("double") / ($"c_x" * $"c_y").cast("double"))
+        .select($"t1", $"t2", $"c_xy", $"c_x", $"c_y", $"score")
+        .orderBy(desc("score"), $"t1", $"t2")
+        .limit(50)
+    },
+
+    // Repeat-factor epoch upsampling — the data-recipe step the samplers
+    // (tier rates, α-temperature, quality weight) can't express: BOOSTING
+    // an under-represented source to a target token budget by repeating
+    // its docs. Budget = the largest source's token count; epochs_i =
+    // ceil(budget/tokens_i) in exact integer arithmetic; docs replicate
+    // via explode(sequence(1, epochs)) and the per-source md5 order's
+    // running token total trims each source to the budget (first copy
+    // whose cumulative total crosses the budget is the last kept, so
+    // every source lands within one doc of the target). Scale: the
+    // source→(epochs, budget) plan is source-cardinality (broadcast by
+    // construction); replication is a narrow flatMap; the trim window
+    // partitions by source — at extreme per-source cardinality the
+    // production path swaps in Scale.bucketedRunningSum, same contract.
+    "q_repeat_epochs" -> { (s, dir) =>
+      import s.implicits._
+      val docs = load(s, dir, "documents")
+        .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("n_toks"))
+      val src = docs.groupBy($"source").agg(sum($"n_toks").as("src_toks"))
+      val budget = src.agg(max($"src_toks").as("budget"))
+      val plan = src.crossJoin(budget)
+        .withColumn("epochs", expr("(budget + src_toks - 1) div src_toks"))
+      val copies = docs.join(broadcast(plan), Seq("source"))
+        .select($"source", $"doc_id", $"n_toks", $"src_toks", $"budget", $"epochs",
+          explode(sequence(lit(1L), $"epochs")).as("copy"))
+        .withColumn("ok", md5(concat(lit("graft-epoch-v1:"),
+          $"doc_id".cast("string"), lit(":"), $"copy".cast("string"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"ok", $"doc_id", $"copy")
+      copies.withColumn("cum", sum($"n_toks").over(w))
+        .withColumn("kept", $"cum" - $"n_toks" < $"budget")
+        .groupBy($"source")
+        .agg(max($"src_toks").as("src_toks"), max($"budget").as("budget"),
+          max($"epochs").as("epochs"), count(lit(1)).as("n_copies"),
+          sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"kept", $"n_toks").otherwise(0L)).as("toks_kept"))
+        .orderBy($"source")
+    },
+
+    // Hashed linear quality classifier — the fastText-style model-based
+    // filter (GPT-3/LLaMA pipeline stage) as Spark plumbing with
+    // deterministic stand-in weights: w(token) = md5-derived integer in
+    // [-1000, 1000] computed INLINE from the token bytes (feature
+    // hashing — no vocabulary table, no join, the property that lets a
+    // linear scorer run as a pure narrow map over 100 TB); doc logit =
+    // Σ w(token) over positions as an exact bigint, label = logit > 0.
+    // Real trained weights would replace the hash lookup behind the
+    // same shape; everything the engine owns — hashing, summation,
+    // thresholding, determinism — is the oracle-gated part.
+    "q_quality_classifier" -> { (s, dir) =>
+      import s.implicits._
+      val wgt = conv(substring(md5(concat(lit("graft-clf-v1:"), $"token")), 1, 6),
+        16, 10).cast("long") % 2001 - 1000
+      load(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("token"))
+        .select($"doc_id", wgt.as("w"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum($"w").as("logit_sum"))
+        .withColumn("positive", $"logit_sum" > 0)
+        .orderBy($"doc_id")
     }
   )
 
@@ -1815,6 +2036,177 @@ object TextOps {
         |  SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 2 >= COUNT(*)
         |    AS substring_dup
         |FROM f JOIN shared s USING (fp)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB regexp_replace needs the explicit 'g' flag to match
+    // Spark's replace-all default; the normalization pipelines are
+    // otherwise identical rune-for-rune.
+    "q_norm_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || ' !!'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), d AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')))
+        |    AS digest
+        |  FROM base
+        |), g AS (
+        |  SELECT digest, MIN(doc_id) AS rep_id, COUNT(*) AS group_n
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT d.doc_id, g.rep_id, g.group_n, d.doc_id = g.rep_id AS kept
+        |FROM d JOIN g USING (digest) ORDER BY d.doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    CAST(('0x' || substr(md5('graft-wt-v1:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT) AS hx
+        |  FROM documents
+        |), k AS (
+        |  SELECT source, n_chars,
+        |    (CAST(hx AS DOUBLE) / 4503599627370496.0)
+        |      < least(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS kept
+        |  FROM d
+        |)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_kept
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_substring_dup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, substr(text, 50, 200)
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), g AS (
+        |  SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 40)) AS g
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 39)) AS i
+        |        FROM base WHERE len(text) >= 40)
+        |), nd AS (
+        |  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1
+        |)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup,
+        |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS dup_ratio
+        |FROM g JOIN nd USING (g) GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+
+    // bin() is unpadded in both engines, so length(bin(x)) is the exact
+    // binary digit count on each side; every aggregate stays integer.
+    "q_unigram_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    substr(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7','8','9','a','b') AS is_train
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, is_train,
+        |    CASE WHEN is_train THEN text
+        |         ELSE text || ' zzq' || CAST(doc_id AS VARCHAR) END AS text
+        |  FROM d
+        |), tok AS (
+        |  SELECT doc_id, is_train, unnest(string_split(text, ' ')) AS token
+        |  FROM p
+        |), c AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+        |  WHERE is_train GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n_train FROM c
+        |), g AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_toks,
+        |    SUM(CASE WHEN c.c IS NULL THEN 1 ELSE 0 END) AS oov_n,
+        |    SUM(length(bin(n.n_train)) -
+        |      CASE WHEN c.c IS NULL THEN 0 ELSE length(bin(c.c)) END)
+        |      AS surp_sum
+        |  FROM tok t LEFT JOIN c ON t.token = c.token CROSS JOIN n
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT doc_id, n_toks, CAST(oov_n AS BIGINT) AS oov_n,
+        |  CAST(surp_sum AS BIGINT) AS surp_sum,
+        |  CAST(surp_sum AS DOUBLE) / n_toks AS mean_surprise
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_collocations" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), ix AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS pos FROM s
+        |), tok AS (
+        |  SELECT doc_id, pos, ts[pos] AS token FROM ix
+        |), bi AS (
+        |  SELECT prev AS t1, token AS t2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        |  FROM (SELECT doc_id, pos, token,
+        |          lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM tok)
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |), uni AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni
+        |)
+        |SELECT b.t1, b.t2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+        |  CAST(b.c_xy * n.n_tok AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)
+        |    AS score
+        |FROM bi b JOIN uni u1 ON b.t1 = u1.token
+        |          JOIN uni u2 ON b.t2 = u2.token CROSS JOIN n
+        |ORDER BY score DESC, t1, t2 LIMIT 50""".stripMargin,
+
+    "q_repeat_epochs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), src AS (
+        |  SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_toks
+        |  FROM d GROUP BY 1
+        |), b AS (
+        |  SELECT MAX(src_toks) AS budget FROM src
+        |), plan AS (
+        |  SELECT source, src_toks, budget,
+        |    (budget + src_toks - 1) // src_toks AS epochs
+        |  FROM src CROSS JOIN b
+        |), copies AS (
+        |  SELECT d.source, d.doc_id, d.n_toks, p.src_toks, p.budget, p.epochs,
+        |    unnest(generate_series(1, p.epochs)) AS copy
+        |  FROM d JOIN plan p USING (source)
+        |), okd AS (
+        |  SELECT *, md5('graft-epoch-v1:' || CAST(doc_id AS VARCHAR) || ':'
+        |    || CAST(copy AS VARCHAR)) AS ok
+        |  FROM copies
+        |), cum AS (
+        |  SELECT *, SUM(n_toks) OVER (PARTITION BY source
+        |    ORDER BY ok, doc_id, copy) AS cum
+        |  FROM okd
+        |)
+        |SELECT source, MAX(src_toks) AS src_toks, MAX(budget) AS budget,
+        |  CAST(MAX(epochs) AS BIGINT) AS epochs, COUNT(*) AS n_copies,
+        |  CAST(SUM(CASE WHEN cum - n_toks < budget THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN cum - n_toks < budget THEN n_toks ELSE 0 END)
+        |    AS BIGINT) AS toks_kept
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('graft-clf-v1:' || token), 1, 6))
+        |      AS BIGINT) % 2001 - 1000 AS w
+        |  FROM tok
+        |)
+        |SELECT doc_id, COUNT(*) AS n_toks,
+        |  CAST(SUM(w) AS BIGINT) AS logit_sum,
+        |  CAST(SUM(w) AS BIGINT) > 0 AS positive
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -51,6 +51,10 @@ object VectorOps {
     * planes + corpus, pinned with margin at 0.4.
     */
   private val EmbedLshRecallFloor = 0.4
+  // SemDeDup same-cell recall of exactly-dominated vectors; isotropic
+  // random vectors are the worst case (see q_semdedup). Measured 0.52 /
+  // 0.57 / 0.80 at sf0.001/0.01/0.1; pinned with margin.
+  private val SemDedupRecallFloor = 0.35
   private def planeWeight(p: Int, d: Int): Double = {
     var z = (p.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L) + 0x94D049BB133111EBL
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -120,12 +124,14 @@ object VectorOps {
     * centroid, each query probes the `nprobe` closest cells. The scale
     * path when hyperplane LSH recall is poor: cells adapt to the data.
     */
-  def annIvf(emb: DataFrame, k: Int, cells: Int = 8, nprobe: Int = 3): DataFrame = {
-    val cached = emb.cache()
-    // seed centroids: first `cells` vectors by id (deterministic)
+  /** Deterministic k-means fit: seed = first `cells` vectors by id, two
+    * Lloyd passes (assign → element-wise mean). Only ever `cells` rows —
+    * broadcastable by construction; each pass is one corpus-linear
+    * assignment plus a (cell, dim)-keyed mean, no driver math.
+    */
+  private def lloydCentroids(cached: DataFrame, cells: Int): DataFrame = {
     var centroids = cached.orderBy(col("vec_id")).limit(cells)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
-    // two Lloyd passes: assign → recompute means element-wise
     for (_ <- 0 until 2) {
       val assigned = cached.crossJoin(broadcast(centroids))
         .withColumn("d", graft.functions.CosineSimilarity(col("v"), col("cv")))
@@ -142,14 +148,25 @@ object VectorOps {
         // assignment) doesn't re-execute this pass's whole lineage
         .localCheckpoint(true)
     }
-    val cents = broadcast(centroids)
+    centroids
+  }
 
-    val corpus = cached.crossJoin(cents)
+  /** Nearest-cell assignment vs an (already broadcast) centroid frame:
+    * (vec_id, v, cell). Ties break to the lowest cell id.
+    */
+  private def assignCells(cached: DataFrame, cents: DataFrame): DataFrame =
+    cached.crossJoin(cents)
       .withColumn("d", graft.functions.CosineSimilarity(col("v"), col("cv")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cell"))
+
+  def annIvf(emb: DataFrame, k: Int, cells: Int = 8, nprobe: Int = 3): DataFrame = {
+    val cached = emb.cache()
+    val cents = broadcast(lloydCentroids(cached, cells))
+
+    val corpus = assignCells(cached, cents)
 
     val queryProbes = cached.where(col("vec_id") < 3).crossJoin(cents)
       .withColumn("d", graft.functions.CosineSimilarity(col("v"), col("cv")))
@@ -294,6 +311,45 @@ object VectorOps {
         .orderBy($"vec_id")
     },
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup at corpus scale by
+    // clustering FIRST, then pruning only WITHIN clusters — a vector is
+    // removed iff a smaller-id vector in its OWN k-means cell sits at
+    // cosine ≥ τ. The pair join keys on cell id (k bounded partitions,
+    // never all-pairs) — the shape that lets semantic dedup run on 100 TB
+    // of embeddings where the exact all-pairs graph cannot. Output is
+    // the cross-engine contract: the exact dominated-vector count (DuckDB
+    // recomputes it), precision_ok — every SemDeDup removal is exactly
+    // dominated, true by construction since same-cell pairs ⊆ all pairs
+    // at the same τ — and recall_ok vs the pinned floor (the fenced
+    // all-pairs baseline exists in-query only; isotropic random vectors
+    // scatter true pairs across cells, the worst case — clustered real
+    // embeddings concentrate them, which is the paper's premise).
+    "q_semdedup" -> { (s, dir) =>
+      val emb = corpusOf(s, dir).cache()
+      val cents = broadcast(lloydCentroids(emb, 8))
+      val assigned = assignCells(emb, cents)
+      val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
+      val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"))
+      val semRemoved = a.join(b, Seq("cell"))
+        .where(col("id_b") < col("id_a"))
+        .where(graft.functions.CosineSimilarity(col("va"), col("vb")) >= 0.3)
+        .select(col("id_a").as("vec_id")).distinct()
+      val ea = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val eb = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      val exactRemoved = ea.join(eb, col("id_b") < col("id_a"))
+        .where(graft.functions.CosineSimilarity(col("va"), col("vb")) >= 0.3)
+        .select(col("id_a").as("vec_id")).distinct()
+      val falsePos = semRemoved.join(exactRemoved, Seq("vec_id"), "left_anti")
+      exactRemoved.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(semRemoved.agg(count(lit(1)).as("n_sem")))
+        .crossJoin(falsePos.agg(count(lit(1)).as("n_fp")))
+        .select(col("n_exact"),
+          (col("n_fp") === 0).as("precision_ok"),
+          when(col("n_exact") > 0,
+            col("n_sem") * 1.0 / col("n_exact") >= SemDedupRecallFloor)
+            .otherwise(lit(true)).as("recall_ok"))
+    },
+
     // Per-label centroids over EVERY dimension (the k-means/IVF building
     // block as a first-class op, and the class-prototype step of
     // embedding-space analysis): posexplode to (label, dim) grain, snap
@@ -376,6 +432,18 @@ object VectorOps {
         |)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
         |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.3""".stripMargin,
+
+    // DuckDB recomputes the exact dominated-vector count (distinct
+    // vectors with a smaller-id ≥0.3-cosine partner) and pins both
+    // contract booleans; the k-means cells are Spark-side only.
+    "q_semdedup" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |)
+        |SELECT CAST(COUNT(DISTINCT a.vec_id) AS BIGINT) AS n_exact,
+        |  TRUE AS precision_ok, TRUE AS recall_ok
+        |FROM emb a JOIN emb b ON b.vec_id < a.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.3""".stripMargin,
 
     "q_embed_neardup" ->

@@ -198,6 +198,10 @@ class PlanSpec extends SparkSpec {
       // same fenced all-pairs baseline feeding connected components — the
       // production candidate generator is the LSH-bucketed plan
       "q_embed_dup_clusters",
+      // SemDeDup's in-query exact-dominated baseline (the production
+      // pair join keys on cell id; the 1-row contract aggregates also
+      // cross-join by construction)
+      "q_semdedup",
       // J10: 1-row aggregate broadcast into the select
       "q_scalar_subquery",
       // same 1-row pattern: the funnel's raw_n denominator
@@ -205,7 +209,13 @@ class PlanSpec extends SparkSpec {
       // same 1-row pattern: three stage-count aggregates combined
       "q_ordered_funnel",
       // same 1-row pattern: the corpus-size N in the idf ratio
-      "q_tfidf")
+      "q_tfidf",
+      // same 1-row pattern: the train-token total N in the surprise
+      "q_unigram_lm",
+      // same 1-row pattern: the unigram total N in the PMI ratio
+      "q_collocations",
+      // same 1-row pattern: the max-source token budget
+      "q_repeat_epochs")
     graft.SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
