@@ -61,6 +61,57 @@ object TextOps {
     */
   private val BpeMerges = 6
 
+  /** BPE training corpus: the word frequency table over lowercase-alnum
+    * tokens (the filter makes both engines agree on the symbol space).
+    */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    load(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("token"))
+      .where($"token".rlike("^[a-z0-9]+$"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** BPE merge induction (Sennrich et al. 2016) over the word frequency
+    * table: per round, count adjacent symbol pairs corpus-wide, merge
+    * the argmax pair (count DESC, pair ASC) everywhere leftmost-non-
+    * overlapping via ONE codegen'd replace over the bracket-framed
+    * symbol string — adjacent matches share no characters, so flat
+    * left-to-right replace IS the BPE merge rule. Returns the learned
+    * merges and the final (token, cnt, seq) vocabulary frame. Each
+    * round is a vocab-cardinality aggregate + a narrow map; the only
+    * driver data is the 1-row argmax per round (the algorithm's
+    * sequential dependency — same bounded pattern as the Lloyd
+    * quantizer).
+    */
+  private def bpeInduce(s: SparkSession,
+      words: DataFrame): (Seq[(Long, String, String, Long)], DataFrame) = {
+    import s.implicits._
+    var seqs = words
+      .select($"token", $"cnt", regexp_replace($"token", "(.)", "[$1]").as("seq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (i <- 1 to BpeMerges) {
+      // Spark's sequence(1, n) DESCENDS for n < 1 — filter the
+      // single-symbol words before building pair indices.
+      val pairs = seqs
+        .withColumn("syms", split(expr("substring(seq, 2, length(seq) - 2)"), "\\]\\["))
+        .where(size($"syms") >= 2)
+        .select($"cnt", explode(expr(
+          "transform(sequence(1, size(syms) - 1), j -> " +
+            "named_struct('a', element_at(syms, j), 'b', element_at(syms, j + 1)))")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"cnt").as("pc"))
+      val best = pairs.orderBy(desc("pc"), $"a", $"b").limit(1).collect()(0)
+      val (a, b, pc) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((i.toLong, a, b, pc))
+      seqs = seqs
+        .withColumn("seq", replace($"seq", lit(s"[$a][$b]"), lit(s"[$a$b]")))
+        .localCheckpoint(true)
+    }
+    (merges.toSeq, seqs)
+  }
+
   /** Band width escalation for degenerate corpora: when the 16-perm
     * banding produces ANY over-cap bucket, sub-1.0 pairs inside those
     * buckets would be dropped with the bucket — so the banding re-runs at
@@ -1482,33 +1533,34 @@ object TextOps {
     // the identical rounds as a DuckDB CTE chain.
     "q_bpe_merges" -> { (s, dir) =>
       import s.implicits._
-      val words = load(s, dir, "documents")
-        .select(explode(split($"text", " ")).as("token"))
+      val (merges, _) = bpeInduce(s, bpeWords(s, dir))
+      merges.toDF("rank", "a", "b", "pc").orderBy($"rank")
+    },
+
+    // BPE tokenizer APPLICATION — the encode step completing the
+    // tokenizer story (q_vocab → q_bpe_merges → here): the learned
+    // merges applied to the whole corpus, reported per doc as word /
+    // char / subword-unit counts and the resulting chars-per-unit
+    // compression. Encoding is a vocab-cardinality map (each word TYPE
+    // encodes once; docs join their tokens to the encoded vocab on the
+    // token-keyed shuffle) — the corpus itself is never re-scanned per
+    // merge round. cpu = one exact-int division.
+    "q_bpe_encode" -> { (s, dir) =>
+      import s.implicits._
+      val (_, vocab) = bpeInduce(s, bpeWords(s, dir))
+      val enc = vocab.select($"token",
+        size(split(expr("substring(seq, 2, length(seq) - 2)"), "\\]\\["))
+          .cast("long").as("n_units"))
+      load(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("token"))
         .where($"token".rlike("^[a-z0-9]+$"))
-        .groupBy($"token").agg(count(lit(1)).as("cnt"))
-      var seqs = words
-        .select($"cnt", regexp_replace($"token", "(.)", "[$1]").as("seq"))
-        .localCheckpoint(true)
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-      for (i <- 1 to BpeMerges) {
-        // Spark's sequence(1, n) DESCENDS for n < 1 — filter the
-        // single-symbol words before building pair indices.
-        val pairs = seqs
-          .withColumn("syms", split(expr("substring(seq, 2, length(seq) - 2)"), "\\]\\["))
-          .where(size($"syms") >= 2)
-          .select($"cnt", explode(expr(
-            "transform(sequence(1, size(syms) - 1), j -> " +
-              "named_struct('a', element_at(syms, j), 'b', element_at(syms, j + 1)))")).as("p"))
-          .groupBy($"p.a".as("a"), $"p.b".as("b"))
-          .agg(sum($"cnt").as("pc"))
-        val best = pairs.orderBy(desc("pc"), $"a", $"b").limit(1).collect()(0)
-        val (a, b, pc) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((i.toLong, a, b, pc))
-        seqs = seqs
-          .withColumn("seq", replace($"seq", lit(s"[$a][$b]"), lit(s"[$a$b]")))
-          .localCheckpoint(true)
-      }
-      merges.toSeq.toDF("rank", "a", "b", "pc").orderBy($"rank")
+        .join(enc, Seq("token"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length($"token")).as("n_chars"),
+          sum($"n_units").as("n_units"))
+        .withColumn("cpu", $"n_chars".cast("double") / $"n_units")
+        .orderBy($"doc_id")
     },
 
     // Hashed linear quality classifier — the fastText-style model-based
@@ -1541,7 +1593,7 @@ object TextOps {
     * the bracket-framed replace. Generated so the round count stays
     * pinned to BpeMerges.
     */
-  private def bpeOracle(k: Int): String = {
+  private def bpeOracleChain(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w0 AS (
@@ -1549,9 +1601,15 @@ object TextOps {
         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |  WHERE regexp_matches(token, '^[a-z0-9]+$')
         |  GROUP BY 1
-        |), s0 AS (
-        |  SELECT cnt, regexp_replace(token, '(.)', '[\1]', 'g') AS seq FROM w0
+        |), s0 AS MATERIALIZED (
+        |  SELECT token, cnt, regexp_replace(token, '(.)', '[\1]', 'g') AS seq
+        |  FROM w0
         |)""".stripMargin)
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    // reference, so a chained s1..sK would re-expand the whole prefix
+    // exponentially (~4^K scans); materializing each level (and joining
+    // b_i once instead of three scalar subqueries) keeps the oracle
+    // linear in K.
     for (i <- 1 to k) {
       val prev = s"s${i - 1}"
       sb.append(s""",
@@ -1562,23 +1620,51 @@ object TextOps {
         |                string_split(substr(seq, 2, len(seq) - 2), '][') AS syms
         |              FROM $prev))
         |  GROUP BY 1, 2
-        |), b$i AS (
+        |), b$i AS MATERIALIZED (
         |  SELECT a, b, pc FROM p$i ORDER BY pc DESC, a, b LIMIT 1
-        |), s$i AS (
-        |  SELECT cnt, replace(seq,
-        |    '[' || (SELECT a FROM b$i) || '][' || (SELECT b FROM b$i) || ']',
-        |    '[' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ']') AS seq
-        |  FROM $prev
+        |), s$i AS MATERIALIZED (
+        |  SELECT token, cnt,
+        |    replace(seq, '[' || m.a || '][' || m.b || ']',
+        |      '[' || m.a || m.b || ']') AS seq
+        |  FROM $prev CROSS JOIN b$i m
         |)""".stripMargin)
     }
-    sb.append("\n" + (1 to k).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS rank, a, b, pc FROM b$i")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY rank"))
     sb.toString
   }
 
+  private def bpeOracle(k: Int): String =
+    bpeOracleChain(k) + "\n" + (1 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, a, b, pc FROM b$i")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+
+  /** q_bpe_encode oracle: the same unrolled chain, then per-token unit
+    * counts from the final symbol strings joined back to the corpus's
+    * filtered tokens.
+    */
+  private def bpeEncodeOracle(k: Int): String =
+    bpeOracleChain(k) + s""",
+      |enc AS (
+      |  SELECT token,
+      |    CAST(len(string_split(substr(seq, 2, len(seq) - 2), '][')) AS BIGINT)
+      |      AS n_units
+      |  FROM s$k
+      |), dt AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |), g AS (
+      |  SELECT d.doc_id, COUNT(*) AS n_words,
+      |    SUM(len(d.token)) AS n_chars, SUM(e.n_units) AS n_units
+      |  FROM dt d JOIN enc e USING (token)
+      |  WHERE regexp_matches(d.token, '^[a-z0-9]+$$')
+      |  GROUP BY d.doc_id
+      |)
+      |SELECT doc_id, n_words, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(n_units AS BIGINT) AS n_units,
+      |  CAST(n_chars AS DOUBLE) / CAST(n_units AS BIGINT) AS cpu
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracle(BpeMerges),
+    "q_bpe_encode" -> bpeEncodeOracle(BpeMerges),
     "q_text_stats" ->
       """WITH d AS (
         |  SELECT lang, n_chars,
