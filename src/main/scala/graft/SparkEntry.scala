@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.VectorOps.queries ++
       graft.queries.MultimodalQ.queries ++
       graft.queries.Formats.queries ++
+      graft.queries.Diagnostics.queries ++
       graft.queries.GoldE2E.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.VectorOps.oracles ++
       graft.queries.MultimodalQ.oracles ++
       graft.queries.Formats.oracles ++
+      graft.queries.Diagnostics.oracles ++
       graft.queries.GoldE2E.oracles
 }

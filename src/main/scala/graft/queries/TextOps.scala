@@ -1394,9 +1394,13 @@ object TextOps {
         .select(($"doc_id" + 2000000L).as("doc_id"),
           $"text".substr(lit(50), lit(200)).as("text"))
       val docs = base.unionByName(excerpts).where(length($"text") >= K)
+      // grams carried as 60-bit ints (15 hex digits of the md5) — the
+      // gram-keyed shuffles move 8-byte longs, not 32-char strings
+      // (the string form measured ~2× slower end-to-end at sf0.1)
       val grams = docs.select($"doc_id",
         explode(transform(sequence(lit(1), length($"text") - (K - 1)),
-          i => md5($"text".substr(i, lit(K))))).as("g"))
+          i => conv(substring(md5($"text".substr(i, lit(K))), 1, 15), 16, 10)
+            .cast("long"))).as("g"))
       val nd = grams.groupBy($"g").agg(countDistinct($"doc_id").as("nd"))
       grams.join(nd, "g")
         .groupBy($"doc_id")
@@ -2266,7 +2270,9 @@ object TextOps {
         |  SELECT doc_id + 2000000, substr(text, 50, 200)
         |  FROM documents WHERE doc_id % 10 = 0
         |), g AS (
-        |  SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 40)) AS g
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 40)), 1, 15))
+        |      AS BIGINT) AS g
         |  FROM (SELECT doc_id, text,
         |          unnest(generate_series(1, len(text) - 39)) AS i
         |        FROM base WHERE len(text) >= 40)

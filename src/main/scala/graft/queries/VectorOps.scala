@@ -194,13 +194,6 @@ object VectorOps {
   private val PqK = 32
   private val PqRerank = 50
 
-  /** Squared L2 distance via codegen'd higher-order functions —
-    * sequential left fold, deterministic summation order.
-    */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, z) => acc + z)
-
   /** (vec_id, m, sv): each vector split into its PqM sub-vectors. */
   private def subVectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("v"),
@@ -208,22 +201,45 @@ object VectorOps {
       .select(col("vec_id"), col("m"),
         slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
 
+  /** Nearest-codebook-cell assignment as a NARROW map: the (m, cell,
+    * cv) codebook packs to one cell-sorted entry array per subspace
+    * (PqM rows), broadcast-joined on m, and the argmin runs inline via
+    * a codegen'd fold over the entries (strict < keeps the lowest cell
+    * on ties). No shuffle, no per-candidate row blowup — the join+
+    * window form this replaces shuffled corpus×PqK rows through three
+    * sort windows and measured ~3× slower end-to-end.
+    */
+  private def pqAssign(sub: DataFrame, books: DataFrame): DataFrame = {
+    val packed = books.groupBy(col("m"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("cv")))).as("es"))
+    sub.join(broadcast(packed), Seq("m"))
+      .withColumn("cell", expr(
+        """aggregate(es,
+             named_struct('d', cast('Infinity' as double), 'c', -1),
+             (acc, e) -> CASE
+               WHEN aggregate(zip_with(sv, e.cv, (x, y) -> (x - y) * (x - y)),
+                              0D, (a2, z) -> a2 + z) < acc.d
+               THEN named_struct(
+                 'd', aggregate(zip_with(sv, e.cv, (x, y) -> (x - y) * (x - y)),
+                                0D, (a2, z) -> a2 + z),
+                 'c', e.cell)
+               ELSE acc END).c"""))
+      .drop("es")
+  }
+
   /** Per-subspace deterministic k-means codebooks (m, cell, cv): seeds
     * are the first PqK vectors' sub-vectors, two Lloyd passes, all M
-    * subspaces trained in ONE frame (the per-m equi-join fans each
-    * sub-vector out to only its own subspace's candidates). Only ever
-    * PqM×PqK rows — broadcastable by construction.
+    * subspaces trained in ONE frame. Only ever PqM×PqK rows —
+    * broadcastable by construction; assignment is the narrow
+    * [[pqAssign]] fold, so each pass shuffles only the (m, cell, pos)
+    * mean aggregate.
     */
   private def pqCodebooks(sub: DataFrame): DataFrame = {
     var cents = sub.where(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("cell"), col("sv").as("cv"))
       .localCheckpoint(true)
     for (_ <- 0 until 2) {
-      val assigned = sub.join(broadcast(cents), Seq("m"))
-        .withColumn("d", l2sq(col("sv"), col("cv")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id", "m").orderBy(asc("d"), asc("cell"))))
-        .where(col("rn") === 1)
+      val assigned = pqAssign(sub, cents)
       cents = assigned
         .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("m"), col("cell"), col("pos")).agg(avg(col("x")).as("mx"))
@@ -247,16 +263,12 @@ object VectorOps {
     */
   def annPq(emb: DataFrame, k: Int): DataFrame = {
     val sub = subVectors(emb)
-    val books = broadcast(pqCodebooks(sub))
-    val codes = sub.join(books, Seq("m"))
-      .withColumn("d", l2sq(col("sv"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id", "m").orderBy(asc("d"), asc("cell"))))
-      .where(col("rn") === 1)
+    val books = pqCodebooks(sub)
+    val codes = pqAssign(sub, books)
       .select(col("vec_id"), col("m"), col("cell").as("code"))
     val table = subVectors(emb.where(col("vec_id") < 3))
       .select(col("vec_id").as("query_id"), col("m"), col("sv"))
-      .join(books, Seq("m"))
+      .join(broadcast(books), Seq("m"))
       .select(col("query_id"), col("m"), col("cell").as("code"),
         dot(col("sv"), col("cv")).as("pdot"))
     val approx = codes.join(broadcast(table), Seq("m", "code"))
