@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.MultimodalQ.queries ++
       graft.queries.Formats.queries ++
       graft.queries.Diagnostics.queries ++
+      graft.queries.TemporalOps.queries ++
       graft.queries.GoldE2E.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.MultimodalQ.oracles ++
       graft.queries.Formats.oracles ++
       graft.queries.Diagnostics.oracles ++
+      graft.queries.TemporalOps.oracles ++
       graft.queries.GoldE2E.oracles
 }

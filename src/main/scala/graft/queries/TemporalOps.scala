@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Temporal dimension-history and series operators over `events`:
+  * SCD Type-2 derivation (validity-ranged attribute history — the
+  * warehouse twin of the SCD-1 "latest wins" dim the pipeline builds)
+  * and fixed-grid resampling with forward fill (the feature-
+  * engineering step that turns an irregular event stream into a dense
+  * model-input series).
+  *
+  * Scale design (100 TB): both operators shuffle once on user_id and
+  * run windows partitioned at user cardinality — never a global
+  * window; the resample grid is generated per user from its own span
+  * (explode of a bounded sequence), not materialized corpus-wide.
+  * Timestamps leave the queries as epoch integers (exact cross-engine;
+  * raw TIMESTAMP outputs are a driver-hash footgun).
+  */
+object TemporalOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SCD TYPE-2 history: the tracked attribute (a value tier at the
+    // corpus terciles) per user over event time, collapsed into
+    // validity runs — one row per consecutive run of an equal tier
+    // with [eff_from, eff_to) epoch-microsecond bounds, the open run flagged
+    // is_current. Classic gaps-and-islands: change flags via lag()
+    // over the deterministic (ts, event_id) order, run ids via the
+    // running sum of flags, run bounds via lead() over the collapsed
+    // runs — three user-keyed windows, one user-keyed aggregate.
+    "q_scd2_history" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val ev = load(s, dir, "events")
+        .select($"user_id", $"event_id", $"ts",
+          when($"value" < 20.0, "low")
+            .when($"value" < 55.0, "mid")
+            .otherwise("high").as("tier"))
+      val runs = ev
+        .withColumn("chg",
+          when(lag($"tier", 1).over(w).isNull ||
+            lag($"tier", 1).over(w) =!= $"tier", 1L).otherwise(0L))
+        .withColumn("run_id", sum($"chg").over(w))
+      val hist = runs.groupBy($"user_id", $"run_id")
+        .agg(max($"tier").as("tier"),
+          min(unix_micros($"ts")).as("eff_from_us"),
+          count(lit(1)).as("n_events"))
+      val wr = Window.partitionBy($"user_id").orderBy($"run_id")
+      hist
+        .withColumn("eff_to_us", lead($"eff_from_us", 1).over(wr))
+        .withColumn("is_current", $"eff_to_us".isNull)
+        .select($"user_id", $"run_id", $"tier", $"eff_from_us",
+          $"eff_to_us", $"n_events", $"is_current")
+        .orderBy($"user_id", $"run_id")
+    },
+
+    // Fixed-grid RESAMPLE + forward fill: each sampled user's irregular
+    // events snap to an hourly grid over the user's own [first, last]
+    // span (per-user sequence explode — bounded by span/step, no
+    // corpus-wide grid); grid hours carry the hour's MAX(value) where
+    // events exist (max, not avg — double sums are merge-order-
+    // dependent, max is not) and forward-fill the last observed value
+    // otherwise, `filled` marking the imputed rows. The union-tag +
+    // last(ignoreNulls) running window is the standard ffill plan; it
+    // densifies an event stream into the model-ready series a feature
+    // pipeline feeds downstream.
+    "q_resample_ffill" -> { (s, dir) =>
+      import s.implicits._
+      val ev = load(s, dir, "events").where($"user_id" < 8)
+        .select($"user_id", expr("unix_micros(ts) div 3600000000").as("hr"), $"value")
+      val hourly = ev.groupBy($"user_id", $"hr").agg(max($"value").as("v"))
+      val grid = hourly.groupBy($"user_id")
+        .agg(min($"hr").as("h0"), max($"hr").as("h1"))
+        .select($"user_id", explode(sequence($"h0", $"h1")).as("hr"))
+      val w = Window.partitionBy($"user_id").orderBy($"hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .withColumn("filled", $"v".isNull)
+        .withColumn("v", last($"v", ignoreNulls = true).over(w))
+        .select($"user_id", ($"hr" * 3600L).as("hour_epoch_s"), $"v", $"filled")
+        .orderBy($"user_id", $"hour_epoch_s")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scd2_history" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN value < 20 THEN 'low'
+        |         WHEN value < 55 THEN 'mid' ELSE 'high' END AS tier
+        |  FROM events
+        |), r AS (
+        |  SELECT *, CASE WHEN lag(tier) OVER w IS NULL
+        |      OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), r2 AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS run_id
+        |  FROM r
+        |), g AS (
+        |  SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+        |    MAX(tier) AS tier,
+        |    CAST(MIN(epoch_us(ts)) AS BIGINT) AS eff_from_us,
+        |    COUNT(*) AS n_events
+        |  FROM r2 GROUP BY 1, 2
+        |)
+        |SELECT user_id, run_id, tier, eff_from_us,
+        |  lead(eff_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+        |    AS eff_to_us,
+        |  n_events,
+        |  lead(eff_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+        |    IS NULL AS is_current
+        |FROM g ORDER BY user_id, run_id""".stripMargin,
+
+    "q_resample_ffill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr, MAX(value) AS v
+        |  FROM events WHERE user_id < 8 GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(MIN(hr), MAX(hr))) AS hr
+        |  FROM hourly GROUP BY user_id
+        |)
+        |SELECT g.user_id, CAST(g.hr * 3600 AS BIGINT) AS hour_epoch_s,
+        |  last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v,
+        |  h.v IS NULL AS filled
+        |FROM grid g LEFT JOIN hourly h USING (user_id, hr)
+        |ORDER BY g.user_id, hour_epoch_s""".stripMargin
+  )
+}
