@@ -102,7 +102,10 @@ object TextOps {
             "named_struct('a', element_at(syms, j), 'b', element_at(syms, j + 1)))")).as("p"))
         .groupBy($"p.a".as("a"), $"p.b".as("b"))
         .agg(sum($"cnt").as("pc"))
-      val best = pairs.orderBy(desc("pc"), $"a", $"b").limit(1).collect()(0)
+      val top = pairs.orderBy(desc("pc"), $"a", $"b").limit(1).collect()
+      require(top.nonEmpty, s"BPE round $i: no adjacent pairs left " +
+        "(corpus too small for BpeMerges rounds)")
+      val best = top(0)
       val (a, b, pc) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((i.toLong, a, b, pc))
       seqs = seqs
@@ -1346,6 +1349,39 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // Canonical selection — keep the BEST duplicate, not the first: the
+    // same normalized groups as q_norm_dedup, but the keeper is the
+    // group's argmax by a quality key (here raw length DESC — the
+    // re-serialized variants are strictly longer than their sources, so
+    // this provably picks a DIFFERENT keeper than min-id in every
+    // planted group; production swaps the length key for
+    // q_quality_score / q_quality_classifier output through the same
+    // window). One row_number per digest group — identical shuffle
+    // shape (and cost) to the min-id form.
+    "q_keep_best" -> { (s, dir) =>
+      import s.implicits._
+      val base = load(s, dir, "documents").select($"doc_id", $"text")
+      val variants = base.where($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(upper($"text"), lit(" !!")).as("text"))
+      val norm = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]+", " "), " +", " "))
+      val docs = base.unionByName(variants).withColumn("digest", md5(norm))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"digest").orderBy(length($"text").desc, $"doc_id")
+      docs
+        .withColumn("rk", row_number().over(w))
+        .withColumn("keeper_id", first($"doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"digest")
+            .orderBy(length($"text").desc, $"doc_id")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        .withColumn("group_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"digest")))
+        .select($"doc_id", $"keeper_id", $"group_n", ($"rk" === 1).as("kept"))
+        .orderBy($"doc_id")
+    },
+
     // Quality-WEIGHTED sampling — per-doc keep probability proportional
     // to a quality proxy (here length: w = min(1, n_chars/400)), decided
     // by comparing a deterministic md5-derived uniform against w. The
@@ -2244,6 +2280,32 @@ object TextOps {
         |)
         |SELECT d.doc_id, g.rep_id, g.group_n, d.doc_id = g.rep_id AS kept
         |FROM d JOIN g USING (digest) ORDER BY d.doc_id""".stripMargin,
+
+    "q_keep_best" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || ' !!'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), d AS (
+        |  SELECT doc_id, text, md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')))
+        |    AS digest
+        |  FROM base
+        |), r AS (
+        |  SELECT doc_id, digest,
+        |    row_number() OVER (PARTITION BY digest
+        |      ORDER BY len(text) DESC, doc_id) AS rk,
+        |    first_value(doc_id) OVER (PARTITION BY digest
+        |      ORDER BY len(text) DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS keeper_id,
+        |    COUNT(*) OVER (PARTITION BY digest) AS group_n
+        |  FROM d
+        |)
+        |SELECT doc_id, keeper_id, CAST(group_n AS BIGINT) AS group_n,
+        |  rk = 1 AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_weighted_sample" ->
       """WITH d AS (
