@@ -514,6 +514,38 @@ object VectorOps {
         .orderBy($"label")
     },
 
+    // Contrastive HARD-NEGATIVE mining — the training-pair step of
+    // embedding-model pipelines (triplet/InfoNCE batches): for each
+    // query vector, the nearest SAME-label neighbor (positive) and the
+    // nearest OTHER-label neighbor (the hard negative — close in space,
+    // wrong in label). Output is ids only: argmax identities are
+    // float-robust (neighbor gaps >> ulp, the q_ann_topk argument),
+    // raw cosines are not. The 20-query broadcast × corpus scan is the
+    // same linear per-query baseline as q_ann_topk; at scale the
+    // LSH/IVF/PQ candidate generators feed the identical selection
+    // windows.
+    "q_hard_negatives" -> { (s, dir) =>
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+          col("label").cast("long").as("label"))
+      val q = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("label").as("qlabel"))
+      val scored = emb.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", dot(col("qv"), col("v")))
+        .withColumn("same", col("label") === col("qlabel"))
+      val w = Window.partitionBy(col("query_id"), col("same"))
+        .orderBy(desc("cos"), asc("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy(col("query_id"))
+        .agg(
+          max(when(col("same"), col("vec_id"))).as("pos_id"),
+          max(when(!col("same"), col("vec_id"))).as("neg_id"))
+        .orderBy(col("query_id"))
+    },
+
     // Embedding-space PCA — the variance-accounting step of embedding
     // curation (DataComp-style SVD analysis, whitening precursors):
     // the 64×64 second-moment matrix via a (i, j)-keyed aggregate over
@@ -692,6 +724,32 @@ object VectorOps {
         |  CAST(SUM(vs_nano) AS BIGINT) AS sum_nano,
         |  CAST(SUM(vs_nano) AS DOUBLE) / 1e9 / COUNT(*) AS mean_v
         |FROM flat GROUP BY label, idx ORDER BY label, idx""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    CAST(label AS BIGINT) AS label
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv, label AS qlabel
+        |  FROM emb WHERE vec_id < 20
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_inner_product(q.qv, e.v) AS cos,
+        |    e.label = q.qlabel AS same
+        |  FROM emb e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id
+        |), best AS (
+        |  SELECT query_id, vec_id, same,
+        |    row_number() OVER (PARTITION BY query_id, same
+        |      ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored
+        |)
+        |SELECT query_id,
+        |  MAX(CASE WHEN same THEN vec_id END) AS pos_id,
+        |  MAX(CASE WHEN NOT same THEN vec_id END) AS neg_id
+        |FROM best WHERE rn = 1
+        |GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     // DuckDB recomputes the exact nano-snapped per-dim second moments
     // (the hash anchor); the eigen extraction is driver-side with

@@ -191,6 +191,8 @@ class PlanSpec extends SparkSpec {
       // per-query baseline (and the recall-contract baseline inside the
       // ANN queries, whose probe/centroid sides are broadcast k-row tables)
       "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
+      // same broadcast-queries × corpus-scan baseline, labels attached
+      "q_hard_negatives",
       // documented all-pairs oracle baseline of the LSH path — must never
       // become the production composition — and the bucketed variant,
       // whose in-query recall contract computes that same baseline
