@@ -1349,6 +1349,33 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // N-gram DIVERSITY metrics — distinct-1/distinct-2 (type-token
+    // ratio and its bigram analogue), the standard lexical-diversity
+    // account complementing q_repetition's repeated-shingle ratio: low
+    // distinct-n flags TEMPLATED text (boilerplate, generation loops)
+    // that the shingle test can miss. Per-doc narrow map: bigrams via
+    // a doc-keyed lag window, exact distinct counts, two exact-int
+    // ratio divisions.
+    "q_ngram_diversity" -> { (s, dir) =>
+      import s.implicits._
+      val tok = load(s, dir, "documents")
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "token")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      tok
+        .withColumn("prev", lag($"token", 1).over(w))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct($"token").as("d1"),
+          count($"prev").as("n_bigrams"),
+          countDistinct(when($"prev".isNotNull,
+            concat($"prev", lit(" "), $"token"))).as("d2"))
+        .withColumn("distinct1", $"d1".cast("double") / $"n_tokens")
+        .withColumn("distinct2",
+          when($"n_bigrams" > 0, $"d2".cast("double") / $"n_bigrams"))
+        .orderBy($"doc_id")
+    },
+
     // Canonical selection — keep the BEST duplicate, not the first: the
     // same normalized groups as q_norm_dedup, but the keeper is the
     // group's argmax by a quality key (here raw length DESC — the
@@ -2280,6 +2307,31 @@ object TextOps {
         |)
         |SELECT d.doc_id, g.rep_id, g.group_n, d.doc_id = g.rep_id AS kept
         |FROM d JOIN g USING (digest) ORDER BY d.doc_id""".stripMargin,
+
+    "q_ngram_diversity" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), ix AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS pos FROM s
+        |), tok AS (
+        |  SELECT doc_id, pos, ts[pos] AS token FROM ix
+        |), l AS (
+        |  SELECT doc_id, token,
+        |    lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM tok
+        |), g AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    CAST(COUNT(DISTINCT token) AS BIGINT) AS d1,
+        |    CAST(COUNT(prev) AS BIGINT) AS n_bigrams,
+        |    CAST(COUNT(DISTINCT CASE WHEN prev IS NOT NULL
+        |      THEN prev || ' ' || token END) AS BIGINT) AS d2
+        |  FROM l GROUP BY 1
+        |)
+        |SELECT doc_id, n_tokens, d1, n_bigrams, d2,
+        |  CAST(d1 AS DOUBLE) / n_tokens AS distinct1,
+        |  CASE WHEN n_bigrams > 0 THEN CAST(d2 AS DOUBLE) / n_bigrams END
+        |    AS distinct2
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_keep_best" ->
       """WITH base AS (
