@@ -1349,6 +1349,34 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // SKIP-GRAM pair generation — the word2vec/GloVe training-pair
+    // extraction: (center, context) co-occurrence counts within a ±2
+    // window. Contexts come from four shifted copies of the token
+    // stream (lag/lead over the doc-keyed position order — a narrow
+    // window, NOT a positions self-join), counted with map-side
+    // partials, top-100 via TakeOrdered with the (count DESC, pair
+    // ASC) deterministic cut. The corpus-linear shape an embedding
+    // pretraining pipeline runs at 100 TB.
+    "q_skipgram_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      load(s, dir, "documents")
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "center")))
+        // windows can't live inside a generator — materialize the four
+        // shifts, then explode
+        .withColumn("l2", lag($"center", 2).over(w))
+        .withColumn("l1", lag($"center", 1).over(w))
+        .withColumn("r1", lead($"center", 1).over(w))
+        .withColumn("r2", lead($"center", 2).over(w))
+        .withColumn("ctx", explode(array($"l2", $"l1", $"r1", $"r2")))
+        .where($"ctx".isNotNull)
+        .groupBy($"center", $"ctx")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), $"center", $"ctx")
+        .limit(100)
+    },
+
     // N-gram DIVERSITY metrics — distinct-1/distinct-2 (type-token
     // ratio and its bigram analogue), the standard lexical-diversity
     // account complementing q_repetition's repeated-shingle ratio: low
@@ -2307,6 +2335,25 @@ object TextOps {
         |)
         |SELECT d.doc_id, g.rep_id, g.group_n, d.doc_id = g.rep_id AS kept
         |FROM d JOIN g USING (digest) ORDER BY d.doc_id""".stripMargin,
+
+    "q_skipgram_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), ix AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS pos FROM s
+        |), tok AS (
+        |  SELECT doc_id, pos, ts[pos] AS center FROM ix
+        |), sh AS (
+        |  SELECT center,
+        |    lag(center, 2) OVER w AS l2, lag(center, 1) OVER w AS l1,
+        |    lead(center, 1) OVER w AS r1, lead(center, 2) OVER w AS r2
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), ctx AS (
+        |  SELECT center, unnest([l2, l1, r1, r2]) AS ctx FROM sh
+        |)
+        |SELECT center, ctx, COUNT(*) AS n
+        |FROM ctx WHERE ctx IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY n DESC, center, ctx LIMIT 100""".stripMargin,
 
     "q_ngram_diversity" ->
       """WITH s AS (
