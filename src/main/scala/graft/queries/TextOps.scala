@@ -137,6 +137,30 @@ object TextOps {
     */
   private val DirectVerifyPairBudget = 8000000L
 
+  /** Planted-variant id offsets (q_norm_dedup / q_keep_best and
+    * q_substring_dup union re-serialized variants with ids doc_id +
+    * offset). A corpus outgrowing the offset would make variant ids
+    * collide with real doc_ids — and because BOTH engines would compute
+    * the same collided result, the oracle gate could never catch it
+    * (ADVICE r8). [[guardedDocId]] embeds the namespace assertion in
+    * the plan itself.
+    */
+  private[queries] val NormVariantOffset = 1000000L
+  private[queries] val ExcerptVariantOffset = 2000000L
+
+  /** doc_id passed through unchanged, with a codegen'd assert_true
+    * riding the plan: every BASE row (not just the sampled variant
+    * sources — a collision needs only one real id above the offset) is
+    * checked at execution time, zero extra jobs. assert_true yields
+    * null on success; the coalesce turns that into +0.
+    */
+  private[queries] def guardedDocId(offset: Long): Column =
+    (col("doc_id") + coalesce(
+      assert_true(col("doc_id") < lit(offset),
+        lit(s"planted-variant namespace: doc_id must stay below $offset")
+      ).cast("long"),
+      lit(0L))).as("doc_id")
+
   /** Lookup sides at or under this row count are broadcast; above it the
     * join runs as a shuffled equi-join on its key — the same count-gated
     * pattern as [[connectedComponents]]. Sized well under executor
@@ -1334,9 +1358,10 @@ object TextOps {
     // identical shape (and cost) to exact dedup, no extra shuffle.
     "q_norm_dedup" -> { (s, dir) =>
       import s.implicits._
-      val base = load(s, dir, "documents").select($"doc_id", $"text")
+      val base = load(s, dir, "documents")
+        .select(guardedDocId(NormVariantOffset), $"text")
       val variants = base.where($"doc_id" % 7 === 0)
-        .select(($"doc_id" + 1000000L).as("doc_id"),
+        .select(($"doc_id" + NormVariantOffset).as("doc_id"),
           concat(upper($"text"), lit(" !!")).as("text"))
       val norm = trim(regexp_replace(
         regexp_replace(lower($"text"), "[^a-z0-9 ]+", " "), " +", " "))
@@ -1415,9 +1440,10 @@ object TextOps {
     // shape (and cost) to the min-id form.
     "q_keep_best" -> { (s, dir) =>
       import s.implicits._
-      val base = load(s, dir, "documents").select($"doc_id", $"text")
+      val base = load(s, dir, "documents")
+        .select(guardedDocId(NormVariantOffset), $"text")
       val variants = base.where($"doc_id" % 7 === 0)
-        .select(($"doc_id" + 1000000L).as("doc_id"),
+        .select(($"doc_id" + NormVariantOffset).as("doc_id"),
           concat(upper($"text"), lit(" !!")).as("text"))
       val norm = trim(regexp_replace(
         regexp_replace(lower($"text"), "[^a-z0-9 ]+", " "), " +", " "))
@@ -1480,9 +1506,10 @@ object TextOps {
     "q_substring_dup" -> { (s, dir) =>
       import s.implicits._
       val K = 40
-      val base = load(s, dir, "documents").select($"doc_id", $"text")
+      val base = load(s, dir, "documents")
+        .select(guardedDocId(ExcerptVariantOffset), $"text")
       val excerpts = base.where($"doc_id" % 10 === 0)
-        .select(($"doc_id" + 2000000L).as("doc_id"),
+        .select(($"doc_id" + ExcerptVariantOffset).as("doc_id"),
           $"text".substr(lit(50), lit(200)).as("text"))
       val docs = base.unionByName(excerpts).where(length($"text") >= K)
       // grams carried as 60-bit ints (15 hex digits of the md5) — the

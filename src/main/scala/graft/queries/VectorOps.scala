@@ -204,26 +204,24 @@ object VectorOps {
   /** Nearest-codebook-cell assignment as a NARROW map: the (m, cell,
     * cv) codebook packs to one cell-sorted entry array per subspace
     * (PqM rows), broadcast-joined on m, and the argmin runs inline via
-    * a codegen'd fold over the entries (strict < keeps the lowest cell
-    * on ties). No shuffle, no per-candidate row blowup — the join+
-    * window form this replaces shuffled corpus×PqK rows through three
-    * sort windows and measured ~3× slower end-to-end.
+    * a codegen'd transform + array_min over (distance, cell) structs —
+    * each entry's squared distance is computed exactly ONCE (the fold
+    * form this replaces evaluated it twice per entry, in the WHEN and
+    * again in the THEN — ADVICE r8), and struct ordering (d, then c)
+    * keeps the lowest cell on ties. No shuffle, no per-candidate row
+    * blowup — the join+window form this replaces shuffled corpus×PqK
+    * rows through three sort windows and measured ~3× slower
+    * end-to-end.
     */
   private def pqAssign(sub: DataFrame, books: DataFrame): DataFrame = {
     val packed = books.groupBy(col("m"))
       .agg(array_sort(collect_list(struct(col("cell"), col("cv")))).as("es"))
     sub.join(broadcast(packed), Seq("m"))
       .withColumn("cell", expr(
-        """aggregate(es,
-             named_struct('d', cast('Infinity' as double), 'c', -1),
-             (acc, e) -> CASE
-               WHEN aggregate(zip_with(sv, e.cv, (x, y) -> (x - y) * (x - y)),
-                              0D, (a2, z) -> a2 + z) < acc.d
-               THEN named_struct(
-                 'd', aggregate(zip_with(sv, e.cv, (x, y) -> (x - y) * (x - y)),
-                                0D, (a2, z) -> a2 + z),
-                 'c', e.cell)
-               ELSE acc END).c"""))
+        """array_min(transform(es, e -> named_struct(
+             'd', aggregate(zip_with(sv, e.cv, (x, y) -> (x - y) * (x - y)),
+                            0D, (a2, z) -> a2 + z),
+             'c', e.cell))).c"""))
       .drop("es")
   }
 

@@ -37,11 +37,13 @@ import graft.pipeline._
   */
 class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
                  tableSuffix: String = "",
-                 bloomExpectedItems: Long = 1L << 20) {
+                 bloomExpectedItems: Long = 1L << 20,
+                 maintainRollup: Boolean = false) {
 
   val bronzePath = s"$warehouse/bronze_events$tableSuffix"
   val silverPath = s"$warehouse/user_events_silver$tableSuffix"
   val factPath = s"$warehouse/fact_user_events$tableSuffix"
+  val rollupDailyPath = s"$warehouse/agg_daily_events$tableSuffix"
   val dimUserPath = s"$warehouse/dim_user$tableSuffix"
   val dimEventPath = s"$warehouse/dim_event$tableSuffix"
   val dimPagePath = s"$warehouse/dim_page$tableSuffix"
@@ -205,9 +207,13 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     if (raw.isEmpty) return (0L, 0L, 0L)
     val bronze = StagingToBronze.enrich(raw, path, ingestionDate)
       .withColumn("batch_id", lit(batchId))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    bronze.write.mode("overwrite")
-      .partitionBy("ingestion_date", "batch_id").parquet(bronzePath)
+    // scoped, not leaked: the tick needs dynamic mode only for its own
+    // batch-partition replace — the session's setting is restored so a
+    // later full-table overwrite elsewhere stays a full overwrite
+    IncrementalRollup.withDynamicPartitionOverwrite(spark) {
+      bronze.write.mode("overwrite")
+        .partitionBy("ingestion_date", "batch_id").parquet(bronzePath)
+    }
 
     // --- bronze → silver: read back only this batch's partition (P3)
     val bronzeBatch = spark.read.parquet(bronzePath)
@@ -328,8 +334,33 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
         concat(lit("created_date="), col("created_date")).as("part"), col("event_id")))
       factNew.write.mode("append").partitionBy("created_date").parquet(factPath)
     }
+    // Maintained gold rollup (VERDICT r9 wiring): the reference's gold
+    // stage recomputes its daily aggregates every tick
+    // (replay_silver_to_gold.py:448-483, full-history scans); here only
+    // the tick's AFFECTED created_date partitions of the daily-KPI
+    // rollup are recomputed from fact and dynamic-partition-overwritten
+    // — O(affected dates) per tick, converging to exactly the table a
+    // full rebuild produces (the IncrementalRollupSpec splice contract).
+    if (maintainRollup && factDates.nonEmpty)
+      IncrementalRollup.update(spark, factPath, rollupDailyPath,
+        "created_date", factDates.map(_.toString), dailyRollupAgg)
     factAffected(readOrEmpty(factPath, factNew.schema)).count()
   }
+
+  /** Partition-local daily KPI rollup over the fact — grouping keys
+    * include the partition column (the [[IncrementalRollup]] contract:
+    * a date's rollup rows depend only on that date's fact rows, which
+    * is what makes splice-by-overwrite equal a full recompute). Sums
+    * snap to decimal so the maintained table is bit-equal to a rebuild
+    * regardless of merge order.
+    */
+  def dailyRollupAgg(fact: DataFrame): DataFrame =
+    fact.groupBy(col("created_date"), col("event_dim_key"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_dim_key")).as("n_users"),
+        sum(when(col("is_conversion"), 1L).otherwise(0L)).as("n_conversions"),
+        sum(col("engagement_score").cast("decimal(18,4)"))
+          .cast("double").as("sum_engagement"))
 
   /** Run a sequence of 15-min intervals in order (the DAG's catchup loop). */
   def runRange(start: LocalDateTime, ticks: Int): Seq[(Long, Long, Long)] =

@@ -30,12 +30,15 @@ object StreamDedup {
 
   /** One AvailableNow drain: dedups the parquet event stream at
     * `eventsDir` by event_id within the watermark window, appending
-    * first-seen rows to `outDir`. Returns the dedup-state row count
+    * first-seen rows to `outDir`. Returns Some(dedup-state row count)
     * after the drain's last batch — the number a production monitor
-    * watches to confirm eviction keeps pace with arrival.
+    * watches to confirm eviction keeps pace with arrival — or None when
+    * the drain reported no state metrics at all (no batch ran, or the
+    * progress event is missing): a metrics-reporting gap must be
+    * distinguishable from a genuinely empty state store (ADVICE r8).
     */
   def run(spark: SparkSession, eventsDir: String, outDir: String,
-          ckptDir: String, watermarkDelay: String = "1 hour"): Long = {
+          ckptDir: String, watermarkDelay: String = "1 hour"): Option[Long] = {
     val raw = spark.readStream.schema(StreamJoin.eventSchema).parquet(eventsDir)
     val deduped = raw
       .withWatermark("ts", watermarkDelay)
@@ -48,7 +51,7 @@ object StreamDedup {
       .start()
     q.awaitTermination()
     Option(q.lastProgress).flatMap(p => p.stateOperators.headOption)
-      .map(_.numRowsTotal).getOrElse(0L)
+      .map(_.numRowsTotal)
   }
 
   /** Batch twin over the same files (the oracle for the spec): one row

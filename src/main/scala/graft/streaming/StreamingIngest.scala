@@ -74,12 +74,16 @@ object StreamingIngest {
     * multi-table transactional-ish writes that a declarative streaming
     * sink can't express. SKs stay append-only across micro-batches
     * because the batch path's persisted high-water marks are reused
-    * verbatim.
+    * verbatim. With `maintainRollup` the continuous gold composition
+    * also maintains the daily-KPI rollup per micro-batch
+    * (IncrementalRollup.update over the batch's affected dates) —
+    * the EP1 gold-tick semantics, streaming-native.
     */
   def runGold(spark: SparkSession, silverPath: String, warehouse: String,
-              checkpoint: String): Unit = {
+              checkpoint: String, maintainRollup: Boolean = false): Unit = {
     val schema = spark.read.parquet(silverPath).schema
-    val mb = new graft.runner.MicroBatch(spark, stagingBase = "", warehouse)
+    val mb = new graft.runner.MicroBatch(spark, stagingBase = "", warehouse,
+      maintainRollup = maintainRollup)
     val q = spark.readStream.schema(schema).parquet(silverPath)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -217,7 +217,9 @@ class PlanSpec extends SparkSpec {
       // same 1-row pattern: the unigram total N in the PMI ratio
       "q_collocations",
       // same 1-row pattern: the max-source token budget
-      "q_repeat_epochs")
+      "q_repeat_epochs",
+      // same 1-row pattern: the broadcast tercile bounds
+      "q_scd2_history")
     graft.SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")

@@ -335,6 +335,22 @@ class TextVectorSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
     assert(out == again)
   }
+
+  test("planted-variant id guard throws when a doc_id reaches the offset") {
+    // The guard is a plan-embedded assert_true, not a driver check — it
+    // must survive optimization and actually fire at execution time,
+    // because a silent id collision produces the SAME wrong answer on
+    // both engines and the oracle gate can never catch it (ADVICE r8).
+    val ok = Seq((1L, "a"), (999999L, "b")).toDF("doc_id", "text")
+    assert(ok.select(TextOps.guardedDocId(TextOps.NormVariantOffset))
+      .collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 999999L)))
+    val bad = Seq((1L, "a"), (TextOps.NormVariantOffset, "b")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      bad.select(TextOps.guardedDocId(TextOps.NormVariantOffset)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("planted-variant"),
+      s"guard fired with an unexpected message: ${e.getMessage}")
+  }
 }
 
 /** Test-only access to SparkEntry queries by name. */

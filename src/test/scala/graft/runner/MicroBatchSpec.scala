@@ -606,6 +606,85 @@ class MicroBatchSpec extends SparkSpec {
     assert(resolved("sg1") == "view_recipe" && resolved("sg3") == "click_recipe")
   }
 
+  test("maintained daily rollup: splice equals full recompute, overwrite mode not leaked") {
+    val staging = tmpDir("staging_ru")
+    val wh = tmpDir("wh_ru")
+    // tick 1: two events on date 15; tick 2: date 16 plus a LATE date-15
+    // event — date 15's rollup partition must be recomputed (healed)
+    writeStagingFile(staging, 2025, 9, 15, 10, 0, Seq(
+      raw("r1", "u1", "2025-09-15T10:01:00.000+09:00", "view_recipe"),
+      raw("r2", "u2", "2025-09-15T10:02:00.000+09:00", "auth_success")))
+    writeStagingFile(staging, 2025, 9, 16, 10, 0, Seq(
+      raw("r3", "u3", "2025-09-16T10:01:00.000+09:00", "view_recipe"),
+      raw("r4", "u1", "2025-09-15T10:09:00.000+09:00", "view_recipe")))
+
+    val mb = new MicroBatch(spark, staging, wh, maintainRollup = true)
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+    val roll1 = spark.read.parquet(mb.rollupDailyPath)
+    assert(roll1.select(countDistinct($"created_date")).head().getLong(0) == 1)
+    mb.runInterval(LocalDateTime.of(2025, 9, 16, 10, 0))
+
+    // maintained table == full recompute from the fact (IncrementalRollup
+    // partition-local contract, end-to-end through the gold tick)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select($"created_date".cast("string"), $"event_dim_key", $"n_events",
+        $"n_users", $"n_conversions", $"sum_engagement")
+      .collect().map(_.toString).sorted.toSeq
+    val maintained = snap(spark.read.parquet(mb.rollupDailyPath))
+    val rebuilt = snap(mb.dailyRollupAgg(spark.read.parquet(mb.factPath)))
+    assert(maintained == rebuilt, s"maintained $maintained != rebuilt $rebuilt")
+    assert(maintained.nonEmpty)
+
+    // the dynamic-overwrite mode used by the rollup (and the bronze
+    // write) must NOT leak: a later full-table overwrite that covers
+    // only one partition must still drop the other (static semantics)
+    val t = tmpDir("ow_probe")
+    Seq((1, "a"), (2, "b")).toDF("p", "v")
+      .write.mode("overwrite").partitionBy("p").parquet(t)
+    Seq((1, "a2")).toDF("p", "v")
+      .write.mode("overwrite").partitionBy("p").parquet(t)
+    val left = spark.read.parquet(t).select($"p").distinct().as[Int].collect()
+    assert(left.sameElements(Array(1)),
+      s"partitionOverwriteMode leaked as dynamic: partitions ${left.toSeq} survived")
+  }
+
+  test("streaming gold twin maintains the identical fact AND rollup (batch parity)") {
+    val lines = Seq(
+      raw("p1", "u1", "2025-09-15T10:01:00.000+09:00", "view_recipe"),
+      raw("p2", "u2", "2025-09-15T10:02:00.000+09:00", "auth_success"),
+      raw("p3", "u3", "2025-09-16T10:01:00.000+09:00", "view_recipe"))
+
+    // batch EP1 tick path, rollup maintained
+    val stagingA = tmpDir("staging_pa"); val whA = tmpDir("wh_pa")
+    writeStagingFile(stagingA, 2025, 9, 15, 10, 0, lines)
+    val mbA = new MicroBatch(spark, stagingA, whA, maintainRollup = true)
+    mbA.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+
+    // streaming twin: bronze → silver → foreachBatch gold, same rollup
+    val stagingB = tmpDir("staging_pb"); val whB = tmpDir("wh_pb")
+    Files.write(Paths.get(s"$stagingB/a.jsonl"), lines.mkString("\n").getBytes)
+    StreamingIngest.runBronze(spark, s"$stagingB/*.jsonl", s"$whB/bronze",
+      s"$whB/ckpt_b", "2025-09-15")
+    StreamingIngest.runSilver(spark, s"$whB/bronze", s"$whB/silver", s"$whB/ckpt_s")
+    StreamingIngest.runGold(spark, s"$whB/silver", whB, s"$whB/ckpt_g",
+      maintainRollup = true)
+
+    def factSnap(path: String) = spark.read.parquet(path)
+      .select($"event_id", $"user_dim_key", $"event_dim_key", $"page_dim_key",
+        $"recipe_dim_key", $"created_date".cast("string"), $"engagement_score")
+      .collect().map(_.toString).sorted.toSeq
+    def rollSnap(path: String) = spark.read.parquet(path)
+      .select($"created_date".cast("string"), $"event_dim_key", $"n_events",
+        $"n_users", $"n_conversions", $"sum_engagement")
+      .collect().map(_.toString).sorted.toSeq
+    val fa = factSnap(mbA.factPath)
+    val fb = factSnap(s"$whB/fact_user_events")
+    assert(fa.nonEmpty && fa == fb, s"fact parity broke: $fa vs $fb")
+    val ra = rollSnap(mbA.rollupDailyPath)
+    val rb = rollSnap(s"$whB/agg_daily_events")
+    assert(ra.nonEmpty && ra == rb, s"rollup parity broke: $ra vs $rb")
+  }
+
   test("structured-streaming twin: AvailableNow drain + watermarked dedup") {
     val staging = tmpDir("staging3")
     val wh = tmpDir("wh3")

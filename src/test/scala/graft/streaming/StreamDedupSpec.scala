@@ -58,7 +58,10 @@ class StreamDedupSpec extends SparkSpec {
     val events = s"$base/events"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
     writeEvents(events, "b1", (1L to 6L).map(i =>
       (i, s"2025-09-15 10:0$i:00", i, "view", 0.0)))
+    // .get, not getOrElse(0): a missing-metrics drain must FAIL here —
+    // the old 0L default made the s3 < s1 eviction assertion vacuous
     val s1 = StreamDedup.run(spark, events, out, ckpt)
+      .getOrElse(fail("drain 1 reported no state metrics"))
     assert(s1 >= 6, s"all drained keys should be in state, got $s1")
     // eviction uses the PREVIOUS batch's watermark, so two late drains:
     // the first advances the watermark past 10:0x + 1h, the second
@@ -67,6 +70,7 @@ class StreamDedupSpec extends SparkSpec {
     StreamDedup.run(spark, events, out, ckpt)
     writeEvents(events, "b3", Seq((8L, "2025-09-15 21:00:00", 9L, "view", 0.0)))
     val s3 = StreamDedup.run(spark, events, out, ckpt)
+      .getOrElse(fail("drain 3 reported no state metrics"))
     assert(s3 < s1, s"state did not shrink after watermark advance: $s1 -> $s3")
   }
 }
