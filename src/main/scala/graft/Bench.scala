@@ -5,18 +5,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Headline benchmark: every registered query + the end-to-end medallion
   * bulk pass, one JSON line to stdout (driver contract).
   *
-  * Self-identification under contention (VERDICT r6 #1): three rounds in
-  * a row the gate artifact and the committed local artifact disagreed by
-  * 2-10× with the code innocent — a contended machine is indistinguishable
-  * from a regression unless the artifact says so itself. So beyond the
-  * headline per-query minimum, the JSON carries EVERY run's wall time,
-  * /proc/loadavg + MemAvailable snapshots at start/end (plus a probe
-  * after each heavyweight entry), and a `contended` verdict: a query is
-  * flagged when its two fastest runs still disagree >2× (a third attempt
-  * is made whenever the first two disagree, so one-off JIT/GC excursions
-  * don't flag), and the whole artifact is flagged when any query is or
-  * the machine load exceeds the CPU budget. A flagged artifact should be
-  * read as "re-measure", not "regression".
+  * Self-identification under contention (VERDICT r6 #1, r8 #1): three
+  * rounds in a row the gate artifact and the committed local artifact
+  * disagreed by 2-10× with the code innocent — a contended machine is
+  * indistinguishable from a regression unless the artifact says so
+  * itself. So beyond the headline per-query minimum, the JSON carries
+  * EVERY run's wall time, /proc/loadavg + MemAvailable snapshots at
+  * start/end (plus a probe after each heavyweight entry), and a
+  * `contended` verdict. Two flag rules:
+  *   - a multi-run registry query is contended when its two FASTEST
+  *     runs still disagree >2× (a third attempt runs whenever the
+  *     first two disagree, so one-off JIT/GC excursions don't flag);
+  *   - a single-run heavyweight entry is contended when its cheapest
+  *     load PROBE exceeds half the CPU budget — the r8 gate read a
+  *     105.7 s medallion under loadavg 24 and still reported
+  *     contended:false because the old flag only compared a query's
+  *     own runs. Probe-flagged entries get ONE cooldown retry at
+  *     end of suite (see below).
+  * Heavyweight single-run entries run FIRST, on the coldest machine
+  * this process will ever see — the driver's verify gate and other
+  * competitors ramp up as the round progresses, and the medallion
+  * numbers are the headline baseline comparison.
+  * A flagged artifact should be read as "re-measure", not "regression".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -68,6 +78,11 @@ object Bench {
 
     val loadStart = loadavg()
     val memStart = memAvailMb()
+    // a single-run entry measured above this 1-minute load is a machine
+    // number, not a code number (this JVM alone drives load ≈ cpus while
+    // a query runs; half the budget of IDLE load on top means another
+    // process was competing for the cores)
+    val loadBudget = cpus.toDouble * 0.5
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -80,67 +95,9 @@ object Bench {
     def exec(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // JVM/session warm-up outside the timings (the driver measures steady
-    // state, not first-query class-loading)
-    SparkEntry.queries("q1_agg")(spark, sfDir).count()
-
-    // Two passes per query, report the faster: the first execution pays
-    // one-off whole-stage-codegen/JIT compilation of the generated
-    // classes (tens of seconds for the widest expression trees), which
-    // a steady-state pipeline amortizes away. When the two runs disagree
-    // >2× a THIRD runs, so the contended-query verdict below compares two
-    // warm runs rather than flagging routine first-run JIT. A query that
-    // fails on every attempt records the -1 sentinel — never the failed
-    // attempt's wall time, which would silently shrink the headline total.
-    // The q_gold_* entries are composed correctness gates (a FULL bulk
-    // medallion build + dashboard); their pipeline cost is already
-    // measured once, cleanly, as medallion_e2e — timing them again here
-    // would just re-count the same build in the headline total.
-    // An explicit SPARK_GRAFT_BENCH_ONLY request overrides the skip —
-    // asking to bench q_gold_dau by name should measure it, not silence it.
-    val skip = SparkEntry.queries.keySet.filter(_.startsWith("q_gold_"))
-      .filterNot(n => only.exists(_.contains(n)))
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val runsLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val loadProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => !skip(name) && only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-        def attempt(): Option[Double] =
-          try Some(time(exec(fn(spark, sfDir))))
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name: ${e.getMessage}"); None
-          }
-        val two = (1 to 2).flatMap(_ => attempt())
-        val runs =
-          if (two.size == 2 && two.max / two.min > 2.0) two ++ attempt()
-          else two
-        results(name) = if (runs.isEmpty) -1.0 else runs.min
-        runsLog(name) = runs
-        // drop this query's cached/checkpointed blocks so 49 queries × 2
-        // runs don't accumulate block-manager pressure that skews later
-        // timings (each query's second run can still reuse its own cache).
-        // BLOCKING release + clearCache: the r4 bench showed non-blocking
-        // unpersist lets localCheckpoint debris from the heavy text queries
-        // pile up in the old gen, and every late-run query then pays the
-        // mixed-GC bill (narrow maps inflated 4-14x).
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        spark.catalog.clearCache()
-        // r4's regression class, as a failing check instead of a slow tail:
-        // nothing may survive the release — a query that leaks storage
-        // taxes every later timing with its GC bill.
-        val leaked = spark.sparkContext.getPersistentRDDs
-        require(leaked.isEmpty,
-          s"$name leaked ${leaked.size} persistent RDDs past its release")
-        // Compact between queries, same hygiene as the suite→medallion
-        // boundary: the iterative queries (connected components) release
-        // thousands of small checkpoint blocks whose old-gen fragmentation
-        // otherwise taxes whatever runs after them (r6: q_exact_dedup
-        // 0.3s → 4.0s with zero code changes of its own). The gc runs
-        // outside the timed region — it costs wall clock, not timings.
-        System.gc()
-      }
 
     def releaseAll(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
@@ -150,15 +107,29 @@ object Bench {
 
     /** Record a single-run heavyweight entry plus a load probe right
       * after it — the medallion/tick/streaming passes run once, so their
-      * contention evidence is the machine state around them.
+      * contention evidence is the machine state around them. The thunk
+      * is kept for the probe-driven cooldown retry at end of suite.
       */
+    val singleThunks = scala.collection.mutable.LinkedHashMap[String, () => Double]()
     def single(name: String)(f: => Double): Unit =
       if (only.forall(_.contains(name))) {
+        singleThunks(name) = () => f
         val t = f
         results(name) = t
         runsLog(name) = Seq(t)
         loadProbes(name) = loadavg()
       }
+
+    // JVM/session warm-up outside the timings (the driver measures steady
+    // state, not first-query class-loading)
+    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+
+    // ------------------------------------------------------------------
+    // Heavyweight single-run entries — FIRST (VERDICT r8 #1): these are
+    // the headline baseline numbers and they run once, so they get the
+    // coldest machine of the round. Each helper releases its own caches
+    // so the next entry (and later the query suite) starts clean.
+    // ------------------------------------------------------------------
 
     // End-to-end medallion bulk pass (EP2): raw JSON lines → bronze →
     // silver (parse+dedup) → dims → fact, with partitioned-parquet I/O —
@@ -183,16 +154,12 @@ object Bench {
         require(factN > 0)
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
-      // same hygiene between the 100k and 1M passes — including the gc:
-      // the 1M pass measured 2x slower when started on the old gen the
-      // 55-query suite left fragmented (r6: 15.9s clean vs 32.7s in-suite)
+      // hygiene between passes — including the gc: the 1M pass measured
+      // 2x slower when started on a fragmented old gen (r6: 15.9s clean
+      // vs 32.7s in-suite)
       releaseAll()
       t
     }
-    // The medallion runs dead last: start it from a clean block manager and
-    // a compacted heap so it measures the pipeline, not 51 queries' debris
-    // (r4: medallion_e2e 9.9s -> 46.2s with zero medallion code changes).
-    releaseAll()
     single("medallion_e2e") { medallion(1) }
     single("medallion_e2e_1m") {
       medallion(sys.env.getOrElse("SPARK_GRAFT_MEDALLION_REPLICATE", "10").toInt)
@@ -213,6 +180,18 @@ object Bench {
         .withColumn("event_id", col("event_id") * rep + col("rep"))
     }
 
+    def stageInterval(staging: String, raw: DataFrame,
+                      t: java.time.LocalDateTime): Unit = {
+      val dir = graft.pipeline.StagingToBronze.stagingPathFor(staging, t)
+        .stripSuffix("/*.json")
+      raw.write.text(dir)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).foreach { st =>
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, st.getPath.getName + ".json"))
+      }
+    }
+
     // EP1 — the reference's FLAGSHIP path: one steady-state 15-minute
     // incremental tick (staging scan → bronze → silver anti-join append →
     // dim upserts → fact append), measured on the second tick so the
@@ -223,39 +202,37 @@ object Bench {
     // no existing-partition reads). `redeliveredHalf = true`: half of
     // tick 2 is a byte-identical redelivery of tick-1 rows — the
     // reference's at-least-once regime — so the bloom-POSITIVE → exact
-    // anti-join verify fallback gets its own number too.
-    def medallionTick(redeliveredHalf: Boolean): Double = {
+    // anti-join verify fallback gets its own number too. `rollup = true`
+    // adds the maintained daily-KPI rollup to the timed tick (the
+    // reference recomputes gold aggregates every tick; here the tick
+    // pays O(affected dates) — the medallion_tick vs
+    // medallion_tick_rollup delta IS the maintenance increment).
+    def medallionTick(redeliveredHalf: Boolean, rollup: Boolean = false): Double = {
       import org.apache.spark.sql.functions._
       val staging = java.nio.file.Files.createTempDirectory("graft_bench_stg").toString
       val wh = java.nio.file.Files.createTempDirectory("graft_bench_tick_wh").toString
       val day = tickDay()
-      def stage(raw: org.apache.spark.sql.DataFrame, t: java.time.LocalDateTime): Unit = {
-        val dir = graft.pipeline.StagingToBronze.stagingPathFor(staging, t)
-          .stripSuffix("/*.json")
-        raw.write.text(dir)
-        val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).foreach { st =>
-          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, st.getPath.getName + ".json"))
-        }
-      }
       val t0 = java.time.LocalDateTime.of(2025, 9, 15, 10, 0)
       // tick 1: replicas [0, 8). tick 2: all-new [8, 16), or — redelivered
       // variant — [4, 12): four replicas re-staged byte-identical plus
       // four new, the 50% redelivery mix.
       val tick2Lo = if (redeliveredHalf) 4 else 8
-      stage(graft.pipeline.RefEventsAdapter.toRawJson(
+      stageInterval(staging, graft.pipeline.RefEventsAdapter.toRawJson(
         day.where(col("rep") < 8).drop("rep")), t0)
-      stage(graft.pipeline.RefEventsAdapter.toRawJson(
+      stageInterval(staging, graft.pipeline.RefEventsAdapter.toRawJson(
         day.where(col("rep") >= tick2Lo && col("rep") < tick2Lo + 8).drop("rep")),
         t0.plusMinutes(15))
-      val mb = new graft.runner.MicroBatch(spark, staging, wh)
+      val mb = new graft.runner.MicroBatch(spark, staging, wh,
+        maintainRollup = rollup)
       mb.runInterval(t0) // untimed: seeds warehouse + sidecar coverage
       var factAfter = 0L
       val t = time { factAfter = mb.runInterval(t0.plusMinutes(15))._3 }
       // a tick that processed nothing measured nothing — fail loudly
       // rather than record a vacuously fast number
       require(factAfter > 0, s"bench tick (redelivered=$redeliveredHalf) was a no-op")
+      if (rollup)
+        require(spark.read.parquet(mb.rollupDailyPath).count() > 0,
+          "bench rollup tick maintained nothing")
       Seq(staging, wh).foreach(d =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
       releaseAll()
@@ -263,6 +240,9 @@ object Bench {
     }
     single("medallion_tick") { medallionTick(redeliveredHalf = false) }
     single("medallion_tick_redelivered") { medallionTick(redeliveredHalf = true) }
+    single("medallion_tick_rollup") {
+      medallionTick(redeliveredHalf = false, rollup = true)
+    }
 
     // Structured-Streaming twin of the tick: AvailableNow drain of one
     // staged batch through the streaming bronze → watermarked-dedup
@@ -302,6 +282,143 @@ object Bench {
       t
     }
     single("streaming_tick") { streamingTick() }
+
+    // Continuous silver→gold composition (VERDICT r8 #6): the gold stage
+    // ALONE — foreachBatch dim upserts + fact anti-join append + the
+    // maintained daily rollup — timed on its second AvailableNow drain,
+    // with bronze/silver pre-drained untimed so the number isolates what
+    // a deployed streaming gold job pays per micro-batch. Parity with
+    // the batch tick's output is MicroBatchSpec-pinned ("streaming gold
+    // twin maintains the identical fact AND rollup").
+    def streamingGold(): Double = {
+      import org.apache.spark.sql.functions._
+      val staging = java.nio.file.Files.createTempDirectory("graft_bench_sgst").toString
+      val wh = java.nio.file.Files.createTempDirectory("graft_bench_sgwh").toString
+      val day = tickDay()
+      def stage(df: DataFrame, sub: String): Unit =
+        graft.pipeline.RefEventsAdapter.toRawJson(df).write.text(s"$staging/$sub")
+      def drainIngest(): Unit = {
+        graft.streaming.StreamingIngest.runBronze(spark, s"$staging/*/part-*",
+          s"$wh/bronze", s"$wh/ckpt_b", "2025-09-15")
+        graft.streaming.StreamingIngest.runSilver(spark, s"$wh/bronze",
+          s"$wh/silver", s"$wh/ckpt_s")
+      }
+      def drainGold(): Unit =
+        graft.streaming.StreamingIngest.runGold(spark, s"$wh/silver", wh,
+          s"$wh/ckpt_g", maintainRollup = true)
+      stage(day.where(col("rep") < 8).drop("rep"), "b1")
+      drainIngest(); drainGold() // untimed seed
+      val factBefore = spark.read.parquet(s"$wh/fact_user_events").count()
+      stage(day.where(col("rep") >= 8).drop("rep")
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY")), "b2")
+      drainIngest() // untimed: isolate the gold stage
+      val t = time { drainGold() }
+      require(spark.read.parquet(s"$wh/fact_user_events").count() > factBefore,
+        "bench streaming_gold drained nothing")
+      require(spark.read.parquet(s"$wh/agg_daily_events").count() > 0,
+        "bench streaming_gold maintained no rollup")
+      Seq(staging, wh).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      releaseAll()
+      t
+    }
+    single("streaming_gold") { streamingGold() }
+
+    // Scheduled small-file compaction (CompactMain's in-process body):
+    // build a 2-tick warehouse, then time ONLY compactSinks — the
+    // rewrite of silver+fact to right-sized files plus the bloom
+    // sidecar re-seed from the rewritten rows. Afterwards, two
+    // correctness gates run untimed: the file count must have SHRUNK
+    // (the job's whole purpose), and a byte-identical redelivery tick
+    // must still append zero facts (the re-seeded blooms + anti-join
+    // reject every duplicate — compaction must not poke holes in the
+    // at-least-once defense).
+    def compactBench(): Double = {
+      import org.apache.spark.sql.functions._
+      val staging = java.nio.file.Files.createTempDirectory("graft_bench_cstg").toString
+      val wh = java.nio.file.Files.createTempDirectory("graft_bench_cwh").toString
+      val day = tickDay()
+      val t0 = java.time.LocalDateTime.of(2025, 9, 15, 10, 0)
+      val tick2 = day.where(col("rep") >= 8).drop("rep")
+      stageInterval(staging, graft.pipeline.RefEventsAdapter.toRawJson(
+        day.where(col("rep") < 8).drop("rep")), t0)
+      stageInterval(staging, graft.pipeline.RefEventsAdapter.toRawJson(tick2),
+        t0.plusMinutes(15))
+      val mb = new graft.runner.MicroBatch(spark, staging, wh)
+      val t1 = mb.runInterval(t0)
+      val t2 = mb.runInterval(t0.plusMinutes(15))
+      require(t1._3 > 0 && t2._3 > 0,
+        s"seed ticks were no-ops: $t1 / $t2")
+      def dataFiles(path: String): Int = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        var n = 0
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+      val filesBefore = dataFiles(mb.silverPath) + dataFiles(mb.factPath)
+      val factBefore = spark.read.parquet(mb.factPath).count()
+      val t = time { mb.compactSinks() }
+      val filesAfter = dataFiles(mb.silverPath) + dataFiles(mb.factPath)
+      require(filesAfter < filesBefore,
+        s"compaction did not shrink the sinks: $filesBefore -> $filesAfter files")
+      require(spark.read.parquet(mb.factPath).count() == factBefore,
+        "compaction changed the fact row count")
+      // redeliver tick 2 byte-identical at the next interval: the
+      // re-seeded blooms must keep the fast path AND the exact
+      // fallback correct — zero new facts
+      stageInterval(staging, graft.pipeline.RefEventsAdapter.toRawJson(tick2),
+        t0.plusMinutes(30))
+      val t3 = mb.runInterval(t0.plusMinutes(30))
+      // bronze > 0 proves the tick actually read the redelivered files
+      // (a path mix-up would no-op and pass the fact check vacuously)
+      require(t3._1 > 0, s"redelivery tick read nothing: $t3")
+      require(spark.read.parquet(mb.factPath).count() == factBefore,
+        "redelivered tick appended duplicate facts after compaction")
+      Seq(staging, wh).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      releaseAll()
+      t
+    }
+    single("compact_sinks") { compactBench() }
+
+    // Watermarked stream-stream interval join (StreamJoin): drain one
+    // seeded batch untimed (creates checkpoints + join state), then
+    // time the SECOND AvailableNow drain — the steady-state increment a
+    // deployment pays per tick, including state-store maintenance and
+    // watermark-driven eviction.
+    def streamJoinBench(): Double = {
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files.createTempDirectory("graft_bench_sj").toString
+      val eventsDir = s"$base/events"
+      val ev = Tables.load(spark, sfDir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_id").cast("long").as("event_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"), col("value").cast("double").as("value"))
+      ev.write.mode("append").parquet(eventsDir)
+      graft.streaming.StreamJoin.run(spark, eventsDir, s"$base/out", s"$base/ckpt")
+      val before = spark.read.parquet(s"$base/out").count()
+      // batch 2: one day later (safely past the persisted watermark),
+      // fresh ids — its clicks and purchases must match each other
+      ev.withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))
+        .withColumn("event_id", col("event_id") + lit(1000000000L))
+        .write.mode("append").parquet(eventsDir)
+      val t = time {
+        graft.streaming.StreamJoin.run(spark, eventsDir, s"$base/out", s"$base/ckpt")
+      }
+      require(spark.read.parquet(s"$base/out").count() > before,
+        "bench stream_join drained nothing")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      releaseAll()
+      t
+    }
+    single("stream_join") { streamJoinBench() }
 
     // Co-bucketed vs shuffle join on identical data: the same fact ×
     // per-user-profile equi-join read once from plain parquet (both
@@ -350,128 +467,115 @@ object Bench {
     }
     if (only.forall(o => o.contains("join_shuffle") || o.contains("join_bucketed")))
       bucketedVsShuffleJoin()
+    // NOTE: the two join_* thunks inside bucketedVsShuffleJoin depend on
+    // tables the finally block drops — remove them from the retry pool
+    // (a retry would rebuild nothing and fail; their paired design makes
+    // a same-conditions comparison the point anyway).
+    singleThunks.remove("join_shuffle"); singleThunks.remove("join_bucketed")
 
-    // Scheduled small-file compaction (CompactMain's in-process body):
-    // build a 2-tick warehouse, then time ONLY compactSinks — the
-    // rewrite of silver+fact to right-sized files plus the bloom
-    // sidecar re-seed from the rewritten rows. Afterwards, two
-    // correctness gates run untimed: the file count must have SHRUNK
-    // (the job's whole purpose), and a byte-identical redelivery tick
-    // must still append zero facts (the re-seeded blooms + anti-join
-    // reject every duplicate — compaction must not poke holes in the
-    // at-least-once defense).
-    def compactBench(): Double = {
-      import org.apache.spark.sql.functions._
-      val staging = java.nio.file.Files.createTempDirectory("graft_bench_cstg").toString
-      val wh = java.nio.file.Files.createTempDirectory("graft_bench_cwh").toString
-      val day = tickDay()
-      def stage(raw: DataFrame, t: java.time.LocalDateTime): Unit = {
-        val dir = graft.pipeline.StagingToBronze.stagingPathFor(staging, t)
-          .stripSuffix("/*.json")
-        raw.write.text(dir)
-        val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).foreach { st =>
-          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, st.getPath.getName + ".json"))
-        }
-      }
-      val t0 = java.time.LocalDateTime.of(2025, 9, 15, 10, 0)
-      val tick2 = day.where(col("rep") >= 8).drop("rep")
-      stage(graft.pipeline.RefEventsAdapter.toRawJson(
-        day.where(col("rep") < 8).drop("rep")), t0)
-      stage(graft.pipeline.RefEventsAdapter.toRawJson(tick2), t0.plusMinutes(15))
-      val mb = new graft.runner.MicroBatch(spark, staging, wh)
-      val t1 = mb.runInterval(t0)
-      val t2 = mb.runInterval(t0.plusMinutes(15))
-      require(t1._3 > 0 && t2._3 > 0,
-        s"seed ticks were no-ops: $t1 / $t2")
-      def dataFiles(path: String): Int = {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val it = fs.listFiles(p, true)
-        var n = 0
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) n += 1
-        }
-        n
-      }
-      val filesBefore = dataFiles(mb.silverPath) + dataFiles(mb.factPath)
-      val factBefore = spark.read.parquet(mb.factPath).count()
-      val t = time { mb.compactSinks() }
-      val filesAfter = dataFiles(mb.silverPath) + dataFiles(mb.factPath)
-      require(filesAfter < filesBefore,
-        s"compaction did not shrink the sinks: $filesBefore -> $filesAfter files")
-      require(spark.read.parquet(mb.factPath).count() == factBefore,
-        "compaction changed the fact row count")
-      // redeliver tick 2 byte-identical at the next interval: the
-      // re-seeded blooms must keep the fast path AND the exact
-      // fallback correct — zero new facts
-      stage(graft.pipeline.RefEventsAdapter.toRawJson(tick2), t0.plusMinutes(30))
-      val t3 = mb.runInterval(t0.plusMinutes(30))
-      // bronze > 0 proves the tick actually read the redelivered files
-      // (a path mix-up would no-op and pass the fact check vacuously)
-      require(t3._1 > 0, s"redelivery tick read nothing: $t3")
-      require(spark.read.parquet(mb.factPath).count() == factBefore,
-        "redelivered tick appended duplicate facts after compaction")
-      Seq(staging, wh).foreach(d =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
-      releaseAll()
-      t
-    }
-    single("compact_sinks") { compactBench() }
-
-    // Watermarked stream-stream interval join (StreamJoin): drain one
-    // seeded batch untimed (creates checkpoints + join state), then
-    // time the SECOND AvailableNow drain — the steady-state increment a
-    // deployment pays per tick, including state-store maintenance and
-    // watermark-driven eviction.
-    def streamJoinBench(): Double = {
-      import org.apache.spark.sql.functions._
-      val base = java.nio.file.Files.createTempDirectory("graft_bench_sj").toString
-      val eventsDir = s"$base/events"
-      val ev = Tables.load(spark, sfDir, "events")
-        .where(col("event_type").isin("click", "purchase"))
-        .select(col("event_id").cast("long").as("event_id"),
-          col("ts").cast("timestamp").as("ts"),
-          col("user_id").cast("long").as("user_id"),
-          col("event_type"), col("value").cast("double").as("value"))
-      ev.write.mode("append").parquet(eventsDir)
-      graft.streaming.StreamJoin.run(spark, eventsDir, s"$base/out", s"$base/ckpt")
-      val before = spark.read.parquet(s"$base/out").count()
-      // batch 2: one day later (safely past the persisted watermark),
-      // fresh ids — its clicks and purchases must match each other
-      ev.withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))
-        .withColumn("event_id", col("event_id") + lit(1000000000L))
-        .write.mode("append").parquet(eventsDir)
+    // Per-merge BPE induction cost, sequential vs batched (VERDICT r8
+    // #3): identical 8 corpus passes; batch=1 is classic one-merge-per-
+    // pass BPE (8 merges), batch=8 commits up to 8 mutually-disjoint
+    // merges per pass (~40-70 merges from the same passes). The VALUE is
+    // seconds PER LEARNED MERGE — the pair shows the batching win
+    // directly, and it's the knob that turns a 30-50k-merge production
+    // tokenizer from ~100k sequential jobs into ~4-6k.
+    def bpeBench(batch: Int): Double = {
+      val words = graft.queries.TextOps.bpeWords(spark, sfDir)
+      var merges = 0
       val t = time {
-        graft.streaming.StreamJoin.run(spark, eventsDir, s"$base/out", s"$base/ckpt")
+        merges = graft.queries.TextOps
+          .bpeInduce(spark, words, rounds = 8, batch = batch)._1.size
       }
-      require(spark.read.parquet(s"$base/out").count() > before,
-        "bench stream_join drained nothing")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       releaseAll()
-      t
+      require(merges > 0, "BPE bench learned no merges")
+      t / merges
     }
-    single("stream_join") { streamJoinBench() }
+    single("bpe_per_merge_seq") { bpeBench(batch = 1) }
+    single("bpe_per_merge_batched") { bpeBench(batch = 8) }
 
-    // A query is contended when even its two FASTEST runs disagree >2×
-    // (the third attempt already absorbed first-run JIT); the artifact is
-    // contended when any query is, or the 1-minute load exceeds the CPU
-    // budget this JVM was told it owns (another process is competing).
-    def contendedOf(): Seq[String] = runsLog.collect {
-      case (n, rs) if rs.size >= 2 &&
+    // ------------------------------------------------------------------
+    // Registry query suite — two timed passes each, faster reported.
+    // ------------------------------------------------------------------
+
+    // The first execution pays one-off whole-stage-codegen/JIT
+    // compilation of the generated classes (tens of seconds for the
+    // widest expression trees), which a steady-state pipeline amortizes
+    // away. When the two runs disagree >2× a THIRD runs, so the
+    // contended-query verdict below compares two warm runs rather than
+    // flagging routine first-run JIT. A query that fails on every
+    // attempt records the -1 sentinel — never the failed attempt's wall
+    // time, which would silently shrink the headline total.
+    // The q_gold_* entries are composed correctness gates (a FULL bulk
+    // medallion build + dashboard); their pipeline cost is already
+    // measured once, cleanly, as medallion_e2e — timing them again here
+    // would just re-count the same build in the headline total.
+    // An explicit SPARK_GRAFT_BENCH_ONLY request overrides the skip —
+    // asking to bench q_gold_dau by name should measure it, not silence it.
+    val skip = SparkEntry.queries.keySet.filter(_.startsWith("q_gold_"))
+      .filterNot(n => only.exists(_.contains(n)))
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => !skip(name) && only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        def attempt(): Option[Double] =
+          try Some(time(exec(fn(spark, sfDir))))
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name: ${e.getMessage}"); None
+          }
+        val two = (1 to 2).flatMap(_ => attempt())
+        val runs =
+          if (two.size == 2 && two.max / two.min > 2.0) two ++ attempt()
+          else two
+        results(name) = if (runs.isEmpty) -1.0 else runs.min
+        runsLog(name) = runs
+        // drop this query's cached/checkpointed blocks so 49 queries × 2
+        // runs don't accumulate block-manager pressure that skews later
+        // timings (each query's second run can still reuse its own cache).
+        // BLOCKING release + clearCache: the r4 bench showed non-blocking
+        // unpersist lets localCheckpoint debris from the heavy text queries
+        // pile up in the old gen, and every late-run query then pays the
+        // mixed-GC bill (narrow maps inflated 4-14x).
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        spark.catalog.clearCache()
+        // r4's regression class, as a failing check instead of a slow tail:
+        // nothing may survive the release — a query that leaks storage
+        // taxes every later timing with its GC bill.
+        val leaked = spark.sparkContext.getPersistentRDDs
+        require(leaked.isEmpty,
+          s"$name leaked ${leaked.size} persistent RDDs past its release")
+        // Compact between queries, same hygiene as the suite→medallion
+        // boundary: the iterative queries (connected components) release
+        // thousands of small checkpoint blocks whose old-gen fragmentation
+        // otherwise taxes whatever runs after them (r6: q_exact_dedup
+        // 0.3s → 4.0s with zero code changes of its own). The gc runs
+        // outside the timed region — it costs wall clock, not timings.
+        System.gc()
+      }
+
+    // ------------------------------------------------------------------
+    // Cooldown retries — a flag raised mid-suite can be the MACHINE's
+    // fault (the driver's verify gate runs concurrently), and by the
+    // time the suite finishes the competition may be gone.
+    // ------------------------------------------------------------------
+
+    // Registry-query rule: contended when even the two FASTEST runs
+    // disagree >2× (the third attempt already absorbed first-run JIT).
+    // Single-run entries are EXCLUDED here — contention only slows a
+    // run down, so a single entry's fastest run is judged by its load
+    // probe below, not by run disagreement (a clean retry that confirms
+    // a slower loaded run would otherwise flag the pair).
+    def contendedRegistry(): Seq[String] = runsLog.collect {
+      case (n, rs) if !singleThunks.contains(n) && !loadProbes.contains(n) &&
+        rs.size >= 2 &&
         rs.sorted.take(2).reduce((a, b) => b / a) > 2.0 => n
     }.toSeq
-    // Cool-down pass: a flag raised mid-suite can be the MACHINE's
-    // fault (the driver's verify gate runs concurrently), and by the
-    // time the suite finishes the competition may be gone. Each flagged
-    // registry query gets ONE more attempt now, from a clean block
-    // manager at end-of-suite load; if its two fastest runs then agree,
-    // the flag clears and the artifact reports an uncontended number.
-    // Queries that stay flagged after the retry were noisy under the
-    // best conditions this run could offer — the artifact says which.
-    val cooldownRetried = contendedOf().filter(SparkEntry.queries.contains)
+    // Each flagged registry query gets ONE more attempt now, from a clean
+    // block manager at end-of-suite load; if its two fastest runs then
+    // agree, the flag clears and the artifact reports an uncontended
+    // number. Queries that stay flagged after the retry were noisy under
+    // the best conditions this run could offer — the artifact says which.
+    val cooldownRetried = contendedRegistry().filter(SparkEntry.queries.contains)
     if (cooldownRetried.nonEmpty) {
       releaseAll()
       cooldownRetried.foreach { name =>
@@ -488,9 +592,32 @@ object Bench {
         System.gc()
       }
     }
+
+    // Single-run probe rule (VERDICT r8 #1): an entry whose cheapest
+    // post-run load probe exceeded the budget was measured on a machine
+    // another process was using — retry it ONCE now. min(time) stays
+    // honest either way (contention only ever slows a run), and the
+    // cheapest probe decides whether the entry stays flagged.
+    val singleRetried = singleThunks.keys
+      .filter(n => loadProbes.get(n).exists(_ > loadBudget)).toSeq
+    singleRetried.foreach { name =>
+      releaseAll()
+      try {
+        val t = singleThunks(name)()
+        runsLog(name) = runsLog(name) :+ t
+        results(name) = math.min(results(name), t)
+        loadProbes(name) = math.min(loadProbes(name), loadavg())
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] single retry $name: ${e.getMessage}")
+      }
+    }
+
     val loadEnd = loadavg()
     val memEnd = memAvailMb()
-    val contendedQueries = contendedOf()
+    val contendedQueries =
+      (contendedRegistry() ++
+        loadProbes.collect { case (n, p) if p > loadBudget => n }).distinct
     val contended = contendedQueries.nonEmpty ||
       math.max(loadStart, loadEnd) > cpus.toDouble * 1.5
 
@@ -512,6 +639,8 @@ object Bench {
       s""""loadavg_probes":$probesJson,""" +
       s""""mem_avail_start_mb":$memStart,"mem_avail_end_mb":$memEnd,""" +
       s""""cooldown_retried":${cooldownRetried.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")},""" +
+      s""""single_retried":${singleRetried.map("\"" + _ + "\"")
         .mkString("[", ",", "]")},""" +
       s""""contended_queries":$contendedJson,"contended":$contended,""" +
       s""""sf":"$sfDir"}""")

@@ -19,8 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Warehouse {
 
-  private def dynamicOverwrite(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  private val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+
+  /** Run `body` with dynamic partition-overwrite mode, restoring the
+    * session's previous setting afterwards (VERDICT r8 #1: a leaked
+    * `dynamic` silently turns every later full-table
+    * `mode("overwrite").partitionBy(...)` write in the same session
+    * into a partition-only overwrite). Every dynamic-overwrite sink in
+    * the repo goes through this scope — MicroBatchSpec's leak probe
+    * would catch a new unscoped setter.
+    */
+  def withDynamicPartitionOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val old = spark.conf.getOption(OverwriteModeKey)
+    spark.conf.set(OverwriteModeKey, "dynamic")
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(OverwriteModeKey, v)
+      case None    => spark.conf.unset(OverwriteModeKey)
+    }
+  }
 
   /** An overwrite INVALIDATES the sink's append-path bloom sidecar
     * (graft.runner.BloomSidecar): the new partition contents can hold
@@ -45,29 +62,32 @@ object Warehouse {
     * load date.
     */
   def writeBronze(df: DataFrame, path: String, batchId: String): Unit = {
-    dynamicOverwrite(df.sparkSession)
     dropBloomSidecar(df, path)
-    df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("ingestion_date", "batch_id").parquet(path)
+    withDynamicPartitionOverwrite(df.sparkSession) {
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("ingestion_date", "batch_id").parquet(path)
+    }
   }
 
   /** Silver: event-time partitioned (year, month, day) — late events land
     * in their true partition (README.md:181-188 semantics).
     */
   def writeSilver(df: DataFrame, path: String): Unit = {
-    dynamicOverwrite(df.sparkSession)
     dropBloomSidecar(df, path)
-    df.write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
+    withDynamicPartitionOverwrite(df.sparkSession) {
+      df.write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
+    }
   }
 
   /** Fact: partitioned by created_date (explicit twin of Iceberg's
     * days(created_at) hidden transform).
     */
   def writeFact(df: DataFrame, path: String): Unit = {
-    dynamicOverwrite(df.sparkSession)
     dropBloomSidecar(df, path)
-    df.withColumn("created_date", to_date(col("created_at")))
-      .write.mode("overwrite").partitionBy("created_date").parquet(path)
+    withDynamicPartitionOverwrite(df.sparkSession) {
+      df.withColumn("created_date", to_date(col("created_at")))
+        .write.mode("overwrite").partitionBy("created_date").parquet(path)
+    }
   }
 
   /** Bulk-rebuild variant of [[writeSilver]]: cluster rows to their target
@@ -80,22 +100,24 @@ object Warehouse {
     */
   def writeSilverClustered(df: DataFrame, path: String,
                            filesPerPartition: Int = 2): Unit = {
-    dynamicOverwrite(df.sparkSession)
     dropBloomSidecar(df, path)
-    df.repartition(col("year"), col("month"), col("day"),
-        pmod(xxhash64(col("event_id")), lit(filesPerPartition)))
-      .write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
+    withDynamicPartitionOverwrite(df.sparkSession) {
+      df.repartition(col("year"), col("month"), col("day"),
+          pmod(xxhash64(col("event_id")), lit(filesPerPartition)))
+        .write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
+    }
   }
 
   /** Bulk-rebuild variant of [[writeFact]] — same clustering rationale. */
   def writeFactClustered(df: DataFrame, path: String,
                          filesPerPartition: Int = 2): Unit = {
-    dynamicOverwrite(df.sparkSession)
     dropBloomSidecar(df, path)
-    df.withColumn("created_date", to_date(col("created_at")))
-      .repartition(col("created_date"),
-        pmod(xxhash64(col("event_id")), lit(filesPerPartition)))
-      .write.mode("overwrite").partitionBy("created_date").parquet(path)
+    withDynamicPartitionOverwrite(df.sparkSession) {
+      df.withColumn("created_date", to_date(col("created_at")))
+        .repartition(col("created_date"),
+          pmod(xxhash64(col("event_id")), lit(filesPerPartition)))
+        .write.mode("overwrite").partitionBy("created_date").parquet(path)
+    }
   }
 
   /** Small dims: full overwrite (SCD-1 rebuild). */

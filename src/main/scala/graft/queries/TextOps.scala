@@ -54,17 +54,29 @@ object TextOps {
     */
   private val MaxBucket = 1000
 
-  /** BPE merge rounds induced by q_bpe_merges (and unrolled as a CTE
-    * chain in its oracle). Small because each round is one full pass;
-    * production tokenizers run tens of thousands of rounds over the
-    * same per-round plan.
+  /** Batched-BPE parameters (VERDICT r8 #4: the round loop, not the
+    * per-round plan, was the driver-side bottleneck — one merge per
+    * corpus pass means a 30-50k-merge production tokenizer is ~100k
+    * sequential Spark jobs). Each ROUND now applies up to [[BpeBatch]]
+    * mutually-NON-INTERACTING merges (the standard parallel-BPE trick:
+    * pairs sharing no symbol — nor equalling another selected pair's
+    * merged symbol — have order-independent applications, so one corpus
+    * pass can commit all of them), cutting the sequential-round count
+    * by ~BpeBatch×. [[BpeRounds]] × [[BpeBatch]] ≈ 64 merges per
+    * induction; [[BpeCap]] bounds the per-round candidate window the
+    * disjointness filter scans (driver-side over a collected ≤Cap-row
+    * frame — same bounded pattern as the Lloyd argmax). The oracle
+    * unrolls the identical batched rounds as a generated CTE chain, so
+    * the selection rule is pinned cross-engine, not just implemented.
     */
-  private val BpeMerges = 6
+  private val BpeRounds = 16
+  private val BpeBatch = 8
+  private val BpeCap = 48
 
   /** BPE training corpus: the word frequency table over lowercase-alnum
     * tokens (the filter makes both engines agree on the symbol space).
     */
-  private def bpeWords(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     load(s, dir, "documents")
       .select(explode(split($"text", " ")).as("token"))
@@ -72,26 +84,51 @@ object TextOps {
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
   }
 
-  /** BPE merge induction (Sennrich et al. 2016) over the word frequency
-    * table: per round, count adjacent symbol pairs corpus-wide, merge
-    * the argmax pair (count DESC, pair ASC) everywhere leftmost-non-
-    * overlapping via ONE codegen'd replace over the bracket-framed
-    * symbol string — adjacent matches share no characters, so flat
-    * left-to-right replace IS the BPE merge rule. Returns the learned
-    * merges and the final (token, cnt, seq) vocabulary frame. Each
-    * round is a vocab-cardinality aggregate + a narrow map; the only
-    * driver data is the 1-row argmax per round (the algorithm's
-    * sequential dependency — same bounded pattern as the Lloyd
-    * quantizer).
+  /** Batched BPE merge induction (Sennrich et al. 2016, parallelized
+    * per round): per round, count adjacent symbol pairs corpus-wide
+    * ONCE, rank the top-[[BpeCap]] candidates by (count DESC, pair
+    * ASC), keep those that share no symbol — and no concatenated
+    * merge-result symbol — with ANY higher-ranked candidate in the
+    * window (the conservative disjointness rule, expressible as one
+    * NOT EXISTS in the oracle), and commit up to `batch` of them in
+    * rank order via chained codegen'd replaces over the bracket-framed
+    * symbol string — disjoint merges are order-independent, so one
+    * vocab pass applies the whole batch. `batch = 1` degenerates to
+    * classic sequential BPE (rank-1 never has a higher conflict).
+    * Returns the learned merges (rank = global merge index, pc = the
+    * pair's count at its ROUND's start) and the final (token, cnt,
+    * seq) vocabulary frame. Per round: one vocab-cardinality aggregate
+    * + one narrow map; driver data is the ≤Cap-row candidate window
+    * (same bounded pattern as the Lloyd argmax) — sequential rounds
+    * drop ~batch× vs one-merge-per-pass.
     */
-  private def bpeInduce(s: SparkSession,
-      words: DataFrame): (Seq[(Long, String, String, Long)], DataFrame) = {
+  /** The per-round batch selection rule, shared verbatim by the engine
+    * and (as a NOT EXISTS) the generated oracle: from the rank-ordered
+    * candidate window, keep pairs that conflict with NO higher-ranked
+    * candidate, up to `batch`. Conflict symbols are the pair's operands
+    * AND its merge result — a higher merge creating exactly a lower
+    * pair's operand (e.g. (a,b)→ab above (ab,x)) would otherwise make
+    * application order observable, breaking the any-order-equal
+    * batching invariant (KernelPropertySpec pins it).
+    */
+  private[graft] def bpeSelectBatch(cands: Seq[(String, String, Long)],
+      batch: Int): Seq[(String, String, Long)] = {
+    def syms(p: (String, String, Long)) = Set(p._1, p._2, p._1 + p._2)
+    cands.zipWithIndex
+      .filter { case (p, idx) =>
+        !cands.take(idx).exists(q => (syms(q) & syms(p)).nonEmpty) }
+      .map(_._1).take(batch)
+  }
+
+  private[graft] def bpeInduce(s: SparkSession, words: DataFrame,
+      rounds: Int = BpeRounds, batch: Int = BpeBatch)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     import s.implicits._
     var seqs = words
       .select($"token", $"cnt", regexp_replace($"token", "(.)", "[$1]").as("seq"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    for (i <- 1 to BpeMerges) {
+    for (i <- 1 to rounds) {
       // Spark's sequence(1, n) DESCENDS for n < 1 — filter the
       // single-symbol words before building pair indices.
       val pairs = seqs
@@ -102,14 +139,16 @@ object TextOps {
             "named_struct('a', element_at(syms, j), 'b', element_at(syms, j + 1)))")).as("p"))
         .groupBy($"p.a".as("a"), $"p.b".as("b"))
         .agg(sum($"cnt").as("pc"))
-      val top = pairs.orderBy(desc("pc"), $"a", $"b").limit(1).collect()
-      require(top.nonEmpty, s"BPE round $i: no adjacent pairs left " +
-        "(corpus too small for BpeMerges rounds)")
-      val best = top(0)
-      val (a, b, pc) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((i.toLong, a, b, pc))
+      val cands = pairs.orderBy(desc("pc"), $"a", $"b").limit(BpeCap).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      require(cands.nonEmpty, s"BPE round $i: no adjacent pairs left " +
+        "(corpus too small for this many rounds)")
+      val selected = bpeSelectBatch(cands, batch)
+      selected.foreach { case (a, b, pc) =>
+        merges += ((merges.size + 1L, a, b, pc)) }
       seqs = seqs
-        .withColumn("seq", replace($"seq", lit(s"[$a][$b]"), lit(s"[$a$b]")))
+        .withColumn("seq", selected.foldLeft($"seq": Column) { case (acc, (a, b, _)) =>
+          replace(acc, lit(s"[$a][$b]"), lit(s"[$a$b]")) })
         .localCheckpoint(true)
     }
     (merges.toSeq, seqs)
@@ -1709,11 +1748,15 @@ object TextOps {
     }
   )
 
-  /** q_bpe_merges oracle: the identical merge rounds unrolled as a
-    * DuckDB CTE chain — p_i counts pairs over s_{i-1}, b_i is the
-    * argmax with the same (count DESC, pair ASC) tiebreak, s_i applies
-    * the bracket-framed replace. Generated so the round count stays
-    * pinned to BpeMerges.
+  /** q_bpe_merges oracle: the identical BATCHED merge rounds unrolled
+    * as a DuckDB CTE chain — p_i counts pairs over s_{i-1}, c_i ranks
+    * the top-BpeCap candidate window, sel_i applies the same
+    * disjointness rule as the engine (NOT EXISTS a higher-ranked
+    * candidate sharing an operand or merge-result symbol) and keeps
+    * the first BpeBatch, s_i applies the batch as BpeBatch chained
+    * bracket-framed replaces in rank order (absent slots replace a '#'
+    * sentinel that never occurs in a seq — identity). Generated so the
+    * round/batch/cap constants stay pinned to the engine's.
     */
   private def bpeOracleChain(k: Int): String = {
     val sb = new StringBuilder
@@ -1734,6 +1777,15 @@ object TextOps {
     // linear in K.
     for (i <- 1 to k) {
       val prev = s"s${i - 1}"
+      // batch application: BpeBatch chained replaces, innermost = rank 1
+      // (applied first); an absent rn slot replaces the '#' sentinel,
+      // which never occurs in a bracket-framed [a-z0-9] seq — identity
+      val applied = (1 to BpeBatch).foldLeft("seq") { (acc, j) =>
+        s"replace($acc, coalesce((SELECT '[' || a || '][' || b || ']' " +
+          s"FROM sel$i WHERE rn = $j), '#'), " +
+          s"coalesce((SELECT '[' || a || b || ']' " +
+          s"FROM sel$i WHERE rn = $j), '#'))"
+      }
       sb.append(s""",
         |p$i AS (
         |  SELECT syms[j] AS a, syms[j+1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
@@ -1742,22 +1794,31 @@ object TextOps {
         |                string_split(substr(seq, 2, len(seq) - 2), '][') AS syms
         |              FROM $prev))
         |  GROUP BY 1, 2
-        |), b$i AS MATERIALIZED (
-        |  SELECT a, b, pc FROM p$i ORDER BY pc DESC, a, b LIMIT 1
+        |), c$i AS MATERIALIZED (
+        |  SELECT a, b, pc, row_number() OVER (ORDER BY pc DESC, a, b) AS rk
+        |  FROM (SELECT a, b, pc FROM p$i ORDER BY pc DESC, a, b LIMIT $BpeCap)
+        |), sel$i AS MATERIALIZED (
+        |  SELECT a, b, pc, row_number() OVER (ORDER BY rk) AS rn
+        |  FROM c$i p
+        |  WHERE NOT EXISTS (SELECT 1 FROM c$i q WHERE q.rk < p.rk AND (
+        |    q.a IN (p.a, p.b, p.a || p.b) OR q.b IN (p.a, p.b, p.a || p.b)
+        |    OR (q.a || q.b) IN (p.a, p.b, p.a || p.b)))
+        |  ORDER BY rk LIMIT $BpeBatch
         |), s$i AS MATERIALIZED (
-        |  SELECT token, cnt,
-        |    replace(seq, '[' || m.a || '][' || m.b || ']',
-        |      '[' || m.a || m.b || ']') AS seq
-        |  FROM $prev CROSS JOIN b$i m
+        |  SELECT token, cnt, $applied AS seq
+        |  FROM $prev
         |)""".stripMargin)
     }
     sb.toString
   }
 
   private def bpeOracle(k: Int): String =
-    bpeOracleChain(k) + "\n" + (1 to k).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS rank, a, b, pc FROM b$i")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+    bpeOracleChain(k) + "\n" +
+      "SELECT CAST(row_number() OVER (ORDER BY round, rn) AS BIGINT) AS rank,\n" +
+      "  a, b, pc FROM (\n" +
+      (1 to k).map(i =>
+          s"SELECT $i AS round, rn, a, b, pc FROM sel$i")
+        .mkString("", "\nUNION ALL\n", "\n) ORDER BY rank")
 
   /** q_bpe_encode oracle: the same unrolled chain, then per-token unit
     * counts from the final symbol strings joined back to the corpus's
@@ -1785,8 +1846,8 @@ object TextOps {
       |FROM g ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "q_bpe_merges" -> bpeOracle(BpeMerges),
-    "q_bpe_encode" -> bpeEncodeOracle(BpeMerges),
+    "q_bpe_merges" -> bpeOracle(BpeRounds),
+    "q_bpe_encode" -> bpeEncodeOracle(BpeRounds),
     "q_text_stats" ->
       """WITH d AS (
         |  SELECT lang, n_chars,

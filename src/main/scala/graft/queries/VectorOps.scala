@@ -78,9 +78,13 @@ object VectorOps {
     load(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
-  /** The fixed small query set (vec_id < 3) as (query_id, qv). */
-  private def querySetOf(emb: DataFrame): DataFrame =
-    emb.where(col("vec_id") < 3)
+  /** The fixed small default query set (vec_id < 3). */
+  private val DefaultQueryPred: Column = col("vec_id") < 3
+
+  /** The query set under `pred` as (query_id, qv). */
+  private def querySetOf(emb: DataFrame,
+                         pred: Column = DefaultQueryPred): DataFrame =
+    emb.where(pred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
@@ -259,12 +263,13 @@ object VectorOps {
     * corpus-wide scan touches only codes; full-precision vectors are
     * read solely for the per-query PqRerank shortlist.
     */
-  def annPq(emb: DataFrame, k: Int): DataFrame = {
+  def annPq(emb: DataFrame, k: Int,
+            queryPred: Column = DefaultQueryPred): DataFrame = {
     val sub = subVectors(emb)
     val books = pqCodebooks(sub)
     val codes = pqAssign(sub, books)
       .select(col("vec_id"), col("m"), col("cell").as("code"))
-    val table = subVectors(emb.where(col("vec_id") < 3))
+    val table = subVectors(emb.where(queryPred))
       .select(col("vec_id").as("query_id"), col("m"), col("sv"))
       .join(broadcast(books), Seq("m"))
       .select(col("query_id"), col("m"), col("cell").as("code"),
@@ -284,7 +289,7 @@ object VectorOps {
       .select(col("query_id"), col("vec_id"))
     val scored = shortlist
       .join(emb, Seq("vec_id"))
-      .join(broadcast(querySetOf(emb)), Seq("query_id"))
+      .join(broadcast(querySetOf(emb, queryPred)), Seq("query_id"))
       .withColumn("cos", graft.functions.CosineSimilarity(col("qv"), col("v")))
     topK(scored, k)
   }
@@ -629,6 +634,68 @@ object VectorOps {
         .orderBy(col("query_id"))
     },
 
+    // Hard-negative mining through the ANN candidate path (VERDICT r8
+    // #9 — the production-path twin of q_hard_negatives): the PQ-ADC
+    // shortlist generates each query's 50 candidates, the SAME
+    // per-(query, same-label) selection windows pick the positive /
+    // hard negative from the candidates, and the in-query exact
+    // baseline pins agreement floors — at a billion vectors the
+    // brute-force scan is impossible and this composition (candidate
+    // generator → label-split argmax) is what a contrastive-training
+    // pipeline actually runs. Output rows carry the EXACT pos/neg ids
+    // (the oracle recomputes them — the hash anchor) plus two
+    // corpus-level contract booleans: candidate-derived picks must
+    // agree with the exact picks on ≥ the pinned fraction of queries
+    // (isotropic vectors + 32× code compression are the worst case;
+    // measured agreement 16-20/20 pos, 13-20/20 neg across sfs —
+    // floors pinned with margin at 12 and 8 of 20).
+    "q_hard_negatives_ann" -> { (s, dir) =>
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+          col("label").cast("long").as("label"))
+      val pred = col("vec_id") < 20
+      val q = emb.where(pred)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("label").as("qlabel"))
+      // exact baseline — identical to q_hard_negatives
+      val scored = emb.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", dot(col("qv"), col("v")))
+        .withColumn("same", col("label") === col("qlabel"))
+      val w = Window.partitionBy(col("query_id"), col("same"))
+        .orderBy(desc("cos"), asc("vec_id"))
+      val exact = scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy(col("query_id"))
+        .agg(max(when(col("same"), col("vec_id"))).as("pos_id"),
+          max(when(!col("same"), col("vec_id"))).as("neg_id"))
+      // ANN candidates: the PQ code scan nominates, exact re-rank
+      // orders — so min rank per (query, label-side) IS the candidate
+      // argmax by true cosine, no re-scoring needed
+      val cand = annPq(emb.select(col("vec_id"), col("v")), PqRerank, pred)
+      val wa = Window.partitionBy(col("query_id"), col("same"))
+        .orderBy(asc("rank"))
+      val ann = cand
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("neighbor_id"))
+        .join(broadcast(q.select(col("query_id"), col("qlabel"))), Seq("query_id"))
+        .withColumn("same", col("label") === col("qlabel"))
+        .withColumn("rn", row_number().over(wa))
+        .where(col("rn") === 1)
+        .groupBy(col("query_id"))
+        .agg(max(when(col("same"), col("neighbor_id"))).as("ann_pos"),
+          max(when(!col("same"), col("neighbor_id"))).as("ann_neg"))
+      val joined = exact.join(ann, Seq("query_id"), "left")
+      val floors = joined.agg(
+        sum(when(col("ann_pos") === col("pos_id"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("ann_neg") === col("neg_id"), 1L).otherwise(0L)).as("n_neg"))
+      joined.crossJoin(broadcast(floors))
+        .select(col("query_id"), col("pos_id"), col("neg_id"),
+          (col("n_pos") >= 12L).as("pos_floor_ok"),
+          (col("n_neg") >= 8L).as("neg_floor_ok"))
+        .orderBy(col("query_id"))
+    },
+
     // Embedding-space PCA — the variance-accounting step of embedding
     // curation (DataComp-style SVD analysis, whitening precursors):
     // the 64×64 second-moment matrix via a (i, j)-keyed aggregate over
@@ -811,6 +878,36 @@ object VectorOps {
         |  CAST(SUM(vs_nano) AS BIGINT) AS sum_nano,
         |  CAST(SUM(vs_nano) AS DOUBLE) / 1e9 / COUNT(*) AS mean_v
         |FROM flat GROUP BY label, idx ORDER BY label, idx""".stripMargin,
+
+    // DuckDB recomputes the exact pos/neg picks (the hash anchor) and
+    // pins the ANN-candidate agreement floors; the PQ candidate path is
+    // Spark-side only.
+    "q_hard_negatives_ann" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    CAST(label AS BIGINT) AS label
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv, label AS qlabel
+        |  FROM emb WHERE vec_id < 20
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_inner_product(q.qv, e.v) AS cos,
+        |    e.label = q.qlabel AS same
+        |  FROM emb e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id
+        |), best AS (
+        |  SELECT query_id, vec_id, same,
+        |    row_number() OVER (PARTITION BY query_id, same
+        |      ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored
+        |)
+        |SELECT query_id,
+        |  MAX(CASE WHEN same THEN vec_id END) AS pos_id,
+        |  MAX(CASE WHEN NOT same THEN vec_id END) AS neg_id,
+        |  TRUE AS pos_floor_ok, TRUE AS neg_floor_ok
+        |FROM best WHERE rn = 1
+        |GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     "q_hard_negatives" ->
       """WITH emb AS (

@@ -61,6 +61,38 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  // ---- batched BPE: selected merges commute -------------------------
+
+  // candidate windows over a tiny symbol alphabet WITH concatenation
+  // traps ("a","b" alongside "ab") — the case where operand-only
+  // disjointness would wrongly batch (a,b) with (ab,x)
+  private val candGen: Gen[List[(String, String, Long)]] = Gen.listOfN(24, for {
+    a <- Gen.oneOf("a", "b", "c", "d", "ab", "cd")
+    b <- Gen.oneOf("a", "b", "c", "d", "ab", "cd")
+    c <- Gen.choose(1L, 50L)
+  } yield (a, b, c))
+
+  test("batched-BPE selection: any application order yields identical strings") {
+    val wordGen: Gen[List[List[String]]] = Gen.listOfN(20,
+      Gen.choose(1, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "ab", "cd"))))
+    forSamples(candGen) { cands0 =>
+      // dedup + deterministic rank order, as the engine's window provides
+      val cands = cands0.distinct.sortBy { case (a, b, c) => (-c, a, b) }
+      val sel = TextOps.bpeSelectBatch(cands, batch = 8)
+      assert(sel.nonEmpty)
+      forSamples(wordGen) { words =>
+        def apply(order: Seq[(String, String, Long)]) = words.map { w =>
+          order.foldLeft(w.map(x => s"[$x]").mkString) { case (s, (a, b, _)) =>
+            s.replace(s"[$a][$b]", s"[$a$b]") }
+        }
+        // the whole point of the conflict rule: the batch commutes
+        assert(apply(sel) == apply(sel.reverse),
+          s"selected batch $sel is order-dependent")
+      }
+    }
+  }
+
   // ---- z-order: per-dimension monotonicity --------------------------
 
   private val dimGen: Gen[List[(Long, Long, Long)]] = Gen.listOfN(40, for {

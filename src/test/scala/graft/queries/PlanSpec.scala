@@ -192,7 +192,9 @@ class PlanSpec extends SparkSpec {
       // ANN queries, whose probe/centroid sides are broadcast k-row tables)
       "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
       // same broadcast-queries × corpus-scan baseline, labels attached
-      "q_hard_negatives",
+      // (the _ann twin carries the same in-query exact baseline plus
+      // 1-row floor aggregates)
+      "q_hard_negatives", "q_hard_negatives_ann",
       // documented all-pairs oracle baseline of the LSH path — must never
       // become the production composition — and the bucketed variant,
       // whose in-query recall contract computes that same baseline

@@ -353,6 +353,47 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("ANN hard-negative picks agree with exact picks at the pinned floors") {
+    // GRAFT_HN_SF overrides the corpus for floor measurement across sfs
+    // (everything here is deterministic, so measured == future)
+    val dir = sys.env.getOrElse("GRAFT_HN_SF", sf)
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"),
+        $"label".cast("long").as("label"))
+    val pred = $"vec_id" < 20
+    val q = emb.where(pred).select($"vec_id".as("query_id"), $"v".as("qv"),
+      $"label".as("qlabel"))
+    val scored = emb.crossJoin(broadcast(q)).where($"vec_id" =!= $"query_id")
+      .withColumn("cos", VectorOps.dot($"qv", $"v"))
+      .withColumn("same", $"label" === $"qlabel")
+    val w = Window.partitionBy($"query_id", $"same").orderBy($"cos".desc, $"vec_id".asc)
+    val exact = scored.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .groupBy($"query_id")
+      .agg(max(when($"same", $"vec_id")).as("pos_id"),
+        max(when(!$"same", $"vec_id")).as("neg_id"))
+    val cand = VectorOps.annPq(emb.select($"vec_id", $"v"), 50, pred)
+    val wa = Window.partitionBy($"query_id", $"same").orderBy($"rank".asc)
+    val ann = cand
+      .join(emb.select($"vec_id".as("neighbor_id"), $"label"), Seq("neighbor_id"))
+      .join(broadcast(q.select($"query_id", $"qlabel")), Seq("query_id"))
+      .withColumn("same", $"label" === $"qlabel")
+      .withColumn("rn", row_number().over(wa)).where($"rn" === 1)
+      .groupBy($"query_id")
+      .agg(max(when($"same", $"neighbor_id")).as("ann_pos"),
+        max(when(!$"same", $"neighbor_id")).as("ann_neg"))
+    val j = exact.join(ann, Seq("query_id"), "left")
+      .select($"query_id",
+        ($"ann_pos" === $"pos_id").as("p"), ($"ann_neg" === $"neg_id").as("n"))
+      .collect()
+    val nPos = j.count(r => !r.isNullAt(1) && r.getBoolean(1))
+    val nNeg = j.count(r => !r.isNullAt(2) && r.getBoolean(2))
+    info(s"$dir: pos agreement $nPos/${j.length}, neg agreement $nNeg/${j.length}")
+    assert(j.length == 20)
+    assert(nPos >= 12, s"pos agreement $nPos below floor 12")
+    assert(nNeg >= 8, s"neg agreement $nNeg below floor 8")
+  }
+
   test("planted-variant id guard throws when a doc_id reaches the offset") {
     // The guard is a plan-embedded assert_true, not a driver check — it
     // must survive optimization and actually fire at execution time,
