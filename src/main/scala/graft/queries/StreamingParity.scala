@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Registry gates for the stateful streaming operators (VERDICT r9 #5):
+  * StreamDedup / Sessionize / StreamTopK were ScalaTest-pinned but never
+  * touched the driver's hash gate. Each entry here drains a deterministic
+  * fixture (derived from the sf tables) through the REAL Structured
+  * Streaming path — AvailableNow drains, parquet sinks, checkpoints,
+  * event-time watermarks — reads the sink back, and outputs a frame the
+  * DuckDB oracle recomputes relationally. The q_incr_rollup pattern,
+  * extended to streaming state.
+  *
+  * Determinism notes (what makes an exact hash possible):
+  *  - stream_dedup: duplicates are staged byte-identical, so ANY
+  *    representative is the same row; the 90-day watermark delay exceeds
+  *    the fixture's 30-day span, so no state eviction can re-admit a
+  *    duplicate mid-drain.
+  *  - sessionize: sealed-session output equals the batch gaps-and-islands
+  *    sessionization for ANY admissible arrival order (Sessionize.scala's
+  *    seal-on-watermark contract); two far-future sentinel drains push
+  *    the watermark past every real session's seal point, exactly the
+  *    SessionizeSpec pattern. Fixture timestamps are second-truncated on
+  *    both sides so ms-vs-µs rounding can't shift a gap comparison.
+  *  - stream_topk: Misra-Gries sketch CONTENTS are arrival-order-
+  *    dependent, so the anchors are the order-INDEPENDENT guarantees
+  *    (capture above n/(K+1), bounded underestimation, ≤K counters) as
+  *    in-query contract booleans the oracle pins TRUE, plus the exact
+  *    per-lang token totals as the hash anchor.
+  *
+  * Like the q_gold_* entries, each drained sink is memoized per
+  * (session, sfDir) — the registry functions may be invoked repeatedly
+  * (bench double-runs, PlanSpec sweeps) and the drain is the expensive,
+  * already-side-effect-idempotent part. Temp dirs die with the JVM.
+  */
+object StreamingParity {
+
+  private val drained =
+    scala.collection.concurrent.TrieMap[(String, String, String), String]()
+
+  private def memo(s: SparkSession, dir: String, op: String)
+                  (drain: String => Unit): String =
+    drained.getOrElseUpdate((s.sparkContext.applicationId, dir, op), {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_$op").toString
+      sys.addShutdownHook(
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)))
+      drain(base)
+      base
+    })
+
+  /** Events fixture columns shared by dedup and sessionize. */
+  private def eventsFixture(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .select(col("event_id").cast("long").as("event_id"),
+        date_trunc("second", col("ts")).cast("timestamp").as("ts"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type").cast("string").as("event_type"),
+        col("value").cast("double").as("value"))
+
+  /** Sentinel users live far outside the real user_id range (≤ thousands
+    * at every sf); their watermark-pushing events are excluded from output.
+    */
+  private val SentinelUser = 900000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Watermarked streaming dedup under the hash gate: the fixture is the
+    // events table staged TWICE byte-identical (the at-least-once
+    // redelivery regime), drained through dropDuplicatesWithinWatermark
+    // into a parquet sink. Exactly one row per event_id must survive —
+    // the oracle is simply the events table (event_id is unique there;
+    // doubled input + broken dedup = doubled rows = row-count FAIL).
+    "q_stream_dedup_parity" -> { (s, dir) =>
+      val base = memo(s, dir, "sdedup") { b =>
+        val ev = eventsFixture(s, dir)
+        ev.write.mode("append").parquet(s"$b/src")
+        ev.write.mode("append").parquet(s"$b/src")
+        graft.streaming.StreamDedup.run(s, s"$b/src", s"$b/out", s"$b/ckpt",
+          watermarkDelay = "90 days")
+      }
+      s.read.parquet(s"$base/out")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_s"))
+        .orderBy(col("event_id"))
+    },
+
+    // Stateful streaming sessionization under the hash gate: the full
+    // events table drained through flatMapGroupsWithState (30-min gap,
+    // 1-h watermark delay), then two far-future sentinel drains seal
+    // every real session (watermark advances at batch END; timeouts fire
+    // on the NEXT batch — the SessionizeSpec cadence). The oracle is the
+    // batch gaps-and-islands sessionization over the same second-
+    // truncated timestamps.
+    "q_stream_sessionize_parity" -> { (s, dir) =>
+      val base = memo(s, dir, "ssess") { b =>
+        val src = s"$b/src"
+        val ev = eventsFixture(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+        ev.write.mode("append").parquet(src)
+        graft.streaming.Sessionize.run(s, src, s"$b/out", s"$b/ckpt")
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        def sentinel(plusDays: Int, uid: Long): Unit =
+          s.range(1).select(lit(uid).as("user_id"),
+              (lit(maxTs) + expr(s"INTERVAL $plusDays DAYS")).cast("timestamp").as("ts"),
+              lit("sentinel").as("event_type"))
+            .write.mode("append").parquet(src)
+        sentinel(30, SentinelUser)
+        graft.streaming.Sessionize.run(s, src, s"$b/out", s"$b/ckpt")
+        sentinel(60, SentinelUser + 1)
+        graft.streaming.Sessionize.run(s, src, s"$b/out", s"$b/ckpt")
+      }
+      s.read.parquet(s"$base/out")
+        .where(col("user_id") < SentinelUser)
+        .select(col("user_id"),
+          unix_timestamp(col("start_ts")).as("start_s"),
+          unix_timestamp(col("end_ts")).as("end_s"),
+          col("n_events"), col("duration_sec"))
+        .orderBy(col("user_id"), col("start_s"))
+    },
+
+    // Continuous per-lang heavy hitters under the hash gate: documents
+    // drained through the flatMapGroupsWithState Misra-Gries sketch, the
+    // final sketch per lang checked against the order-independent MG
+    // guarantees computed relationally IN-QUERY: (a) every token with
+    // true count > n/(K+1) is in the sketch, (b) every estimate is in
+    // [true − n/(K+1), true], (c) ≤ K counters per lang, (d) the
+    // sketch's running total equals the true token count. Hash anchors:
+    // per-lang token totals and heavy-token counts; the oracle pins the
+    // booleans TRUE.
+    "q_stream_topk_parity" -> { (s, dir) =>
+      val base = memo(s, dir, "stopk") { b =>
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
+          .write.mode("append").parquet(s"$b/src")
+        graft.streaming.StreamTopK.run(s, s"$b/src", s"$b/out", s"$b/ckpt")
+      }
+      val k = graft.streaming.StreamTopK.K
+      val sketch = graft.streaming.StreamTopK.finalSketch(s, s"$base/out")
+      val toks = s.read.parquet(s"$base/src")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val truth = toks.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = truth.groupBy(col("lang")).agg(sum(col("cnt")).as("n_tok"))
+      val sk = sketch.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_counters"), max(col("n_seen")).as("sk_seen"))
+      truth.join(tot, Seq("lang"))
+        .join(sketch.select(col("lang"), col("tok"), col("est")),
+          Seq("lang", "tok"), "left")
+        .groupBy(col("lang"))
+        .agg(
+          max(col("n_tok")).as("n_tok"),
+          sum(when(col("cnt") * (k + 1) > col("n_tok"), 1L).otherwise(0L))
+            .as("n_heavy"),
+          sum(when(col("cnt") * (k + 1) > col("n_tok") && col("est").isNull,
+            1L).otherwise(0L)).as("missed_heavy"),
+          sum(when(col("est").isNotNull &&
+            (col("est") > col("cnt") ||
+              col("est").cast("double") <
+                col("cnt").cast("double") - col("n_tok").cast("double") / (k + 1)),
+            1L).otherwise(0L)).as("bound_viol"))
+        .join(sk, Seq("lang"))
+        .select(col("lang"), col("n_tok"), col("n_heavy"),
+          (col("missed_heavy") === 0L).as("heavy_ok"),
+          (col("bound_viol") === 0L).as("bounds_ok"),
+          (col("n_counters") <= k).as("sketch_size_ok"),
+          (col("sk_seen") === col("n_tok")).as("n_seen_ok"))
+        .orderBy(col("lang"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    // Dedup of a byte-identical doubled staging = the events table itself
+    // (event_id is unique in the fixture tables).
+    "q_stream_dedup_parity" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        |  CAST(user_id AS BIGINT) AS user_id,
+        |  event_type,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // Batch gaps-and-islands sessionization: a new session starts when
+    // the same-user gap exceeds 30 minutes (the engine's `t <= last +
+    // gap` join rule = `diff > 1800` split rule on sorted events).
+    "q_stream_sessionize_parity" ->
+      """WITH ev AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        |), g AS (
+        |  SELECT user_id, t,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM d
+        |)
+        |SELECT user_id,
+        |  MIN(t) AS start_s, MAX(t) AS end_s,
+        |  COUNT(*) AS n_events,
+        |  MAX(t) - MIN(t) AS duration_sec
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, start_s""".stripMargin,
+
+    // Exact per-lang token totals + heavy-token counts; the MG-guarantee
+    // booleans are engine-side contracts the oracle pins TRUE.
+    "q_stream_topk_parity" ->
+      """WITH toks AS (
+        |  SELECT lang, t AS tok FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE length(t) > 0
+        |), truth AS (
+        |  SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY lang, tok
+        |), tot AS (
+        |  SELECT lang, SUM(cnt) AS n_tok FROM truth GROUP BY lang
+        |)
+        |SELECT t.lang AS lang, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(COUNT(CASE WHEN cnt * 17 > n_tok THEN 1 END) AS BIGINT) AS n_heavy,
+        |  TRUE AS heavy_ok, TRUE AS bounds_ok,
+        |  TRUE AS sketch_size_ok, TRUE AS n_seen_ok
+        |FROM truth t JOIN tot USING (lang)
+        |GROUP BY t.lang, n_tok ORDER BY lang""".stripMargin)
+}

@@ -128,7 +128,9 @@ object TextOps {
       .select($"token", $"cnt", regexp_replace($"token", "(.)", "[$1]").as("seq"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    for (i <- 1 to rounds) {
+    var i = 1
+    var exhausted = false
+    while (i <= rounds && !exhausted) {
       // Spark's sequence(1, n) DESCENDS for n < 1 — filter the
       // single-symbol words before building pair indices.
       val pairs = seqs
@@ -141,15 +143,22 @@ object TextOps {
         .agg(sum($"cnt").as("pc"))
       val cands = pairs.orderBy(desc("pc"), $"a", $"b").limit(BpeCap).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
-      require(cands.nonEmpty, s"BPE round $i: no adjacent pairs left " +
-        "(corpus too small for this many rounds)")
-      val selected = bpeSelectBatch(cands, batch)
-      selected.foreach { case (a, b, pc) =>
-        merges += ((merges.size + 1L, a, b, pc)) }
-      seqs = seqs
-        .withColumn("seq", selected.foldLeft($"seq": Column) { case (acc, (a, b, _)) =>
-          replace(acc, lit(s"[$a][$b]"), lit(s"[$a$b]")) })
-        .localCheckpoint(true)
+      if (cands.isEmpty) {
+        // Corpus fully merged before `rounds` passes: truncate gracefully
+        // — the generated oracle's sel_i CTEs go empty from this round on
+        // and it yields fewer rows, so throwing here would be a DIVERGENT
+        // failure mode, not a stricter one (ADVICE r9).
+        exhausted = true
+      } else {
+        val selected = bpeSelectBatch(cands, batch)
+        selected.foreach { case (a, b, pc) =>
+          merges += ((merges.size + 1L, a, b, pc)) }
+        seqs = seqs
+          .withColumn("seq", selected.foldLeft($"seq": Column) { case (acc, (a, b, _)) =>
+            replace(acc, lit(s"[$a][$b]"), lit(s"[$a$b]")) })
+          .localCheckpoint(true)
+        i += 1
+      }
     }
     (merges.toSeq, seqs)
   }

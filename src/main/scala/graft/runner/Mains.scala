@@ -16,7 +16,11 @@ object RunnerSession {
       .appName(app)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // No session-global partitionOverwriteMode: every dynamic-overwrite
+      // sink scopes it via Warehouse.withDynamicPartitionOverwrite, so an
+      // unscoped full-table overwrite in these sessions keeps Spark's
+      // static default (ADVICE r9: the global config re-introduced the
+      // VERDICT r8 #1 leak in every CLI entrypoint).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
