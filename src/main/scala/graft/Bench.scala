@@ -533,7 +533,11 @@ object Bench {
     // would just re-count the same build in the headline total.
     // An explicit SPARK_GRAFT_BENCH_ONLY request overrides the skip —
     // asking to bench q_gold_dau by name should measure it, not silence it.
-    val skip = SparkEntry.queries.keySet.filter(_.startsWith("q_gold_"))
+    // q_stream_*_parity entries are likewise composed correctness gates:
+    // their streaming-drain cost is already measured once, cleanly, as
+    // the streaming_tick/streaming_gold/stream_join singles.
+    val skip = SparkEntry.queries.keySet
+      .filter(n => n.startsWith("q_gold_") || n.startsWith("q_stream_"))
       .filterNot(n => only.exists(_.contains(n)))
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => !skip(name) && only.forall(_.contains(name)) }

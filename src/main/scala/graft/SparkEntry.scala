@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.Formats.queries ++
       graft.queries.Diagnostics.queries ++
       graft.queries.TemporalOps.queries ++
+      graft.queries.StreamingParity.queries ++
       graft.queries.GoldE2E.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.Formats.oracles ++
       graft.queries.Diagnostics.oracles ++
       graft.queries.TemporalOps.oracles ++
+      graft.queries.StreamingParity.oracles ++
       graft.queries.GoldE2E.oracles
 }

