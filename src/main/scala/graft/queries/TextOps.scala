@@ -185,6 +185,13 @@ object TextOps {
     */
   private val DirectVerifyPairBudget = 8000000L
 
+  /** q_substring_dup_sampled keep rate: a gram position survives iff its
+    * 60-bit digest ≡ 0 (mod this) — gram-keyed shuffle volume and the
+    * distinct-doc aggregate shrink ~8×, recall on real duplicated spans
+    * stays ≈1 (content-defined selection; see the query's scaladoc).
+    */
+  private val SubstringSampleMod = 8
+
   /** Planted-variant id offsets (q_norm_dedup / q_keep_best and
     * q_substring_dup union re-serialized variants with ids doc_id +
     * offset). A corpus outgrowing the offset would make variant ids
@@ -1562,17 +1569,60 @@ object TextOps {
       val docs = base.unionByName(excerpts).where(length($"text") >= K)
       // grams carried as 60-bit ints (15 hex digits of the md5) — the
       // gram-keyed shuffles move 8-byte longs, not 32-char strings
-      // (the string form measured ~2× slower end-to-end at sf0.1)
+      // (the string form measured ~2× slower end-to-end at sf0.1) —
+      // computed by the fused native GramDigests pass (the composed
+      // transform+md5+conv form pays three string allocations per gram;
+      // bit-parity with it is spec-pinned)
       val grams = docs.select($"doc_id",
-        explode(transform(sequence(lit(1), length($"text") - (K - 1)),
-          i => conv(substring(md5($"text".substr(i, lit(K))), 1, 15), 16, 10)
-            .cast("long"))).as("g"))
+        explode(graft.functions.GramDigests($"text", K)).as("g"))
       val nd = grams.groupBy($"g").agg(countDistinct($"doc_id").as("nd"))
       grams.join(nd, "g")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup"))
         .withColumn("dup_ratio", $"n_dup" * 1.0 / $"n_grams")
+        .orderBy($"doc_id")
+    },
+
+    // SAMPLED substring duplication — the 100-TB variant of
+    // q_substring_dup, previously only documented there (VERDICT r9 #6):
+    // mod-p sampling on the GRAM DIGEST (keep a position iff digest ≡ 0
+    // mod [[SubstringSampleMod]]). Content-defined, so the SAME 40-gram
+    // text is kept or dropped identically in every document regardless
+    // of offset — a shared span of L chars carries ~(L-39)/p sampled
+    // grams, so real duplicated spans (the 200-char planted excerpts
+    // hold ~161 grams → miss probability (1-1/p)^161 ≈ 5e-10) survive
+    // while the gram-keyed shuffle and distinct-doc aggregate shrink by
+    // ~p×. No false positives by construction: every kept gram is a real
+    // gram, so sampled-flagged docs ⊆ exact-flagged docs — the
+    // containment + recall contract vs the exact op is pinned in
+    // TextVectorSpec; the oracle here recomputes the sampled pass
+    // exactly (the sampling key is the md5 digest both engines already
+    // agree on).
+    "q_substring_dup_sampled" -> { (s, dir) =>
+      import s.implicits._
+      val K = 40
+      val p = SubstringSampleMod
+      val base = load(s, dir, "documents")
+        .select(guardedDocId(ExcerptVariantOffset), $"text")
+      val excerpts = base.where($"doc_id" % 10 === 0)
+        .select(($"doc_id" + ExcerptVariantOffset).as("doc_id"),
+          $"text".substr(lit(50), lit(200)).as("text"))
+      val docs = base.unionByName(excerpts).where(length($"text") >= K)
+      val kept = docs.select($"doc_id",
+        explode(graft.functions.GramDigests($"text", K, p)).as("g"))
+      val nd = kept.groupBy($"g").agg(countDistinct($"doc_id").as("nd"))
+      val perDoc = kept.join(nd, "g")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup_kept"))
+      // docs whose sampled positions all missed still appear, unflagged —
+      // full-corpus coverage keeps the containment contract two-sided
+      docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"n_dup_kept", lit(0L)).as("n_dup_kept"),
+          (coalesce($"n_dup_kept", lit(0L)) >= 1L).as("has_dup"))
         .orderBy($"doc_id")
     },
 
@@ -2544,6 +2594,37 @@ object TextOps {
         |    / COUNT(*) AS dup_ratio
         |FROM g JOIN nd USING (g) GROUP BY g.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+
+    "q_substring_dup_sampled" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, substr(text, 50, 200)
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), docs AS (
+        |  SELECT doc_id, text FROM base WHERE len(text) >= 40
+        |), kept AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 40)), 1, 15))
+        |        AS BIGINT) AS g
+        |    FROM (SELECT doc_id, text,
+        |            unnest(generate_series(1, len(text) - 39)) AS i
+        |          FROM docs))
+        |  WHERE g % 8 = 0
+        |), nd AS (
+        |  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM kept GROUP BY 1
+        |), per_doc AS (
+        |  SELECT kept.doc_id, COUNT(*) AS n_kept,
+        |    CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_kept
+        |  FROM kept JOIN nd USING (g) GROUP BY kept.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(n_kept, 0) AS n_kept,
+        |  COALESCE(n_dup_kept, 0) AS n_dup_kept,
+        |  COALESCE(n_dup_kept, 0) >= 1 AS has_dup
+        |FROM docs d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // bin() is unpadded in both engines, so length(bin(x)) is the exact
     // binary digit count on each side; every aggregate stays integer.

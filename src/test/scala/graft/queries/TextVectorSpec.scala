@@ -394,6 +394,28 @@ class TextVectorSpec extends SparkSpec {
     assert(nNeg >= 8, s"neg agreement $nNeg below floor 8")
   }
 
+  test("sampled substring-dup: containment in exact flags, full recall on planted excerpts") {
+    // Containment (no false positives, by construction — every kept gram
+    // is a real gram): sampled-flagged docs ⊆ exact-flagged docs.
+    val exact = SparkEntryAccess.run(spark, "q_substring_dup", sf)
+      .where($"n_dup" >= 1).select("doc_id").as[Long].collect().toSet
+    val sampled = SparkEntryAccess.run(spark, "q_substring_dup_sampled", sf)
+    val flagged = sampled.where($"has_dup").select("doc_id").as[Long].collect().toSet
+    assert(flagged.nonEmpty, "sampled op flagged nothing — vacuous")
+    assert(flagged.subsetOf(exact),
+      s"sampled flags outside the exact set: ${(flagged -- exact).take(5)}")
+    // Recall floor on REAL duplicated spans: every planted 200-char
+    // excerpt (~161 grams, miss prob (7/8)^161 ≈ 5e-10) and its source
+    // doc must stay flagged under mod-8 sampling.
+    val excerptIds = sampled.where($"doc_id" >= 2000000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(excerptIds.nonEmpty)
+    excerptIds.foreach { e =>
+      assert(flagged.contains(e), s"excerpt $e lost under sampling")
+      assert(flagged.contains(e - 2000000), s"source ${e - 2000000} lost under sampling")
+    }
+  }
+
   test("planted-variant id guard throws when a doc_id reaches the offset") {
     // The guard is a plan-embedded assert_true, not a driver check — it
     // must survive optimization and actually fire at execution time,
