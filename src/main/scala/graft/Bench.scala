@@ -513,7 +513,7 @@ object Bench {
       t / merges
     }
     single("bpe_per_merge_seq") { bpeBench(batch = 1) }
-    single("bpe_per_merge_batched") { bpeBench(batch = 8) }
+    single("bpe_per_merge_batched") { bpeBench(batch = graft.queries.TextOps.BpeBatch) }
 
     // ------------------------------------------------------------------
     // Registry query suite — two timed passes each, faster reported.
