@@ -231,6 +231,9 @@ class PlanSpec extends SparkSpec {
       // per-query baseline (and the recall-contract baseline inside the
       // ANN queries, whose probe/centroid sides are broadcast k-row tables)
       "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
+      // scale-tier twin: same broadcast query-set × corpus baseline plus
+      // the 1-row corpus-count broadcast
+      "q_ann_ivfpq_scale",
       // same broadcast-queries × corpus-scan baseline, labels attached
       // (the _ann twin carries the same in-query exact baseline plus
       // 1-row floor aggregates)
