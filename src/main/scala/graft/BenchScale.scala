@@ -21,10 +21,20 @@ import org.apache.spark.sql.functions._
 object BenchScale {
 
   /** The queries the r9 verdict named as the top-heavy set, plus the
-    * round-10 sampled substring-dup twin.
+    * round-10 sampled substring-dup twin. q_semdedup is represented by
+    * its PRODUCTION path (cell-keyed prune): the registry query also
+    * carries a fenced all-pairs exact baseline as its oracle anchor,
+    * which is quadratic by definition and allowlisted as such — timing
+    * it at a scale tier measures the fence, not the design (it was the
+    * round-10 60×-at-10× "offender" until named here; the production
+    * path's fixed cell count was the real bug and is now adaptive).
     */
   private val Heavy = Seq("q_substring_dup", "q_substring_dup_sampled",
-    "q_incr_dedup", "q_dup_clusters", "q_semdedup", "q_ann_ivfpq")
+    "q_incr_dedup", "q_dup_clusters", "q_semdedup_production", "q_ann_ivfpq")
+
+  private def queryFn(name: String): (SparkSession, String) => DataFrame =
+    if (name == "q_semdedup_production") graft.queries.VectorOps.semDedupProduction
+    else SparkEntry.queries(name)
 
   private val Rep = 10
 
@@ -89,7 +99,7 @@ object BenchScale {
     def timeQuery(name: String, dir: String): Double = {
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        exec(SparkEntry.queries(name)(spark, dir))
+        exec(queryFn(name)(spark, dir))
         (System.nanoTime() - t0) / 1e9
       }
       releaseAll()
