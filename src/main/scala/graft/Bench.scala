@@ -536,9 +536,15 @@ object Bench {
     // q_stream_*_parity entries are likewise composed correctness gates:
     // their streaming-drain cost is already measured once, cleanly, as
     // the streaming_tick/streaming_gold/stream_join singles.
+    // q_ann_ivfpq_scale is the 100k-vector scale CONTRACT (recall +
+    // scanned-fraction booleans over a 50×-replicated fixture) — its
+    // per-tier timing evidence lives in BENCH_scale.json (q_ann_ivfpq
+    // at both tiers); timing the contract here would double-run a
+    // ~2-minute fixture build + encode inside every round's bench.
     val skip = SparkEntry.queries.keySet
-      .filter(n => n.startsWith("q_gold_") || n.startsWith("q_stream_"))
-      .filterNot(n => only.exists(_.contains(n)))
+      .filter(n => n.startsWith("q_gold_") || n.startsWith("q_stream_")) +
+      "q_ann_ivfpq_scale" --
+      only.getOrElse(Set.empty)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => !skip(name) && only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

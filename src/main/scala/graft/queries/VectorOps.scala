@@ -175,11 +175,7 @@ object VectorOps {
     var centroids = cached.orderBy(col("vec_id")).limit(cells)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
     for (_ <- 0 until 2) {
-      val assigned = cached.crossJoin(broadcast(centroids))
-        .withColumn("d", graft.functions.CosineSimilarity(col("v"), col("cv")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
-        .where(col("rn") === 1)
+      val assigned = assignCells(cached, centroids)
       centroids = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("mx"))
@@ -193,16 +189,29 @@ object VectorOps {
     centroids
   }
 
-  /** Nearest-cell assignment vs an (already broadcast) centroid frame:
-    * (vec_id, v, cell). Ties break to the lowest cell id.
+  /** Nearest-cell assignment as a NARROW map (the pqAssign pattern):
+    * the centroid frame packs to ONE cell-sorted entry array,
+    * broadcast, and the argmax runs inline per corpus row via
+    * transform + array_max over (similarity, -cell) structs — max
+    * similarity, ties to the LOWEST cell id, bit-identical to the
+    * crossJoin + row_number form it replaces. The old form blew each
+    * corpus row up ×cells and pushed the blowup through a
+    * vec_id-keyed sort window: at the 100k-vector scale fixture with
+    * 256 cells that was a 25.6M-row shuffle per Lloyd/assignment pass
+    * (~5/6 of q_ann_ivfpq_scale's 344 s); the narrow form shuffles
+    * nothing.
     */
-  private def assignCells(cached: DataFrame, cents: DataFrame): DataFrame =
-    cached.crossJoin(cents)
-      .withColumn("d", graft.functions.CosineSimilarity(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cell"))
+  private def assignCells(cached: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.agg(
+      array_sort(collect_list(struct(col("cell"), col("cv")))).as("es"))
+    cached.crossJoin(broadcast(packed))
+      .withColumn("best", array_max(transform(col("es"), e =>
+        struct(
+          graft.functions.CosineSimilarity(col("v"), e.getField("cv")).as("d"),
+          (-e.getField("cell")).as("nc")))))
+      .select(col("vec_id"), col("v"),
+        (-col("best").getField("nc")).cast("int").as("cell"))
+  }
 
   def annIvf(emb: DataFrame, k: Int, cells: Int = 8, nprobe: Int = 3): DataFrame = {
     val cached = emb.cache()
@@ -358,9 +367,13 @@ object VectorOps {
     * nprobe/cells instead of 1.
     */
   def annIvfPqWithScan(emb: DataFrame, k: Int, cells: Int, nprobe: Int,
-                       queryPred: Column): (DataFrame, DataFrame) = {
+                       queryPred: Column,
+                       trainOn: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val cached = emb.cache()
-    val cents = broadcast(lloydCentroids(cached, cells))
+    // coarse quantizer may train on a SAMPLE (standard IVF practice —
+    // faiss trains its coarse centroids on ~10⁵-10⁶ sampled vectors
+    // regardless of corpus size); assignment always covers the corpus
+    val cents = broadcast(lloydCentroids(trainOn.getOrElse(cached), cells))
     val assigned = assignCells(cached, cents)
     // residuals r = v - centroid(cell): the PQ trains on what the coarse
     // quantizer could NOT explain — the variance left per cell is far
@@ -534,7 +547,12 @@ object VectorOps {
       val emb = scaledCorpus(s, dir).cache()
       // replica 0 of the first AnnScaleQueries bases (replica-major ids)
       val pred = col("vec_id") < AnnScaleQueries.toLong
-      val (ann, scan) = annIvfPqWithScan(emb, 5, cells = 256, nprobe = 8, pred)
+      // train the coarse quantizer on the replica-0 base sample (the
+      // first nBase ids) — the faiss regime: training cost is sample-
+      // bounded, only the single assignment pass is corpus-linear
+      val nBase = load(s, dir, "embeddings").count()
+      val (ann, scan) = annIvfPqWithScan(emb, 5, cells = 256, nprobe = 8, pred,
+        trainOn = Some(emb.where(col("vec_id") < nBase)))
       // baseline ranks by the SAME similarity the ANN re-rank uses
       // (cosine): the replicas are near-ties with non-unit norms, so a
       // dot-ranked baseline diverges for reasons unrelated to the ANN

@@ -204,8 +204,13 @@ class PlanSpec extends SparkSpec {
       // table joins; every codebook/query-side join stays broadcast
       "q_ann_pq" -> (11, 11),
       // coarse IVF training + residual PQ training + probed-cell join:
-      // the composition pays both training paths' shuffles once
-      "q_ann_ivfpq" -> (17, 19),
+      // the composition pays both training paths' shuffles once. The
+      // count includes the 1-row/k-row centroid-packing aggregates of
+      // the narrow assignCells form (tiny single-partition exchanges
+      // that replaced corpus×cells row_number window shuffles — node
+      // count rose 17→19 while runtime fell 7.8→5.9 s at sf0.1; the
+      // snapshot pins shape, not cost)
+      "q_ann_ivfpq" -> (19, 19),
       // banding + budget-gated cohort escalation + new-vs-corpus join
       "q_incr_dedup" -> (7, 10),
       // banded candidate generation + bounded label propagation rounds
