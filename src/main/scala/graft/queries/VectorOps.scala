@@ -205,12 +205,8 @@ object VectorOps {
     val packed = cents.agg(
       array_sort(collect_list(struct(col("cell"), col("cv")))).as("es"))
     cached.crossJoin(broadcast(packed))
-      .withColumn("best", array_max(transform(col("es"), e =>
-        struct(
-          graft.functions.CosineSimilarity(col("v"), e.getField("cv")).as("d"),
-          (-e.getField("cell")).as("nc")))))
       .select(col("vec_id"), col("v"),
-        (-col("best").getField("nc")).cast("int").as("cell"))
+        graft.functions.NearestCell(col("v"), col("es")).as("cell"))
   }
 
   def annIvf(emb: DataFrame, k: Int, cells: Int = 8, nprobe: Int = 3): DataFrame = {
@@ -268,11 +264,11 @@ object VectorOps {
     val packed = books.groupBy(col("m"))
       .agg(array_sort(collect_list(struct(col("cell"), col("cv")))).as("es"))
     sub.join(broadcast(packed), Seq("m"))
-      .withColumn("cell", expr(
-        """array_min(transform(es, e -> named_struct(
-             'd', aggregate(zip_with(sv, e.cv, (x, y) -> (x - y) * (x - y)),
-                            0D, (a2, z) -> a2 + z),
-             'c', e.cell))).c"""))
+      // fused native argmin (NearestCellSpec pins bit-parity with the
+      // transform+array_min chain this replaces — the composed HOF paid
+      // an interpreted lambda + struct alloc per (row, entry): ~80 s of
+      // q_ann_ivfpq_scale's encode passes at 800k×32 entries)
+      .withColumn("cell", graft.functions.NearestCell.l2(col("sv"), col("es")))
       .drop("es")
   }
 
