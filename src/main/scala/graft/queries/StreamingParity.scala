@@ -120,6 +120,27 @@ object StreamingParity {
         .orderBy(col("user_id"), col("start_s"))
     },
 
+    // Watermarked stream-stream interval join under the hash gate: the
+    // click/purchase events drained through the REAL two-sided stateful
+    // join (both sides buffered in state, time-range condition deriving
+    // the per-side state watermarks). One AvailableNow drain of the
+    // static fixture = one micro-batch, so every qualifying pair is
+    // admissible and the emitted match set equals the batch interval
+    // join exactly — which is what the oracle recomputes.
+    "q_stream_join_parity" -> { (s, dir) =>
+      val base = memo(s, dir, "sjoin") { b =>
+        eventsFixture(s, dir)
+          .where(col("event_type").isin("click", "purchase"))
+          .write.mode("append").parquet(s"$b/src")
+        graft.streaming.StreamJoin.run(s, s"$b/src", s"$b/out", s"$b/ckpt")
+      }
+      s.read.parquet(s"$base/out")
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_timestamp(col("click_ts")).as("click_s"),
+          unix_timestamp(col("purchase_ts")).as("purchase_s"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+
     // Continuous per-lang heavy hitters under the hash gate: documents
     // drained through the flatMapGroupsWithState Misra-Gries sketch, the
     // final sketch per lang checked against the order-independent MG
@@ -205,6 +226,28 @@ object StreamingParity {
         |  MAX(t) - MIN(t) AS duration_sec
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, start_s""".stripMargin,
+
+    // The batch interval join over the same second-truncated fixture.
+    "q_stream_join_parity" ->
+      """WITH ev AS (
+        |  SELECT CAST(event_id AS BIGINT) AS event_id,
+        |    date_trunc('second', ts) AS ts,
+        |    CAST(user_id AS BIGINT) AS user_id, event_type
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, ts AS click_ts, event_id AS click_id
+        |  FROM ev WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+        |  FROM ev WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id AS user_id, click_id, purchase_id,
+        |  CAST(epoch(click_ts) AS BIGINT) AS click_s,
+        |  CAST(epoch(purchase_ts) AS BIGINT) AS purchase_s
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND purchase_ts >= click_ts
+        |  AND purchase_ts <= click_ts + INTERVAL 30 MINUTE
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
 
     // Exact per-lang token totals + heavy-token counts; the MG-guarantee
     // booleans are engine-side contracts the oracle pins TRUE.
