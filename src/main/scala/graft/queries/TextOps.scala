@@ -1732,6 +1732,54 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // BIGRAM-LM quality scoring with unigram backoff — the CCNet-style
+    // upgrade of q_unigram_lm (real perplexity filters are n-gram LMs,
+    // not unigram): per adjacent token pair, CONDITIONAL surprise
+    // bitlen(c(w1)) − bitlen(c(w1,w2)) ≈ log2(c1/c12) when the bigram
+    // was seen in train, else a Katz-shaped backoff to the unigram
+    // surprise bitlen(N) − bitlen(c(w2)) plus a 2-bit backoff penalty
+    // (OOV w2 takes the max surprise bitlen(N)). Every term is an exact
+    // integer via length(bin(x)) — no libm, no float-sum order
+    // dependence — so the score is bit-identical cross-engine. Planted
+    // unique tokens on HELD-OUT docs exercise the OOV backoff branch.
+    // Scale: doc-keyed lag window for adjacency, wordcount-shaped
+    // unigram/bigram counts, token- and bigram-keyed shuffled joins
+    // (vocab and bigram tables never broadcast — billions of types at
+    // 100 TB), one 1-row N broadcast, doc-keyed partial agg.
+    "q_bigram_lm" -> { (s, dir) =>
+      import s.implicits._
+      val split1 = substring(md5(concat(lit("graft-split-v1:"), $"doc_id".cast("string"))), 1, 1)
+      val isTrain = split1.isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
+      val planted = load(s, dir, "documents")
+        .select($"doc_id", isTrain.as("is_train"),
+          when(isTrain, $"text")
+            .otherwise(concat($"text", lit(" zzb"), $"doc_id".cast("string"))).as("text"))
+      val tok = planted.select($"doc_id", $"is_train",
+        posexplode(split($"text", " ")).as(Seq("pos", "token")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      val bi = tok.withColumn("prev", lag($"token", 1).over(w))
+        .where($"prev".isNotNull)
+      val uni = tok.where($"is_train").groupBy($"token").agg(count(lit(1)).as("c1"))
+      val big = bi.where($"is_train").groupBy($"prev", $"token")
+        .agg(count(lit(1)).as("c12"))
+      val nTrain = uni.agg(sum($"c1").as("n_train"))
+      bi.join(big, Seq("prev", "token"), "left")
+        .join(uni.select($"token", $"c1".as("c_cur")), Seq("token"), "left")
+        .join(uni.select($"token".as("prev"), $"c1".as("c_prev")), Seq("prev"), "left")
+        .crossJoin(nTrain)
+        .withColumn("surprise",
+          when($"c12".isNotNull, length(bin($"c_prev")) - length(bin($"c12")))
+            .otherwise(lit(2) + length(bin($"n_train")) -
+              when($"c_cur".isNull, lit(0)).otherwise(length(bin($"c_cur")))))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when($"c12".isNull, 1L).otherwise(0L)).as("n_backoff"),
+          sum($"surprise").cast("long").as("surp_sum"))
+        .withColumn("mean_surprise", $"surp_sum".cast("double") / $"n_bigrams")
+        .orderBy($"doc_id")
+    },
+
     // PMI collocations — corpus-level phrase mining (the tokenizer-merge
     // / stop-phrase precursor): adjacent-token bigrams via lag() over the
     // per-doc position order, scored with the ratio form of pointwise
@@ -2747,6 +2795,57 @@ object TextOps {
         |SELECT doc_id, n_toks, CAST(oov_n AS BIGINT) AS oov_n,
         |  CAST(surp_sum AS BIGINT) AS surp_sum,
         |  CAST(surp_sum AS DOUBLE) / n_toks AS mean_surprise
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Bigram LM with unigram backoff: same integer bitlen arithmetic;
+    // adjacency via lag over the split-array position order.
+    "q_bigram_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    substr(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7','8','9','a','b') AS is_train
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, is_train,
+        |    CASE WHEN is_train THEN text
+        |         ELSE text || ' zzb' || CAST(doc_id AS VARCHAR) END AS text
+        |  FROM d
+        |), tok AS (
+        |  SELECT doc_id, is_train, s[i] AS token, i AS pos
+        |  FROM (SELECT doc_id, is_train, string_split(text, ' ') AS s FROM p),
+        |       unnest(generate_series(1, len(s))) AS t(i)
+        |), bi AS (
+        |  SELECT doc_id, is_train, token,
+        |    lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM tok
+        |), bi2 AS (
+        |  SELECT * FROM bi WHERE prev IS NOT NULL
+        |), uni AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok
+        |  WHERE is_train GROUP BY 1
+        |), big AS (
+        |  SELECT prev, token, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi2
+        |  WHERE is_train GROUP BY 1, 2
+        |), n AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n_train FROM uni
+        |), g AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |    SUM(CASE WHEN bg.c12 IS NULL THEN 1 ELSE 0 END) AS n_backoff,
+        |    SUM(CASE WHEN bg.c12 IS NOT NULL
+        |        THEN length(bin(up.c1)) - length(bin(bg.c12))
+        |        ELSE 2 + length(bin(n.n_train)) -
+        |          CASE WHEN uc.c1 IS NULL THEN 0 ELSE length(bin(uc.c1)) END
+        |        END) AS surp_sum
+        |  FROM bi2 b
+        |  LEFT JOIN big bg ON b.prev = bg.prev AND b.token = bg.token
+        |  LEFT JOIN uni uc ON b.token = uc.token
+        |  LEFT JOIN uni up ON b.prev = up.token
+        |  CROSS JOIN n
+        |  GROUP BY b.doc_id
+        |)
+        |SELECT doc_id, n_bigrams, CAST(n_backoff AS BIGINT) AS n_backoff,
+        |  CAST(surp_sum AS BIGINT) AS surp_sum,
+        |  CAST(surp_sum AS DOUBLE) / n_bigrams AS mean_surprise
         |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_collocations" ->

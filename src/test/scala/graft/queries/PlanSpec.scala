@@ -264,6 +264,8 @@ class PlanSpec extends SparkSpec {
       "q_tfidf",
       // same 1-row pattern: the train-token total N in the surprise
       "q_unigram_lm",
+      // same 1-row pattern: the train-token total N in the backoff term
+      "q_bigram_lm",
       // same 1-row pattern: the unigram total N in the PMI ratio
       "q_collocations",
       // same 1-row pattern: the max-source token budget
