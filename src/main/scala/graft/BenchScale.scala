@@ -32,6 +32,14 @@ object BenchScale {
   private val Heavy = Seq("q_substring_dup", "q_substring_dup_sampled",
     "q_incr_dedup", "q_dup_clusters", "q_semdedup_production", "q_ann_ivfpq")
 
+  /** Temporal/relational heavies over the replicated events tier — the
+    * shapes whose scale story is windows and range-bucketed joins
+    * rather than banding: gap sessionization, bucketed range join,
+    * as-of attribution, two-phase prefix sums.
+    */
+  private val HeavyEvents = Seq("q_sessionize", "q_range_join",
+    "q_asof_join", "q_peak_concurrency_scaled")
+
   private def queryFn(name: String): (SparkSession, String) => DataFrame =
     if (name == "q_semdedup_production") graft.queries.VectorOps.semDedupProduction
     else SparkEntry.queries(name)
@@ -53,6 +61,22 @@ object BenchScale {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("r")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** 10× events: fresh event_ids and each replica shifted r DAYS later —
+    * byte-identical timestamps would inflate the range/as-of join
+    * fan-out ×rep² (10 clicks × 10 purchases per original pair), a data
+    * property masquerading as a plan regression; day-shifted replicas
+    * keep every temporal relationship and scale pair counts linearly.
+    */
+  private def replicateEvents(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val base = Tables.load(spark, srcDir, "events")
+    val nBase = base.count()
+    base.withColumn("r", explode(sequence(lit(0), lit(Rep - 1))))
+      .withColumn("event_id", col("r") * nBase + col("event_id"))
+      .withColumn("ts", col("ts") + (col("r") * expr("INTERVAL 40 DAYS")))
+      .drop("r")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   /** 10× embeddings: replica-major ids + the integer-derived per-dim
@@ -87,6 +111,7 @@ object BenchScale {
     val buildT0 = System.nanoTime()
     replicateDocs(spark, sfDir, sf1)
     replicateEmb(spark, sfDir, sf1)
+    replicateEvents(spark, sfDir, sf1)
     val buildSec = (System.nanoTime() - buildT0) / 1e9
 
     def exec(df: DataFrame): Unit =
@@ -109,7 +134,7 @@ object BenchScale {
     // JIT warmup outside the timings
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
 
-    val rows = Heavy.map { q =>
+    val rows = (Heavy ++ HeavyEvents).map { q =>
       val tBase = timeQuery(q, sfDir)
       val t10x = timeQuery(q, sf1)
       val ratio = t10x / tBase
