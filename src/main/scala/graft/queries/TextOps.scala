@@ -1653,6 +1653,59 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // Duplicate-span EXCISION accounting — the surgery step of Lee et
+    // al. 2021 (their pipeline REMOVES the duplicated spans, not just
+    // measures them): a position is covered iff its 40-gram appears in
+    // another doc; covered positions i each claim chars [i, i+39], and
+    // the union of those intervals is the text that would be cut. The
+    // union is computed relationally per doc as gaps-and-islands over
+    // the sorted flagged positions (a new island starts when the gap
+    // exceeds the gram width; island chars = last − first + 40) — one
+    // doc-keyed window over flagged positions only, never a per-char
+    // blowup. Output per doc: flagged-position count, islands, covered
+    // chars, and the post-excision length — the number a curation run
+    // budgets against. Shares the gram-digest shuffle shape (and the
+    // planted excerpts' non-vacuity) with q_substring_dup.
+    "q_substring_strip" -> { (s, dir) =>
+      import s.implicits._
+      val K = 40
+      val base = load(s, dir, "documents")
+        .select(guardedDocId(ExcerptVariantOffset), $"text")
+      val excerpts = base.where($"doc_id" % 10 === 0)
+        .select(($"doc_id" + ExcerptVariantOffset).as("doc_id"),
+          $"text".substr(lit(50), lit(200)).as("text"))
+      val docs = base.unionByName(excerpts).where(length($"text") >= K)
+      val grams = docs.select($"doc_id",
+        posexplode(graft.functions.GramDigests($"text", K)).as(Seq("p0", "g")))
+      val nd = grams.groupBy($"g").agg(countDistinct($"doc_id").as("nd"))
+      val flagged = grams.join(nd, "g").where($"nd" >= 2)
+        .select($"doc_id", ($"p0" + 1).as("pos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      val islands = flagged
+        .withColumn("prev", lag($"pos", 1).over(w))
+        .withColumn("new_i",
+          when($"prev".isNull || $"pos" - $"prev" > K, 1L).otherwise(0L))
+        .withColumn("iid", sum($"new_i").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy($"doc_id", $"iid")
+        .agg((max($"pos") - min($"pos") + K).as("island_chars"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum($"island_chars").as("covered_chars"))
+      val flaggedN = flagged.groupBy($"doc_id").agg(count(lit(1)).as("n_flagged"))
+      docs.select($"doc_id", length($"text").cast("long").as("n_chars"))
+        .join(flaggedN, Seq("doc_id"), "left")
+        .join(islands, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_chars",
+          coalesce($"n_flagged", lit(0L)).as("n_flagged"),
+          coalesce($"n_islands", lit(0L)).as("n_islands"),
+          coalesce($"covered_chars", lit(0L)).as("covered_chars"),
+          ($"n_chars" - coalesce($"covered_chars", lit(0L))).as("clean_chars"))
+        .orderBy($"doc_id")
+    },
+
     // SAMPLED substring duplication — the 100-TB variant of
     // q_substring_dup, previously only documented there (VERDICT r9 #6):
     // mod-p sampling on the GRAM DIGEST (keep a position iff digest ≡ 0
@@ -2730,6 +2783,54 @@ object TextOps {
         |    / COUNT(*) AS dup_ratio
         |FROM g JOIN nd USING (g) GROUP BY g.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+
+    "q_substring_strip" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, substr(text, 50, 200)
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), docs AS (
+        |  SELECT doc_id, text FROM base WHERE len(text) >= 40
+        |), g AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 40)), 1, 15))
+        |      AS BIGINT) AS g
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 39)) AS i
+        |        FROM docs)
+        |), nd AS (
+        |  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1
+        |), flagged AS (
+        |  SELECT doc_id, pos FROM g JOIN nd USING (g) WHERE nd >= 2
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 40
+        |         THEN 1 ELSE 0 END AS new_i
+        |  FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), isl2 AS (
+        |  SELECT doc_id, pos,
+        |    SUM(new_i) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+        |  FROM isl
+        |), agg AS (
+        |  SELECT doc_id, iid, MAX(pos) - MIN(pos) + 40 AS island_chars
+        |  FROM isl2 GROUP BY doc_id, iid
+        |), per_doc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |    CAST(SUM(island_chars) AS BIGINT) AS covered_chars
+        |  FROM agg GROUP BY doc_id
+        |), fn AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+        |  FROM flagged GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+        |  COALESCE(n_flagged, 0) AS n_flagged,
+        |  COALESCE(n_islands, 0) AS n_islands,
+        |  COALESCE(covered_chars, 0) AS covered_chars,
+        |  CAST(len(d.text) AS BIGINT) - COALESCE(covered_chars, 0) AS clean_chars
+        |FROM docs d LEFT JOIN per_doc USING (doc_id) LEFT JOIN fn USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_substring_dup_sampled" ->
       """WITH base AS (
