@@ -63,11 +63,14 @@ object BenchScale {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
-  /** 10× events: fresh event_ids and each replica shifted r DAYS later —
-    * byte-identical timestamps would inflate the range/as-of join
-    * fan-out ×rep² (10 clicks × 10 purchases per original pair), a data
-    * property masquerading as a plan regression; day-shifted replicas
-    * keep every temporal relationship and scale pair counts linearly.
+  /** 10× events: fresh event_ids and each replica shifted r × 40 DAYS
+    * later — byte-identical timestamps would inflate the range/as-of
+    * join fan-out ×rep² (10 clicks × 10 purchases per original pair), a
+    * data property masquerading as a plan regression. The 40-day stride
+    * exceeds the fixture's ~30-day span, so replicas occupy DISJOINT
+    * time ranges: every temporal relationship is preserved within a
+    * replica and pair counts scale linearly (a 1-day shift would still
+    * overlap replicas and reintroduce the quadratic fan-out).
     */
   private def replicateEvents(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val base = Tables.load(spark, srcDir, "events")
@@ -91,7 +94,7 @@ object BenchScale {
       .withColumn("vec_id", col("r") * nBase + col("base_id"))
       .withColumn("embedding", expr(
         """transform(embedding, (x, d) ->
-             CAST(x + (pmod(vec_id * 31 + (d + 1) * 7, 17) - 8) / 1000.0 AS FLOAT))"""))
+             CAST(x + (pmod(vec_id * 31 + (d + 1) * 7, 101) - 50) / 6000.0 AS FLOAT))"""))
       .select(col("vec_id"), col("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }

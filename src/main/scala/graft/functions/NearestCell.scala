@@ -101,36 +101,41 @@ object NearestCell {
     var found = false
     var j = 0
     while (j < m) {
-      val row = es.getStruct(j, 2)
-      val cell = row.getInt(0)
-      val cv = row.getArray(1)
-      if (cv.numElements() == n) {
-        if (l2) {
-          var d = 0.0
-          var i = 0
-          while (i < n) {
-            val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
-            val y = if (cv.isNullAt(i)) 0.0 else cv.getDouble(i)
-            val z = x - y
-            d += z * z
-            i += 1
-          }
-          if (!found || d < bestD || (d == bestD && cell < bestCell)) {
-            bestD = d; bestCell = cell; found = true
-          }
-        } else {
-          var dot = 0.0; var na = 0.0; var nb = 0.0
-          var i = 0
-          while (i < n) {
-            val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
-            val y = if (cv.isNullAt(i)) 0.0 else cv.getDouble(i)
-            dot += x * y; na += x * x; nb += y * y
-            i += 1
-          }
-          if (na != 0.0 && nb != 0.0) {
-            val d = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
-            if (!found || d > bestD || (d == bestD && cell < bestCell)) {
+      // the input array type may carry containsNull=true; a null entry
+      // scores nothing (the composed transform+array_max form this
+      // replaces skipped nulls the same way)
+      if (!es.isNullAt(j)) {
+        val row = es.getStruct(j, 2)
+        val cell = row.getInt(0)
+        val cv = row.getArray(1)
+        if (cv.numElements() == n) {
+          if (l2) {
+            var d = 0.0
+            var i = 0
+            while (i < n) {
+              val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
+              val y = if (cv.isNullAt(i)) 0.0 else cv.getDouble(i)
+              val z = x - y
+              d += z * z
+              i += 1
+            }
+            if (!found || d < bestD || (d == bestD && cell < bestCell)) {
               bestD = d; bestCell = cell; found = true
+            }
+          } else {
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            while (i < n) {
+              val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
+              val y = if (cv.isNullAt(i)) 0.0 else cv.getDouble(i)
+              dot += x * y; na += x * x; nb += y * y
+              i += 1
+            }
+            if (na != 0.0 && nb != 0.0) {
+              val d = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+              if (!found || d > bestD || (d == bestD && cell < bestCell)) {
+                bestD = d; bestCell = cell; found = true
+              }
             }
           }
         }

@@ -181,11 +181,23 @@ object Scale {
     val z = zvalueN(keys.zipWithIndex.map { case (k, j) =>
       (col(k), r.getLong(2 * j), r.getLong(2 * j + 1))
     })
-    df.withColumn("_z", z)
-      .repartitionByRange(files, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
-      .write.mode("overwrite").parquet(outPath)
+    // repartitionByRange picks boundaries from a per-partition sample;
+    // at the default 100 rows/partition the boundaries shift with the
+    // input's physical layout, so a file can straddle a z-box edge and
+    // widen its min/max rectangle. A 100x sample makes the boundaries
+    // near-exact and layout-independent; the collect is still bounded
+    // (sampleSize ~ 3 * files * 10000 longs, driver-side only).
+    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val keep = df.sparkSession.conf.getOption(sampleKey)
+    try {
+      df.sparkSession.conf.set(sampleKey, "10000")
+      df.withColumn("_z", z)
+        .repartitionByRange(files, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z")
+        .write.mode("overwrite").parquet(outPath)
+    } finally keep.fold(df.sparkSession.conf.unset(sampleKey))(
+      df.sparkSession.conf.set(sampleKey, _))
   }
 
   /** Two-column overload (historical signature). */

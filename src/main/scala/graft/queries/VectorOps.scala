@@ -88,13 +88,19 @@ object VectorOps {
     * sf0.1, 25k at the sf0.01 gate. The perturbation (≤ ±0.008/dim) is
     * small enough that a base vector's replicas form a tight cluster
     * (the realistic ANN regime: near-duplicate density, not pure
-    * isotropy) and large enough that every vector is distinct. Pure
+    * isotropy) and large enough that replicas separate: the modulus 101
+    * is prime, exceeds [[AnnScaleRep]], and is coprime to any plausible
+    * id stride, so two replicas of one base get identical perturbations
+    * only if their vec_ids collide mod 101 in every dimension — i.e.
+    * never for r ≠ r' < 101 unless nBase ≡ 0 (mod 101). Pure
     * integer arithmetic — no RNG state, deterministic across runs; the
     * oracle never recomputes vectors (its anchors are ids and corpus
     * counts), so only in-engine determinism is load-bearing.
     */
   private val AnnScaleRep = 50
   private val AnnScaleQueries = 20
+  private val AnnScaleCells = 256
+  private val AnnScaleProbes = 8
 
   /** Replica-MAJOR ids (vec_id = r·nBase + base): the low id range is
     * replica 0 of DISTINCT bases, so the first-k seeding of both the
@@ -115,8 +121,8 @@ object VectorOps {
       .select(col("vec_id"),
         transform(sequence(lit(1), lit(Dim)), d =>
           element_at(col("bv"), d) +
-            (pmod(col("vec_id") * 31 + d.cast("long") * 7, lit(17)) - lit(8))
-              .cast("double") / lit(1000.0)).as("v"))
+            (pmod(col("vec_id") * 31 + d.cast("long") * 7, lit(101)) - lit(50))
+              .cast("double") / lit(6000.0)).as("v"))
   }
 
   /** The query set under `pred` as (query_id, qv). */
@@ -528,9 +534,10 @@ object VectorOps {
       recallContract(annIvfPq(emb, 5), annBruteForce(emb, 5), minHits = 2)
     },
 
-    // IVF-PQ at SCALE-TIER parameters on the replicated 50× fixture
-    // (100k vectors at sf0.1, 25k at the sf0.01 gate — VERDICT r9 #7):
-    // 64 coarse cells / 8 probes, 20 queries, and TWO pinned contracts
+    // IVF-PQ at SCALE-TIER parameters on the replicated AnnScaleRep×
+    // fixture (100k vectors at sf0.1, 25k at the sf0.01 gate — VERDICT
+    // r9 #7): AnnScaleCells coarse cells / AnnScaleProbes probes,
+    // AnnScaleQueries queries, and TWO pinned contracts
     // per query: (a) recall ≥ 3 of the exact top-5 (the replicas of a
     // query's base vector form its true neighborhood — the realistic
     // clustered regime), and (b) the SCANNED FRACTION — corpus vectors
@@ -547,7 +554,8 @@ object VectorOps {
       // first nBase ids) — the faiss regime: training cost is sample-
       // bounded, only the single assignment pass is corpus-linear
       val nBase = load(s, dir, "embeddings").count()
-      val (ann, scan) = annIvfPqWithScan(emb, 5, cells = 256, nprobe = 8, pred,
+      val (ann, scan) = annIvfPqWithScan(emb, 5,
+        cells = AnnScaleCells, nprobe = AnnScaleProbes, pred,
         trainOn = Some(emb.where(col("vec_id") < nBase)))
       // baseline ranks by the SAME similarity the ANN re-rank uses
       // (cosine): the replicas are near-ties with non-unit norms, so a
@@ -564,7 +572,8 @@ object VectorOps {
         .join(scan, Seq("query_id"), "left")
         .crossJoin(broadcast(n))
         .select(col("query_id"), col("k"), col("n_corpus"), col("recall_ok"),
-          (coalesce(col("n_scanned"), lit(0L)) * 256L <= lit(2L) * 8L * col("n_corpus"))
+          (coalesce(col("n_scanned"), lit(0L)) * AnnScaleCells.toLong <=
+            lit(2L) * AnnScaleProbes.toLong * col("n_corpus"))
             .as("scanned_frac_ok"))
         .orderBy(col("query_id"))
     },
@@ -942,16 +951,18 @@ object VectorOps {
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin,
 
-    // DuckDB pins the query-id spine (replica 0 of the first 20 base
-    // vectors), the replicated corpus size, exactly-5 result rows, and
-    // the recall/scanned-fraction booleans TRUE; the fixture replication
-    // and ANN internals are Spark-side.
+    // DuckDB pins the query-id spine (replica 0 of the first
+    // AnnScaleQueries base vectors), the replicated corpus size,
+    // exactly-5 result rows, and the recall/scanned-fraction booleans
+    // TRUE; the fixture replication and ANN internals are Spark-side.
+    // Constants interpolated from the Scala knobs so a knob change
+    // surfaces here, not as an opaque hash mismatch (ADVICE r10).
     "q_ann_ivfpq_scale" ->
-      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+      s"""SELECT CAST(vec_id AS BIGINT) AS query_id,
         |  CAST(5 AS BIGINT) AS k,
-        |  (SELECT CAST(COUNT(*) * 50 AS BIGINT) FROM embeddings) AS n_corpus,
+        |  (SELECT CAST(COUNT(*) * $AnnScaleRep AS BIGINT) FROM embeddings) AS n_corpus,
         |  TRUE AS recall_ok, TRUE AS scanned_frac_ok
-        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+        |FROM embeddings WHERE vec_id < $AnnScaleQueries ORDER BY query_id""".stripMargin,
 
     // DuckDB computes the exact pair count (expressible) and pins the
     // recall boolean; the LSH bucketing itself is Spark-side only.

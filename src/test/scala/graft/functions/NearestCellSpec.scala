@@ -65,6 +65,25 @@ class NearestCellSpec extends SparkSpec {
       array(lit(0.0), lit(0.0)).as("cv")))
     assert(Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
       .select(NearestCell($"v", allBad).as("cell")).head().isNullAt(0))
+    // a zero-norm QUERY vector scores no cosine against any entry ->
+    // null cell (pinned: callers groupBy cell and such rows drop out,
+    // matching the "undefined similarity" semantics, NOT the old
+    // crossJoin+row_number form's arbitrary lowest-cell assignment)
+    assert(Seq(Tuple1(Seq(0.0, 0.0))).toDF("v")
+      .select(NearestCell($"v", es).as("cell")).head().isNullAt(0))
+  }
+
+  test("null entries in the centroid array are skipped, not NPE") {
+    // containsNull=true is accepted by checkInputDataTypes, so a null
+    // entry must score nothing (parity with transform+array_max, whose
+    // struct lanes null out and lose to any real score)
+    val es = array(
+      lit(null).cast("struct<cell:int,cv:array<double>>"),
+      struct(lit(5).as("cell"), array(lit(1.0), lit(0.0)).as("cv")))
+    val r = Seq(Tuple1(Seq(2.0, 0.0))).toDF("v")
+      .select(NearestCell($"v", es).as("c"),
+        NearestCell.l2($"v", es).as("c2")).head()
+    assert(r.getInt(0) == 5 && r.getInt(1) == 5)
   }
 
   test("runs inside whole-stage codegen") {
