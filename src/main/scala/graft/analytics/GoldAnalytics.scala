@@ -50,6 +50,28 @@ object GoldAnalytics {
         "AB_TEST_GROUP" -> coalesce(col("ab_test_group"), lit("UNKNOWN"))))
       .orderBy(col("event_date"), col("segment_type"), col("segment_value"))
 
+  /** DAU.sql's weekend cut, shaped for the partitioned warehouse read
+    * path: the date-kind restriction rides the TIME DIM as a selective
+    * predicate (`day_of_week IN ('Sat','Sun')` — Catalyst's
+    * PartitionPruning treats In/comparison/LIKE as selective; the bare
+    * `is_weekend` boolean attribute is NOT and silently disables DPP)
+    * and joins the fact on its PARTITION column `created_date`, so a
+    * date-partitioned fact scan prunes to weekend partitions at RUNTIME
+    * via dynamic partition pruning instead of reading every partition
+    * and filtering post-scan — the 100-TB dashboard contract PlanSpec
+    * asserts over a real bulk-built warehouse.
+    */
+  def weekendDau(g: Gold): DataFrame = {
+    val weekendDates = g.dimTime
+      .where(col("hour") === 0 && col("day_of_week").isin("Sat", "Sun"))
+      .select(col("date").as("created_date"))
+    g.fact.where(col("user_dim_key") =!= 0)
+      .join(broadcast(weekendDates), Seq("created_date"))
+      .groupBy(col("created_date").as("event_date"))
+      .agg(countDistinct(col("user_dim_key")).as("dau"))
+      .orderBy(col("event_date"))
+  }
+
   /** WAU.sql — 3-level weekly rollup + LAG week-over-week growth. */
   def wau(g: Gold): DataFrame = {
     val weekly = rollup2(

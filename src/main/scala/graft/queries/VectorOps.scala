@@ -88,11 +88,13 @@ object VectorOps {
     * sf0.1, 25k at the sf0.01 gate. The perturbation (≤ ±0.008/dim) is
     * small enough that a base vector's replicas form a tight cluster
     * (the realistic ANN regime: near-duplicate density, not pure
-    * isotropy) and large enough that replicas separate: the modulus 101
-    * is prime, exceeds [[AnnScaleRep]], and is coprime to any plausible
-    * id stride, so two replicas of one base get identical perturbations
-    * only if their vec_ids collide mod 101 in every dimension — i.e.
-    * never for r ≠ r' < 101 unless nBase ≡ 0 (mod 101). Pure
+    * isotropy) and large enough that replicas separate: the modulus
+    * 1009 is prime, exceeds every replication this fixture runs at
+    * (50 for the gate, 500 for the 1M bench tier), and is coprime to
+    * any plausible id stride, so two replicas of one base get identical
+    * perturbations only if their vec_ids collide mod 1009 — never for
+    * r ≠ r' < 1009 unless nBase ≡ 0 (mod 1009) (ADVICE r10: the old
+    * mod-17 scheme collapsed replicas 17 apart). Pure
     * integer arithmetic — no RNG state, deterministic across runs; the
     * oracle never recomputes vectors (its anchors are ids and corpus
     * counts), so only in-engine determinism is load-bearing.
@@ -110,19 +112,20 @@ object VectorOps {
     * nBase is the fixture table's row count — a bounded driver scalar,
     * same class as the Lloyd argmax.
     */
-  private[queries] def scaledCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def scaledCorpus(s: SparkSession, dir: String,
+                                    rep: Int = AnnScaleRep): DataFrame = {
     val base = load(s, dir, "embeddings")
       .select(col("vec_id").cast("long").as("base_id"),
         asDouble(col("embedding")).as("bv"))
     val nBase = base.count()
     base
-      .withColumn("r", explode(sequence(lit(0), lit(AnnScaleRep - 1))))
+      .withColumn("r", explode(sequence(lit(0), lit(rep - 1))))
       .withColumn("vec_id", col("r") * nBase + col("base_id"))
       .select(col("vec_id"),
         transform(sequence(lit(1), lit(Dim)), d =>
           element_at(col("bv"), d) +
-            (pmod(col("vec_id") * 31 + d.cast("long") * 7, lit(101)) - lit(50))
-              .cast("double") / lit(6000.0)).as("v"))
+            (pmod(col("vec_id") * 31 + d.cast("long") * 7, lit(1009)) - lit(504))
+              .cast("double") / lit(60000.0)).as("v"))
   }
 
   /** The query set under `pred` as (query_id, qv). */
@@ -368,10 +371,21 @@ object VectorOps {
     * IVF-PQ a billion-vector design is precisely that this stays ≈
     * nprobe/cells instead of 1.
     */
-  def annIvfPqWithScan(emb: DataFrame, k: Int, cells: Int, nprobe: Int,
-                       queryPred: Column,
-                       trainOn: Option[DataFrame] = None): (DataFrame, DataFrame) = {
-    val cached = emb.cache()
+  /** The trained IVF-PQ index: broadcast-sized coarse centroids and PQ
+    * codebooks plus the corpus-cardinality code table and per-cell
+    * sizes — everything a query needs, nothing of the raw vectors.
+    */
+  private[queries] case class IvfPqIndex(cents: DataFrame, books: DataFrame,
+                                         codes: DataFrame, cellSizes: DataFrame)
+
+  /** Index-build phase (train + encode). `materialize = true`
+    * checkpoints the code table and cell sizes — the scale-tier bench
+    * uses it to time build and query separately; the registry gate
+    * keeps the single lazy plan.
+    */
+  private def ivfPqBuild(cached: DataFrame, cells: Int,
+                         trainOn: Option[DataFrame],
+                         materialize: Boolean): IvfPqIndex = {
     // coarse quantizer may train on a SAMPLE (standard IVF practice —
     // faiss trains its coarse centroids on ~10⁵-10⁶ sampled vectors
     // regardless of corpus size); assignment always covers the corpus
@@ -393,7 +407,32 @@ object VectorOps {
     // PqM small ints + one cell id per vector
     val codes = pqAssign(subR, books)
       .select(col("vec_id"), col("ivf_cell"), col("m"), col("cell").as("code"))
+    val cellSizes = assigned.groupBy(col("cell").as("ivf_cell"))
+      .agg(count(lit(1)).as("cell_n"))
+    if (materialize)
+      IvfPqIndex(cents, books, codes.localCheckpoint(true),
+        cellSizes.localCheckpoint(true))
+    else IvfPqIndex(cents, books, codes, cellSizes)
+  }
 
+  def annIvfPqWithScan(emb: DataFrame, k: Int, cells: Int, nprobe: Int,
+                       queryPred: Column,
+                       trainOn: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val cached = emb.cache()
+    val idx = ivfPqBuild(cached, cells, trainOn, materialize = false)
+    ivfPqQuery(cached, idx, k, nprobe, queryPred)
+  }
+
+  /** Query phase over a built index: probe routing, ADC over probed
+    * codes, exact re-rank of the shortlist, and the per-query scanned
+    * count.
+    */
+  private def ivfPqQuery(cached: DataFrame, idx: IvfPqIndex, k: Int,
+                         nprobe: Int, queryPred: Column)
+      : (DataFrame, DataFrame) = {
+    val cents = idx.cents
+    val books = idx.books
+    val codes = idx.codes
     // each query probes its nprobe nearest cells, carrying the exact
     // dot(q, centroid) term of the decomposition
     val queryProbes = cached.where(queryPred).crossJoin(cents)
@@ -425,14 +464,62 @@ object VectorOps {
       .where(col("rr") <= PqRerank)
       .select(col("query_id"), col("vec_id"))
     val scored = shortlist
-      .join(emb, Seq("vec_id"))
-      .join(broadcast(querySetOf(emb, queryPred)), Seq("query_id"))
+      .join(cached, Seq("vec_id"))
+      .join(broadcast(querySetOf(cached, queryPred)), Seq("query_id"))
       .withColumn("cos", graft.functions.CosineSimilarity(col("qv"), col("v")))
-    val cellSizes = assigned.groupBy(col("cell").as("ivf_cell"))
-      .agg(count(lit(1)).as("cell_n"))
-    val scan = queryProbes.join(cellSizes, Seq("ivf_cell"))
+    val scan = queryProbes.join(idx.cellSizes, Seq("ivf_cell"))
       .groupBy(col("query_id")).agg(sum(col("cell_n")).as("n_scanned"))
     (topK(scored, k), scan)
+  }
+
+  /** Scale-tier IVF-PQ measurement with a build/query time split
+    * (VERDICT r10 #5): replicate the sf's embeddings `rep`× (100k at
+    * rep=50, 1M at rep=500 over sf0.1), TIME the index build (coarse
+    * train on the replica-0 sample + full-corpus assignment + residual
+    * codebooks + code table, materialized) separately from the query
+    * pass (probe routing + ADC over probed codes + re-rank,
+    * materialized), then CHECK — untimed — the same two contracts as
+    * q_ann_ivfpq_scale: per-query recall ≥ `minHits` of the exact
+    * cosine top-k, and the integer-exact scanned-fraction bound
+    * n_scanned × cells ≤ 2 × nprobe × n. Returns (n_corpus, build_sec,
+    * query_sec, recall_failures, scan_failures). The caller treats any
+    * failure as a bench error — a fast broken index measures nothing.
+    */
+  def annIvfPqScaleTier(s: SparkSession, dir: String, rep: Int,
+                        cells: Int, nprobe: Int,
+                        nQueries: Int = AnnScaleQueries, k: Int = 5,
+                        minHits: Int = 3)
+      : (Long, Double, Double, Long, Long) = {
+    val emb = scaledCorpus(s, dir, rep).cache()
+    val n = emb.count() // fixture materialization, outside both timings
+    val nBase = load(s, dir, "embeddings").count()
+    val pred = col("vec_id") < nQueries.toLong
+    def sec(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    var idx: IvfPqIndex = null
+    val buildSec = sec {
+      idx = ivfPqBuild(emb, cells, trainOn = Some(emb.where(col("vec_id") < nBase)),
+        materialize = true)
+    }
+    var ann: DataFrame = null
+    var scan: DataFrame = null
+    val querySec = sec {
+      val (a, sc) = ivfPqQuery(emb, idx, k, nprobe, pred)
+      ann = a.localCheckpoint(true)
+      scan = sc.localCheckpoint(true)
+    }
+    val bf = topK(
+      emb.join(broadcast(querySetOf(emb, pred)),
+        col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          graft.functions.CosineSimilarity(col("qv"), col("v"))), k)
+    val recallFailures = recallContract(ann, bf, minHits)
+      .where(!col("recall_ok")).count()
+    val scanFailures = scan
+      .where(col("n_scanned") * cells.toLong > lit(2L) * nprobe.toLong * n)
+      .count()
+    (n, buildSec, querySec, recallFailures, scanFailures)
   }
 
   /** Production SemDeDup path (Abbas et al. 2023): Lloyd cells → the

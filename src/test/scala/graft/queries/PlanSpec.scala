@@ -165,6 +165,42 @@ class PlanSpec extends SparkSpec {
       s"DPP result mismatch or vacuous: $viaDpp vs $explicit")
   }
 
+  test("q_gold_weekend dashboard gets dynamic partition pruning over the real warehouse") {
+    // The synthetic fixture above proves the mechanism; this proves the
+    // PRODUCT plan (VERDICT r10 #7): the weekend-DAU dashboard over the
+    // bulk-built medallion warehouse — fact_user_events partitioned by
+    // created_date, the date-kind filter on the dim_time side — must
+    // show a dynamicpruning subquery on the fact scan.
+    import org.apache.spark.sql.functions._
+    val wh = tmpDir("graft_dpp_wh")
+    graft.runner.Bulk.run(spark,
+      graft.pipeline.RefEventsAdapter.toRawJson(
+        graft.Tables.load(spark, sf, "events")), wh, "2024-01-01")
+    val g = graft.analytics.Gold(
+      fact = graft.pipeline.Warehouse.read(spark, s"$wh/fact_user_events"),
+      dimUser = graft.pipeline.Warehouse.read(spark, s"$wh/dim_user"),
+      dimRecipe = graft.pipeline.Warehouse.read(spark, s"$wh/dim_recipe"),
+      dimEvent = graft.pipeline.Warehouse.read(spark, s"$wh/dim_event"),
+      dimPage = graft.pipeline.Warehouse.read(spark, s"$wh/dim_page"),
+      dimTime = graft.pipeline.Dims.dimTime(spark,
+        "2024-01-01 00:00:00", "2024-02-29 23:00:00"))
+    val q = graft.analytics.GoldAnalytics.weekendDau(g)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "weekend dashboard's fact scan has no dynamic partition pruning:\n" +
+        p.take(3000))
+    // and the pruned dashboard agrees with an explicit weekend filter
+    // pushed on the fact side (non-vacuously)
+    val viaDpp = q.collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    val explicit = g.fact.where(col("user_dim_key") =!= 0)
+      .where(date_format(col("created_date"), "E").isin("Sat", "Sun"))
+      .groupBy(col("created_date").as("event_date"))
+      .agg(countDistinct(col("user_dim_key")).as("dau"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    assert(viaDpp == explicit && viaDpp.nonEmpty,
+      s"weekend dashboard mismatch or vacuous: ${viaDpp.size} vs ${explicit.size} dates")
+  }
+
   test("q_salted_agg gets map-side partial aggregation in both phases") {
     // The whole point of the two-phase salted design is that each
     // shuffle moves pre-combined partials, not raw rows. Catalyst plans

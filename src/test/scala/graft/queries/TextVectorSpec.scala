@@ -416,6 +416,29 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("sampled excision: per-doc containment under exact, covered-chars recall on excerpts") {
+    // Threshold-K islanding over a SUBSET of the exact flagged positions
+    // nests every sampled island inside one exact island (see the
+    // query's scaladoc), so containment is exact and per-doc — not a
+    // statistical floor.
+    val exact = SparkEntryAccess.run(spark, "q_substring_strip", sf)
+      .select($"doc_id", $"n_flagged".as("fe"), $"covered_chars".as("ce"))
+    val sampled = SparkEntryAccess.run(spark, "q_substring_strip_sampled", sf)
+      .select($"doc_id", $"n_flagged".as("fs"), $"covered_chars".as("cs"))
+    val j = exact.join(sampled, "doc_id").cache()
+    assert(j.where($"cs" > 0).count() > 0, "sampled excision covered nothing — vacuous")
+    val violations = j.where($"fs" > $"fe" || $"cs" > $"ce").count()
+    assert(violations == 0, s"$violations docs exceed the exact op's flags/coverage")
+    // Recall on real duplicated spans: the planted 200-char excerpts'
+    // covered chars survive sampling at ≥80% in aggregate (losses are
+    // span edges ~p/2 chars and the rare >K intra-span gap).
+    val r = j.where($"doc_id" >= 2000000)
+      .agg(sum($"cs").cast("double") / sum($"ce")).head().getDouble(0)
+    info(f"excerpt covered-chars recall: $r%.3f")
+    assert(r >= 0.8, f"sampled excision recall $r%.3f below 0.8 on planted excerpts")
+    j.unpersist()
+  }
+
   test("planted-variant id guard throws when a doc_id reaches the offset") {
     // The guard is a plan-embedded assert_true, not a driver check — it
     // must survive optimization and actually fire at execution time,
