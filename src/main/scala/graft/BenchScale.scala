@@ -269,6 +269,33 @@ object BenchScale {
         (name, n, cells, b, q)
       }
 
+    // BPE production-vocab tier (VERDICT r10 #3 stretch): the same
+    // incremental induction the gate runs, with the round budget raised
+    // 4× so the learned-merge count approaches production tokenizer
+    // vocab sizes. The claim under test is that per-merge cost does NOT
+    // grow with merge index — the incremental pair maintenance touches
+    // only rows containing a committed merge's pattern, and late merges
+    // are rare — so s/merge at the production tier should be ≤ the gate
+    // tier's, not 4× it. Corpus prep (the chunk-frequency table) is
+    // untimed: it is a fixed one-pass cost shared by any tokenizer
+    // trainer, and the gate's bpe_per_merge singles already include it.
+    val bpeTiers = Seq(
+      ("bpe_tier_gate", graft.queries.TextOps.BpeRounds),
+      ("bpe_tier_prod", graft.queries.TextOps.BpeRounds * 4)).map {
+      case (name, rounds) =>
+        val words = graft.queries.TextOps.bpeWords(spark, sfDir)
+          .localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val (merges, _) = graft.queries.TextOps.bpeInduce(
+          spark, words, rounds = rounds)
+        val sec = (System.nanoTime() - t0) / 1e9
+        releaseAll()
+        System.err.println(f"[scale] $name%-24s rounds=$rounds " +
+          f"merges=${merges.size}%d sec=$sec%7.2f " +
+          f"perMerge=${sec / merges.size}%.4f")
+        (name, rounds, merges.size, sec, sec / merges.size)
+    }
+
     val json = "{" +
       s""""rep":$Rep,"base_sf":"$sfDir","build_sec":$buildSec,"cpus":$cpus,""" +
       "\"queries\":{" + (rows ++ streamRows).map { case (q, a, b, r, na, nb) =>
@@ -278,6 +305,10 @@ object BenchScale {
       "\"ann_tiers\":{" + annTiers.map { case (name, n, cells, b, q) =>
         s""""$name":{"n":$n,"cells":$cells,"nprobe":8,""" +
           s""""build_sec":$b,"query_sec":$q,"contracts":"pass"}"""
+      }.mkString(",") + "}," +
+      "\"bpe_tiers\":{" + bpeTiers.map { case (name, rounds, m, sec, pm) =>
+        s""""$name":{"rounds":$rounds,"merges":$m,"sec":$sec,""" +
+          s""""sec_per_merge":$pm}"""
       }.mkString(",") + "}}"
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_scale.json"),
