@@ -192,11 +192,21 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Local-iteration section filter: SPARK_GRAFT_SCALE_ONLY=ann (or a
+    // comma list of: queries,stream,ann,bpe) runs just those sections
+    // and SKIPS writing BENCH_scale.json — the committed artifact must
+    // always come from a full run.
+    val onlySections: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    def sectionOn(s: String): Boolean = onlySections.forall(_.contains(s))
+
     val sf1 = java.nio.file.Files.createTempDirectory("graft_sf1").toString
     val buildT0 = System.nanoTime()
-    replicateDocs(spark, sfDir, sf1)
-    replicateEmb(spark, sfDir, sf1)
-    replicateEvents(spark, sfDir, sf1)
+    if (sectionOn("queries") || sectionOn("stream")) {
+      replicateDocs(spark, sfDir, sf1)
+      replicateEmb(spark, sfDir, sf1)
+      replicateEvents(spark, sfDir, sf1)
+    }
     val buildSec = (System.nanoTime() - buildT0) / 1e9
 
     def exec(df: DataFrame): Unit =
@@ -222,7 +232,8 @@ object BenchScale {
     // JIT warmup outside the timings
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
 
-    val rows = (Heavy ++ HeavyEvents).map { q =>
+    val rows = (if (sectionOn("queries")) Heavy ++ HeavyEvents
+                else Seq.empty[String]).map { q =>
       val (tBase, nBase) = timeQuery(q, sfDir)
       val (t10x, n10x) = timeQuery(q, sf1)
       val ratio = t10x / tBase
@@ -236,7 +247,7 @@ object BenchScale {
     // interval join), streaming_gold at a 10× tick size (160 vs the
     // Bench single's 16 day-replicas). Drain cost should track batch
     // volume — state is watermark-bounded either way.
-    val streamRows = Seq(
+    val streamRows = (if (!sectionOn("stream")) Seq.empty else Seq(
       {
         val (tb, nb) = streamJoinTier(spark, sfDir); releaseAll()
         val (tx, nx) = streamJoinTier(spark, sf1); releaseAll()
@@ -246,7 +257,7 @@ object BenchScale {
         val (tb, nb) = streamingGoldTier(spark, sfDir, rep = 16); releaseAll()
         val (tx, nx) = streamingGoldTier(spark, sfDir, rep = 160); releaseAll()
         ("streaming_gold", tb, tx, tx / tb, nb, nx)
-      })
+      }))
     streamRows.foreach { case (q, a, b, r, na, nb2) =>
       System.err.println(f"[scale] $q%-24s sf0.1=$a%7.2fs sf1=$b%7.2fs " +
         f"ratio=$r%5.2f out=$na%d->$nb2%d")
@@ -257,7 +268,8 @@ object BenchScale {
     // (256 → 1024) so the scanned-fraction bound TIGHTENS at scale
     // (2·nprobe/cells: 6.25% → 1.56%). Contracts (recall + bounded
     // scan) are REQUIRED in-run: a fast broken index measures nothing.
-    val annTiers = Seq(("ann_tier_100k", 50, 256), ("ann_tier_1m", 500, 1024))
+    val annTiers = (if (!sectionOn("ann")) Seq.empty
+      else Seq(("ann_tier_100k", 50, 256), ("ann_tier_1m", 500, 1024)))
       .map { case (name, rep, cells) =>
         val (n, b, q, rf, sf) = graft.queries.VectorOps
           .annIvfPqScaleTier(spark, sfDir, rep, cells, nprobe = 8)
@@ -279,9 +291,10 @@ object BenchScale {
     // tier's, not 4× it. Corpus prep (the chunk-frequency table) is
     // untimed: it is a fixed one-pass cost shared by any tokenizer
     // trainer, and the gate's bpe_per_merge singles already include it.
-    val bpeTiers = Seq(
-      ("bpe_tier_gate", graft.queries.TextOps.BpeRounds),
-      ("bpe_tier_prod", graft.queries.TextOps.BpeRounds * 4)).map {
+    val bpeTiers = (if (!sectionOn("bpe")) Seq.empty
+      else Seq(
+        ("bpe_tier_gate", graft.queries.TextOps.BpeRounds),
+        ("bpe_tier_prod", graft.queries.TextOps.BpeRounds * 4))).map {
       case (name, rounds) =>
         val words = graft.queries.TextOps.bpeWords(spark, sfDir)
           .localCheckpoint(true)
@@ -311,8 +324,11 @@ object BenchScale {
           s""""sec_per_merge":$pm}"""
       }.mkString(",") + "}}"
     println(json)
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_scale.json"),
-      (json + "\n").getBytes("UTF-8"))
+    if (onlySections.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_scale.json"),
+        (json + "\n").getBytes("UTF-8"))
+    else System.err.println(
+      "[scale] partial run (SPARK_GRAFT_SCALE_ONLY) - artifact NOT written")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sf1))
     spark.stop()
   }

@@ -390,7 +390,18 @@ object VectorOps {
     // faiss trains its coarse centroids on ~10⁵-10⁶ sampled vectors
     // regardless of corpus size); assignment always covers the corpus
     val cents = broadcast(lloydCentroids(trainOn.getOrElse(cached), cells))
-    val assigned = assignCells(cached, cents)
+    // In the materialized (scale-tier) build, pin the two expensive
+    // intermediates: without this, the full-corpus coarse assignment
+    // (the n × cells × dim argmax — 65 GMACs at the 1M tier) and the
+    // residual sub-vector explode re-run FOUR times — once per
+    // pqCodebooks Lloyd pass, once for the final code table, once for
+    // cell sizes (measured: 4× of the 1M tier's 23-minute build was
+    // exactly this recomputation). The registry gate keeps the single
+    // lazy plan (its exchange counts are snapshot-pinned and its corpus
+    // is small enough that recomputation is cheaper than pinning).
+    def pin(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
+    val assigned = pin(assignCells(cached, cents))
     // residuals r = v - centroid(cell): the PQ trains on what the coarse
     // quantizer could NOT explain — the variance left per cell is far
     // smaller than the raw corpus variance, which is why residual codes
@@ -398,10 +409,10 @@ object VectorOps {
     val resid = assigned.join(cents, Seq("cell"))
       .select(col("vec_id"), col("cell").as("ivf_cell"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
-    val subR = resid.select(col("vec_id"), col("ivf_cell"),
+    val subR = pin(resid.select(col("vec_id"), col("ivf_cell"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
       .select(col("vec_id"), col("ivf_cell"), col("m"),
-        slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+        slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv")))
     val books = pqCodebooks(subR.select(col("vec_id"), col("m"), col("sv")))
     // (vec_id, ivf_cell, m, code): the complete on-disk representation —
     // PqM small ints + one cell id per vector
@@ -428,7 +439,8 @@ object VectorOps {
     * count.
     */
   private def ivfPqQuery(cached: DataFrame, idx: IvfPqIndex, k: Int,
-                         nprobe: Int, queryPred: Column)
+                         nprobe: Int, queryPred: Column,
+                         rerank: Int = PqRerank)
       : (DataFrame, DataFrame) = {
     val cents = idx.cents
     val books = idx.books
@@ -461,7 +473,7 @@ object VectorOps {
     val shortlist = approx
       .withColumn("rr", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))))
-      .where(col("rr") <= PqRerank)
+      .where(col("rr") <= rerank)
       .select(col("query_id"), col("vec_id"))
     val scored = shortlist
       .join(cached, Seq("vec_id"))
@@ -502,10 +514,21 @@ object VectorOps {
       idx = ivfPqBuild(emb, cells, trainOn = Some(emb.where(col("vec_id") < nBase)),
         materialize = true)
     }
+    // Re-rank depth must cover the near-tie multiplicity: the fixture
+    // puts `rep` near-identical replicas in every base's cluster, and
+    // the exact top-k among them is decided by perturbation-scale
+    // differences BELOW PQ's quantization error — no ADC ordering can
+    // rank them, so the shortlist must contain the whole tie set and
+    // let the exact re-rank resolve it (the efSearch/rerank ≥ duplicate-
+    // multiplicity rule production ANN deployments apply). At rep=50
+    // the default 50 already covers it (the gate's regime); at rep=500
+    // a 50-candidate shortlist holds ~10% of the tie set and recall
+    // collapses to ~chance — measured: 20/20 queries below the floor.
+    val rerank = math.max(PqRerank, 2 * rep)
     var ann: DataFrame = null
     var scan: DataFrame = null
     val querySec = sec {
-      val (a, sc) = ivfPqQuery(emb, idx, k, nprobe, pred)
+      val (a, sc) = ivfPqQuery(emb, idx, k, nprobe, pred, rerank)
       ann = a.localCheckpoint(true)
       scan = sc.localCheckpoint(true)
     }
