@@ -38,7 +38,12 @@ object BenchScale {
     // dup group's replicas inter-match) — its honest pass condition is
     // time ratio ≲ output-row ratio, which is why every row below also
     // carries out_base/out_x10.
-    "q_minhash_lsh", "q_norm_dedup", "q_winnow_fp")
+    "q_minhash_lsh", "q_norm_dedup", "q_winnow_fp",
+    // round-11 corpus-quality additions: the CCNet bigram-chain
+    // bucketing (token/bigram-keyed shuffles) and DSIR (whose
+    // probability tables stay 256-bucket broadcasts at every tier —
+    // its ratio should track the pure scan/agg cost).
+    "q_ppl_buckets", "q_dsir_weights")
 
   /** Temporal/relational heavies over the replicated events tier — the
     * shapes whose scale story is windows and range-bucketed joins
@@ -46,7 +51,11 @@ object BenchScale {
     * as-of attribution, two-phase prefix sums.
     */
   private val HeavyEvents = Seq("q_sessionize", "q_range_join",
-    "q_asof_join", "q_peak_concurrency_scaled")
+    "q_asof_join", "q_peak_concurrency_scaled",
+    // round-11: 10 integer-PageRank iterations over the replicated
+    // session graph — each iteration a src-keyed join + dst-keyed agg,
+    // so the tier ratio measures the iterative-join scale story.
+    "q_pagerank")
 
   private def queryFn(name: String): (SparkSession, String) => DataFrame =
     if (name == "q_semdedup_production") graft.queries.VectorOps.semDedupProduction

@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.Diagnostics.queries ++
       graft.queries.TemporalOps.queries ++
       graft.queries.StreamingParity.queries ++
+      graft.queries.GraphOps.queries ++
       graft.queries.GoldE2E.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.Diagnostics.oracles ++
       graft.queries.TemporalOps.oracles ++
       graft.queries.StreamingParity.oracles ++
+      graft.queries.GraphOps.oracles ++
       graft.queries.GoldE2E.oracles
 }

@@ -38,6 +38,46 @@ object TextOps {
   private def hashedToks(text: Column): Column =
     array_sort(transform(toks(text), t => xxhash64(t)))
 
+  /** Shared bigram-LM scoring chain (q_bigram_lm + q_ppl_buckets): the
+    * md5 train split, held-out OOV plants, lag-window adjacency,
+    * unigram/bigram train counts, and the integer-bitlen conditional
+    * surprise with Katz-shaped backoff. Returns one UNORDERED row per
+    * doc: (doc_id, n_bigrams, n_backoff, surp_sum, mean_surprise).
+    * See q_bigram_lm's registry comment for the arithmetic contract.
+    */
+  private def bigramSurprise(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split1 = substring(md5(concat(lit("graft-split-v1:"), $"doc_id".cast("string"))), 1, 1)
+    val isTrain = split1.isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
+    val planted = load(s, dir, "documents")
+      .select($"doc_id", isTrain.as("is_train"),
+        when(isTrain, $"text")
+          .otherwise(concat($"text", lit(" zzb"), $"doc_id".cast("string"))).as("text"))
+    val tok = planted.select($"doc_id", $"is_train",
+      posexplode(split($"text", " ")).as(Seq("pos", "token")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val bi = tok.withColumn("prev", lag($"token", 1).over(w))
+      .where($"prev".isNotNull)
+    val uni = tok.where($"is_train").groupBy($"token").agg(count(lit(1)).as("c1"))
+    val big = bi.where($"is_train").groupBy($"prev", $"token")
+      .agg(count(lit(1)).as("c12"))
+    val nTrain = uni.agg(sum($"c1").as("n_train"))
+    bi.join(big, Seq("prev", "token"), "left")
+      .join(uni.select($"token", $"c1".as("c_cur")), Seq("token"), "left")
+      .join(uni.select($"token".as("prev"), $"c1".as("c_prev")), Seq("prev"), "left")
+      .crossJoin(nTrain)
+      .withColumn("surprise",
+        when($"c12".isNotNull, length(bin($"c_prev")) - length(bin($"c12")))
+          .otherwise(lit(2) + length(bin($"n_train")) -
+            when($"c_cur".isNull, lit(0)).otherwise(length(bin($"c_cur")))))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when($"c12".isNull, 1L).otherwise(0L)).as("n_backoff"),
+        sum($"surprise").cast("long").as("surp_sum"))
+      .withColumn("mean_surprise", $"surp_sum".cast("double") / $"n_bigrams")
+  }
+
   /** MinHash parameters: 16 permutations as 8 bands × 2 rows.
     * P(candidate | jaccard=0.9) = 1-(1-0.9²)⁸ ≈ 0.9999998;
     * at j=0.5 ≈ 0.90 (false candidates are cheap — the verify join
@@ -1907,36 +1947,96 @@ object TextOps {
     // (vocab and bigram tables never broadcast — billions of types at
     // 100 TB), one 1-row N broadcast, doc-keyed partial agg.
     "q_bigram_lm" -> { (s, dir) =>
+      bigramSurprise(s, dir).orderBy(col("doc_id"))
+    },
+
+    // CCNet-STYLE PERPLEXITY BUCKETING (Wenzek et al. 2020) — the step
+    // after LM scoring that the CommonCrawl pipelines actually ship:
+    // per LANGUAGE, rank documents by LM perplexity and cut the corpus
+    // into head / middle / tail terciles (head = lowest perplexity =
+    // Wikipedia-like; tail = the candidate discard set). Scoring is the
+    // q_bigram_lm integer-bitlen chain verbatim (one shared builder —
+    // bigramSurprise); the bucketing is an ntile(3) over a
+    // LANG-partitioned window with the deterministic
+    // (mean_surprise, doc_id) tie order. mean_surprise is one division
+    // of exact ints, so equality and order are bit-identical
+    // cross-engine; the window partitions at language cardinality,
+    // never globally; ntile's equal-split semantics (first
+    // n mod 3 tiles one row larger) match across engines.
+    "q_ppl_buckets" -> { (s, dir) =>
       import s.implicits._
-      val split1 = substring(md5(concat(lit("graft-split-v1:"), $"doc_id".cast("string"))), 1, 1)
-      val isTrain = split1.isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
-      val planted = load(s, dir, "documents")
-        .select($"doc_id", isTrain.as("is_train"),
-          when(isTrain, $"text")
-            .otherwise(concat($"text", lit(" zzb"), $"doc_id".cast("string"))).as("text"))
-      val tok = planted.select($"doc_id", $"is_train",
-        posexplode(split($"text", " ")).as(Seq("pos", "token")))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"doc_id").orderBy($"pos")
-      val bi = tok.withColumn("prev", lag($"token", 1).over(w))
-        .where($"prev".isNotNull)
-      val uni = tok.where($"is_train").groupBy($"token").agg(count(lit(1)).as("c1"))
-      val big = bi.where($"is_train").groupBy($"prev", $"token")
-        .agg(count(lit(1)).as("c12"))
-      val nTrain = uni.agg(sum($"c1").as("n_train"))
-      bi.join(big, Seq("prev", "token"), "left")
-        .join(uni.select($"token", $"c1".as("c_cur")), Seq("token"), "left")
-        .join(uni.select($"token".as("prev"), $"c1".as("c_prev")), Seq("prev"), "left")
-        .crossJoin(nTrain)
-        .withColumn("surprise",
-          when($"c12".isNotNull, length(bin($"c_prev")) - length(bin($"c12")))
-            .otherwise(lit(2) + length(bin($"n_train")) -
-              when($"c_cur".isNull, lit(0)).otherwise(length(bin($"c_cur")))))
+        .partitionBy($"lang").orderBy($"mean_surprise", $"doc_id")
+      bigramSurprise(s, dir)
+        .join(load(s, dir, "documents").select($"doc_id", $"lang"), Seq("doc_id"))
+        .withColumn("tertile", ntile(3).over(w))
+        .select($"doc_id", $"lang", $"n_bigrams", $"surp_sum", $"mean_surprise",
+          when($"tertile" === 1, "head").when($"tertile" === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+        .orderBy($"doc_id")
+    },
+
+    // DSIR — Data Selection with Importance Resampling (Xie et al.
+    // 2023): score every document by how much more likely its HASHED
+    // n-gram features are under a target-domain distribution than under
+    // the raw-corpus distribution, then keep the top slice by weight.
+    // Features are hashed unigrams — bucket = first 2 hex chars of
+    // md5(token), 256 buckets; collisions are the method's POINT (the
+    // feature space stays fixed-size however large the vocabulary, so
+    // the per-bucket probability tables are broadcast-sized at ANY
+    // corpus scale — the paper's reason hashed DSIR runs on full
+    // CommonCrawl). Target distribution: the lang='en' slice (the
+    // fixture's majority language, standing in for "trusted corpus");
+    // source distribution: all documents. Per-token importance in
+    // exact FIXED-POINT integer arithmetic (the bitlen whole-bit idiom
+    // is too coarse here — the fixture's per-token likelihood ratios
+    // sit within ±0.1 bit of 1, so whole-bit quantization collapses
+    // every weight to 0):
+    //   r_fp(b) = (c_tgt(b) · N_src · 4096) div (c_src(b) · N_tgt)
+    // ≈ 4096 · p_tgt(b)/p_src(b), an exact integer (unseen-in-target
+    // buckets take 0 = the max penalty); doc weight = Σ r_fp over
+    // tokens and the selection score is the length-normalized
+    // score_fp = (weight · 65536) div n_toks — all commutative exact
+    // integer sums/divs, bit-identical cross-engine (a production run
+    // swaps in double log-sums — same joins, same tables; the ratio
+    // sum is the same top-slice intent at gate-exact precision).
+    // Selection: the top ceil(N/4) docs by score — threshold = the
+    // K-th largest score via TakeOrderedAndProject + a 1-row
+    // broadcast min, ties kept inclusively on both engines (never a
+    // global row_number window; K is a driver-side scalar count, the
+    // A4 high-water idiom). Scale: tokenize → bucket is narrow; the
+    // two probability tables are ≤256 rows (broadcast by
+    // construction); one doc-keyed partial agg; the top-K threshold
+    // is a bounded TakeOrdered, not a global sort.
+    "q_dsir_weights" -> { (s, dir) =>
+      import s.implicits._
+      val docs = load(s, dir, "documents")
+      val tok = docs.select($"doc_id",
+          explode(split($"text", " ")).as("token"))
+        .withColumn("bucket", substring(md5($"token"), 1, 2))
+      val tgt = docs.where($"lang" === "en")
+        .select(explode(split($"text", " ")).as("token"))
+        .select(substring(md5($"token"), 1, 2).as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("c_tgt"))
+      val src = tok.groupBy($"bucket").agg(count(lit(1)).as("c_src"))
+      val ns = src.agg(sum($"c_src").as("n_src"))
+        .crossJoin(tgt.agg(sum($"c_tgt").as("n_tgt")))
+      val scored = tok
+        .join(broadcast(tgt), Seq("bucket"), "left")
+        .join(broadcast(src), Seq("bucket"))
+        .crossJoin(broadcast(ns))
+        .withColumn("r_fp",
+          expr("(coalesce(c_tgt, 0L) * n_src * 4096L) div (c_src * n_tgt)"))
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(when($"c12".isNull, 1L).otherwise(0L)).as("n_backoff"),
-          sum($"surprise").cast("long").as("surp_sum"))
-        .withColumn("mean_surprise", $"surp_sum".cast("double") / $"n_bigrams")
+        .agg(count(lit(1)).as("n_toks"),
+          sum($"r_fp").cast("long").as("weight_fp"))
+        .withColumn("score_fp", expr("(weight_fp * 65536L) div n_toks"))
+      val k = math.ceil(docs.count() / 4.0).toInt
+      val thr = scored.orderBy(desc("score_fp"), $"doc_id").limit(k)
+        .agg(min($"score_fp").as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .select($"doc_id", $"n_toks", $"weight_fp", $"score_fp",
+          ($"score_fp" >= $"thr").as("selected"))
         .orderBy($"doc_id")
     },
 
@@ -2208,6 +2308,56 @@ object TextOps {
       |  CAST(n_units AS BIGINT) AS n_units,
       |  CAST(n_chars AS DOUBLE) / CAST(n_units AS BIGINT) AS cpu
       |FROM g ORDER BY doc_id""".stripMargin
+
+  /** The bigram-LM scoring chain (WITH ... g AS (per-doc sums)) shared
+    * by the q_bigram_lm and q_ppl_buckets oracles — the SQL twin of
+    * [[bigramSurprise]]. Ends at the closing paren of `g`, so callers
+    * append either the final projection or further CTEs after a comma.
+    */
+  private val BigramChainSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    substr(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 1)
+      |      IN ('0','1','2','3','4','5','6','7','8','9','a','b') AS is_train
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id, is_train,
+      |    CASE WHEN is_train THEN text
+      |         ELSE text || ' zzb' || CAST(doc_id AS VARCHAR) END AS text
+      |  FROM d
+      |), tok AS (
+      |  SELECT doc_id, is_train, s[i] AS token, i AS pos
+      |  FROM (SELECT doc_id, is_train, string_split(text, ' ') AS s FROM p),
+      |       unnest(generate_series(1, len(s))) AS t(i)
+      |), bi AS (
+      |  SELECT doc_id, is_train, token,
+      |    lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM tok
+      |), bi2 AS (
+      |  SELECT * FROM bi WHERE prev IS NOT NULL
+      |), uni AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok
+      |  WHERE is_train GROUP BY 1
+      |), big AS (
+      |  SELECT prev, token, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi2
+      |  WHERE is_train GROUP BY 1, 2
+      |), n AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n_train FROM uni
+      |), g AS (
+      |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |    SUM(CASE WHEN bg.c12 IS NULL THEN 1 ELSE 0 END) AS n_backoff,
+      |    SUM(CASE WHEN bg.c12 IS NOT NULL
+      |        THEN length(bin(up.c1)) - length(bin(bg.c12))
+      |        ELSE 2 + length(bin(n.n_train)) -
+      |          CASE WHEN uc.c1 IS NULL THEN 0 ELSE length(bin(uc.c1)) END
+      |        END) AS surp_sum
+      |  FROM bi2 b
+      |  LEFT JOIN big bg ON b.prev = bg.prev AND b.token = bg.token
+      |  LEFT JOIN uni uc ON b.token = uc.token
+      |  LEFT JOIN uni up ON b.prev = up.token
+      |  CROSS JOIN n
+      |  GROUP BY b.doc_id
+      |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracle(BpeRounds),
@@ -3065,55 +3215,75 @@ object TextOps {
         |FROM g ORDER BY doc_id""".stripMargin,
 
     // Bigram LM with unigram backoff: same integer bitlen arithmetic;
-    // adjacency via lag over the split-array position order.
+    // adjacency via lag over the split-array position order. The WITH
+    // chain is shared with q_ppl_buckets (BigramChainSql).
     "q_bigram_lm" ->
-      """WITH d AS (
-        |  SELECT doc_id, text,
-        |    substr(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 1)
-        |      IN ('0','1','2','3','4','5','6','7','8','9','a','b') AS is_train
-        |  FROM documents
-        |), p AS (
-        |  SELECT doc_id, is_train,
-        |    CASE WHEN is_train THEN text
-        |         ELSE text || ' zzb' || CAST(doc_id AS VARCHAR) END AS text
-        |  FROM d
-        |), tok AS (
-        |  SELECT doc_id, is_train, s[i] AS token, i AS pos
-        |  FROM (SELECT doc_id, is_train, string_split(text, ' ') AS s FROM p),
-        |       unnest(generate_series(1, len(s))) AS t(i)
-        |), bi AS (
-        |  SELECT doc_id, is_train, token,
-        |    lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |  FROM tok
-        |), bi2 AS (
-        |  SELECT * FROM bi WHERE prev IS NOT NULL
-        |), uni AS (
-        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok
-        |  WHERE is_train GROUP BY 1
-        |), big AS (
-        |  SELECT prev, token, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi2
-        |  WHERE is_train GROUP BY 1, 2
-        |), n AS (
-        |  SELECT CAST(SUM(c1) AS BIGINT) AS n_train FROM uni
-        |), g AS (
-        |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
-        |    SUM(CASE WHEN bg.c12 IS NULL THEN 1 ELSE 0 END) AS n_backoff,
-        |    SUM(CASE WHEN bg.c12 IS NOT NULL
-        |        THEN length(bin(up.c1)) - length(bin(bg.c12))
-        |        ELSE 2 + length(bin(n.n_train)) -
-        |          CASE WHEN uc.c1 IS NULL THEN 0 ELSE length(bin(uc.c1)) END
-        |        END) AS surp_sum
-        |  FROM bi2 b
-        |  LEFT JOIN big bg ON b.prev = bg.prev AND b.token = bg.token
-        |  LEFT JOIN uni uc ON b.token = uc.token
-        |  LEFT JOIN uni up ON b.prev = up.token
-        |  CROSS JOIN n
-        |  GROUP BY b.doc_id
-        |)
+      s"""$BigramChainSql
         |SELECT doc_id, n_bigrams, CAST(n_backoff AS BIGINT) AS n_backoff,
         |  CAST(surp_sum AS BIGINT) AS surp_sum,
         |  CAST(surp_sum AS DOUBLE) / n_bigrams AS mean_surprise
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // CCNet bucketing: the shared bigram chain + a lang join + NTILE(3)
+    // over the per-language (mean_surprise, doc_id) order.
+    "q_ppl_buckets" ->
+      s"""$BigramChainSql,
+        |r AS (
+        |  SELECT g.doc_id, dd.lang, g.n_bigrams,
+        |    CAST(g.surp_sum AS BIGINT) AS surp_sum,
+        |    CAST(g.surp_sum AS DOUBLE) / g.n_bigrams AS mean_surprise
+        |  FROM g JOIN documents dd ON g.doc_id = dd.doc_id
+        |)
+        |SELECT doc_id, lang, n_bigrams, surp_sum, mean_surprise,
+        |  CASE NTILE(3) OVER (PARTITION BY lang ORDER BY mean_surprise, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+        |  END AS ppl_bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // DSIR: 256 hashed-unigram buckets (first 2 md5 hex chars — the
+    // same cross-engine hash idiom as the md5 split), fixed-point
+    // importance-ratio sum vs the lang='en' target slice, inclusive
+    // top-ceil(N/4) threshold on the length-normalized score.
+    "q_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, substr(md5(unnest(string_split(text, ' '))), 1, 2) AS bucket
+        |  FROM documents
+        |), tgt AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_tgt FROM (
+        |    SELECT substr(md5(unnest(string_split(text, ' '))), 1, 2) AS bucket
+        |    FROM documents WHERE lang = 'en'
+        |  ) GROUP BY 1
+        |), src AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_src FROM tok GROUP BY 1
+        |), ns AS (
+        |  SELECT (SELECT CAST(SUM(c_src) AS BIGINT) FROM src) AS n_src,
+        |         (SELECT CAST(SUM(c_tgt) AS BIGINT) FROM tgt) AS n_tgt
+        |), w AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_toks,
+        |    CAST(SUM(
+        |      (COALESCE(g.c_tgt, 0) * ns.n_src * 4096) // (s.c_src * ns.n_tgt)
+        |    ) AS BIGINT) AS weight_fp
+        |  FROM tok t
+        |  LEFT JOIN tgt g ON t.bucket = g.bucket
+        |  JOIN src s ON t.bucket = s.bucket
+        |  CROSS JOIN ns
+        |  GROUP BY t.doc_id
+        |), ws AS (
+        |  SELECT doc_id, n_toks, weight_fp,
+        |    CAST((weight_fp * 65536) // n_toks AS BIGINT) AS score_fp
+        |  FROM w
+        |), k AS (
+        |  SELECT CAST(CEIL(COUNT(*) / 4.0) AS BIGINT) AS k FROM documents
+        |), thr AS (
+        |  SELECT MIN(score_fp) AS thr FROM (
+        |    SELECT score_fp,
+        |      ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS rn
+        |    FROM ws
+        |  ) WHERE rn <= (SELECT k FROM k)
+        |)
+        |SELECT ws.doc_id, ws.n_toks, ws.weight_fp, ws.score_fp,
+        |  ws.score_fp >= thr.thr AS selected
+        |FROM ws CROSS JOIN thr ORDER BY doc_id""".stripMargin,
 
     "q_collocations" ->
       """WITH s AS (

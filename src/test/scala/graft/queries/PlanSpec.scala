@@ -307,7 +307,15 @@ class PlanSpec extends SparkSpec {
       // same 1-row pattern: the max-source token budget
       "q_repeat_epochs",
       // same 1-row pattern: the broadcast tercile bounds
-      "q_scd2_history")
+      "q_scd2_history",
+      // same 1-row pattern: the shared bigram chain's train-token total
+      "q_ppl_buckets",
+      // same 1-row patterns: the (N_src, N_tgt) totals and the broadcast
+      // top-K score threshold (the probability tables themselves are
+      // ≤256-row broadcast HASH joins, not BNLJ)
+      "q_dsir_weights",
+      // same 1-row patterns: node count and per-iteration dangling mass
+      "q_pagerank")
     graft.SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
