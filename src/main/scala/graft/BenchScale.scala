@@ -318,17 +318,72 @@ object BenchScale {
         (name, rounds, merges.size, sec, sec / merges.size)
     }
 
+    // ------------------------------------------------------------------
+    // Per-entry composition across the round's full runs (the Bench
+    // precedent, VERDICT r10 #2): each tier time keeps its MINIMUM over
+    // the runs merged so far — contention and accumulated-JVM-state
+    // debris only ever slow a run, so the min is the honest cost — and
+    // the ratio is recomputed from the per-tier minima. Tier counts and
+    // contracts are deterministic, so they never need merging. Disabled
+    // via SPARK_GRAFT_NO_MERGE=1 after a code change that legitimately
+    // slows an operator (stale faster numbers would lie).
+    // ------------------------------------------------------------------
+    var mergedRows = rows ++ streamRows
+    var mergedAnn = annTiers
+    var mergedBpe = bpeTiers
+    var mergeCount = 1
+    val artifactPath = java.nio.file.Paths.get("BENCH_scale.json")
+    if (onlySections.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_MERGE") &&
+        java.nio.file.Files.exists(artifactPath)) try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val old = om.readTree(java.nio.file.Files.readAllBytes(artifactPath))
+      if (old.path("base_sf").asText() == sfDir) {
+        mergeCount = old.path("merge_count").asInt(1) + 1
+        val oq = old.path("queries")
+        mergedRows = mergedRows.map { case (q, a, b, r, na, nb) =>
+          if (oq.has(q)) {
+            val a2 = math.min(a, oq.get(q).path("base_sec").asDouble(a))
+            val b2 = math.min(b, oq.get(q).path("x10_sec").asDouble(b))
+            (q, a2, b2, b2 / a2, na, nb)
+          } else (q, a, b, r, na, nb)
+        }
+        val oa = old.path("ann_tiers")
+        mergedAnn = mergedAnn.map { case (name, n, cells, b, q) =>
+          if (oa.has(name) && oa.get(name).path("cells").asInt() == cells)
+            (name, n, cells,
+              math.min(b, oa.get(name).path("build_sec").asDouble(b)),
+              math.min(q, oa.get(name).path("query_sec").asDouble(q)))
+          else (name, n, cells, b, q)
+        }
+        val ob = old.path("bpe_tiers")
+        mergedBpe = mergedBpe.map { case (name, rounds, m, sec, pm) =>
+          if (ob.has(name) && ob.get(name).path("rounds").asInt() == rounds &&
+              ob.get(name).path("merges").asInt() == m) {
+            val s2 = math.min(sec, ob.get(name).path("sec").asDouble(sec))
+            (name, rounds, m, s2, s2 / m)
+          } else (name, rounds, m, sec, pm)
+        }
+        System.err.println(
+          s"[scale] merged per-entry with existing BENCH_scale.json (run $mergeCount)")
+      } else System.err.println(
+        s"[scale] NOT merging: base_sf mismatch (${old.path("base_sf").asText()} vs $sfDir)")
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[scale] merge skipped: ${e.getMessage}")
+    }
+
     val json = "{" +
       s""""rep":$Rep,"base_sf":"$sfDir","build_sec":$buildSec,"cpus":$cpus,""" +
-      "\"queries\":{" + (rows ++ streamRows).map { case (q, a, b, r, na, nb) =>
+      s""""merge_count":$mergeCount,""" +
+      "\"queries\":{" + mergedRows.map { case (q, a, b, r, na, nb) =>
         s""""$q":{"base_sec":$a,"x10_sec":$b,"ratio":$r,""" +
           s""""out_base":$na,"out_x10":$nb}"""
       }.mkString(",") + "}," +
-      "\"ann_tiers\":{" + annTiers.map { case (name, n, cells, b, q) =>
+      "\"ann_tiers\":{" + mergedAnn.map { case (name, n, cells, b, q) =>
         s""""$name":{"n":$n,"cells":$cells,"nprobe":8,""" +
           s""""build_sec":$b,"query_sec":$q,"contracts":"pass"}"""
       }.mkString(",") + "}," +
-      "\"bpe_tiers\":{" + bpeTiers.map { case (name, rounds, m, sec, pm) =>
+      "\"bpe_tiers\":{" + mergedBpe.map { case (name, rounds, m, sec, pm) =>
         s""""$name":{"rounds":$rounds,"merges":$m,"sec":$sec,""" +
           s""""sec_per_merge":$pm}"""
       }.mkString(",") + "}}"

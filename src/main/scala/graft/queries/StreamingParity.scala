@@ -189,6 +189,46 @@ object StreamingParity {
           (col("n_counters") <= k).as("sketch_size_ok"),
           (col("sk_seen") === col("n_tok")).as("n_seen_ok"))
         .orderBy(col("lang"))
+    },
+
+    // Stream-STATIC dim enrichment + watermarked daily windows under the
+    // hash gate (the fifth canonical streaming shape; the quartet covers
+    // dedup / FMGWS sessionize / stream-stream join / FMGWS top-k). The
+    // static per-user dim (cohort + event count) is built batch-side and
+    // persisted; the stream inner-joins it (stateless — only the window
+    // aggregate holds state) and appends each (day, cohort) rollup once
+    // the watermark closes the window. Two far-future sentinel drains
+    // close every real window — the sentinel user is absent from the
+    // dim, so its rows advance the watermark but the inner join drops
+    // them before aggregation (never in the sink). Oracle: the same dim
+    // + join + date_trunc('day') rollup, relationally.
+    "q_stream_enrich_parity" -> { (s, dir) =>
+      val base = memo(s, dir, "senrich") { b =>
+        val ev = eventsFixture(s, dir)
+        ev.write.mode("append").parquet(s"$b/src")
+        ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("u_events"))
+          .withColumn("cohort", pmod(col("user_id"), lit(7L)))
+          .write.mode("overwrite").parquet(s"$b/dim")
+        val dim = s.read.parquet(s"$b/dim")
+        def drain(): Unit = graft.streaming.StreamEnrich.run(
+          s, s"$b/src", dim, s"$b/out", s"$b/ckpt")
+        drain()
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        def sentinel(plusDays: Int): Unit =
+          s.range(1).select(lit(-1L).as("event_id"),
+              (lit(maxTs) + expr(s"INTERVAL $plusDays DAYS"))
+                .cast("timestamp").as("ts"),
+              lit(SentinelUser).as("user_id"),
+              lit("sentinel").as("event_type"), lit(0.0).as("value"))
+            .write.mode("append").parquet(s"$b/src")
+        sentinel(30); drain()
+        sentinel(60); drain()
+      }
+      s.read.parquet(s"$base/out")
+        .select(unix_timestamp(col("day_start")).as("day_s"), col("cohort"),
+          col("n_events"), col("sum_u_events"))
+        .orderBy(col("day_s"), col("cohort"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -266,5 +306,24 @@ object StreamingParity {
         |  TRUE AS heavy_ok, TRUE AS bounds_ok,
         |  TRUE AS sketch_size_ok, TRUE AS n_seen_ok
         |FROM truth t JOIN tot USING (lang)
-        |GROUP BY t.lang, n_tok ORDER BY lang""".stripMargin)
+        |GROUP BY t.lang, n_tok ORDER BY lang""".stripMargin,
+
+    // The same per-user dim + inner join + daily rollup, relationally
+    // (second-truncated fixture; day windows align to UTC epoch days on
+    // both engines).
+    "q_stream_enrich_parity" ->
+      """WITH ev AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    date_trunc('second', ts) AS ts
+        |  FROM events
+        |), dim AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS u_events,
+        |    user_id % 7 AS cohort
+        |  FROM ev GROUP BY user_id
+        |)
+        |SELECT CAST(epoch(date_trunc('day', ev.ts)) AS BIGINT) AS day_s,
+        |  dim.cohort AS cohort, COUNT(*) AS n_events,
+        |  CAST(SUM(dim.u_events) AS BIGINT) AS sum_u_events
+        |FROM ev JOIN dim ON ev.user_id = dim.user_id
+        |GROUP BY 1, 2 ORDER BY day_s, cohort""".stripMargin)
 }
