@@ -241,8 +241,14 @@ object BenchScale {
     // JIT warmup outside the timings
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
 
+    // Query-name filter for local iteration on one offender
+    // (SPARK_GRAFT_SCALE_QUERIES=q_range_join). Like the section filter,
+    // a filtered run never writes the artifact.
+    val onlyQueries: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SCALE_QUERIES").map(_.split(",").toSet)
     val rows = (if (sectionOn("queries")) Heavy ++ HeavyEvents
-                else Seq.empty[String]).map { q =>
+                else Seq.empty[String])
+      .filter(q => onlyQueries.forall(_.contains(q))).map { q =>
       val (tBase, nBase) = timeQuery(q, sfDir)
       val (t10x, n10x) = timeQuery(q, sf1)
       val ratio = t10x / tBase
@@ -388,11 +394,11 @@ object BenchScale {
           s""""sec_per_merge":$pm}"""
       }.mkString(",") + "}}"
     println(json)
-    if (onlySections.isEmpty)
+    if (onlySections.isEmpty && onlyQueries.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_scale.json"),
         (json + "\n").getBytes("UTF-8"))
     else System.err.println(
-      "[scale] partial run (SPARK_GRAFT_SCALE_ONLY) - artifact NOT written")
+      "[scale] partial run (SPARK_GRAFT_SCALE_ONLY/_QUERIES) - artifact NOT written")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sf1))
     spark.stop()
   }

@@ -409,6 +409,14 @@ object Analytics {
       val pairs = windows
         .withColumn("b", explode(sequence(
           expr(s"lo_us div $bwUs"), expr(s"(hi_us - 1) div $bwUs"))))
+        // the hint IS the scale contract: the exploded window list is
+        // fact-sized (2 rows per purchase), and Catalyst's post-explode
+        // size estimate undershoots the broadcast threshold — at the 10×
+        // tier it was building a 4M-row driver-side HashedRelation per
+        // action (the scale-bench offender: 18.6 s vs 4.2 s shuffled).
+        // Shuffle-hash on the bucket key is the plan the composition is
+        // designed around; both sides exchange once at O(rows).
+        .hint("shuffle_hash")
         .join(points, Seq("b"))
         .where($"ts_us" >= $"lo_us" && $"ts_us" < $"hi_us")
       val agg = pairs.groupBy($"window_id")
