@@ -9,11 +9,20 @@ tables, and compares: schema (column names), row count, and values
 (columns sorted by name, rows sorted by all columns, exact match after
 stringify; floats also reported with approx tolerance so we can tell a
 formatting mismatch from a real numeric divergence).
+
+Every oracle also runs under a wall-clock BUDGET (default 10 s,
+override with ORACLE_BUDGET_SEC): an oracle that exceeds it FAILS the
+check even when its rows match. This is the guard the round-11 gate
+lacked — q_pagerank's un-materialized CTE chain took 468 s in DuckDB
+(rows correct!) and timed out the driver's whole correctness harvest
+to {}. A latency bomb must die here, at build time, not at round end.
 """
-import sys, json, glob
+import sys, json, glob, time, os
 import duckdb
 import pandas as pd
 import numpy as np
+
+BUDGET_SEC = float(os.environ.get("ORACLE_BUDGET_SEC", "10"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -45,12 +54,18 @@ def main():
             continue
         try:
             a = norm(pd.concat([pd.read_parquet(f) for f in files]))
+            t0 = time.monotonic()
             b = norm(con.execute(sql).fetchdf())
+            oracle_sec = time.monotonic() - t0
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
         probs = []
+        if oracle_sec > BUDGET_SEC:
+            probs.append(
+                f"ORACLE LATENCY {oracle_sec:.1f}s > budget {BUDGET_SEC:.0f}s "
+                f"(multi-referenced CTE needing AS MATERIALIZED?)")
         if list(a.columns) != list(b.columns):
             probs.append(f"columns spark={list(a.columns)} duck={list(b.columns)}")
         elif len(a) != len(b):
@@ -87,7 +102,7 @@ def main():
             print(f"FAIL {name}: " + "; ".join(probs[:3]))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(a)} rows)")
+            print(f"PASS {name} ({len(a)} rows, oracle {oracle_sec:.2f}s)")
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail")
     sys.exit(1 if n_fail else 0)

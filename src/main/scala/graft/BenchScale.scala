@@ -286,14 +286,15 @@ object BenchScale {
     val annTiers = (if (!sectionOn("ann")) Seq.empty
       else Seq(("ann_tier_100k", 50, 256), ("ann_tier_1m", 500, 1024)))
       .map { case (name, rep, cells) =>
-        val (n, b, q, rf, sf) = graft.queries.VectorOps
+        val (n, b, q, rf, sf, split) = graft.queries.VectorOps
           .annIvfPqScaleTier(spark, sfDir, rep, cells, nprobe = 8)
         require(rf == 0, s"$name: $rf queries below the recall floor")
         require(sf == 0, s"$name: $sf queries exceed the scanned-fraction bound")
         releaseAll()
         System.err.println(
-          f"[scale] $name%-24s n=$n build=$b%7.2fs query=$q%7.2fs")
-        (name, n, cells, b, q)
+          f"[scale] $name%-24s n=$n build=$b%7.2fs query=$q%7.2fs split=" +
+            split.map { case (s, v) => f"$s=$v%.1f" }.mkString(","))
+        (name, n, cells, b, q, split)
       }
 
     // BPE production-vocab tier (VERDICT r10 #3 stretch): the same
@@ -338,12 +339,18 @@ object BenchScale {
     var mergedAnn = annTiers
     var mergedBpe = bpeTiers
     var mergeCount = 1
+    // Same code-version guard as Bench (ADVICE r11): per-entry minima
+    // may only compose across runs of IDENTICAL sources.
+    val srcFp = SrcFingerprint.current()
     val artifactPath = java.nio.file.Paths.get("BENCH_scale.json")
     if (onlySections.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_MERGE") &&
         java.nio.file.Files.exists(artifactPath)) try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val old = om.readTree(java.nio.file.Files.readAllBytes(artifactPath))
-      if (old.path("base_sf").asText() == sfDir) {
+      val oldFp = old.path("src_fingerprint").asText("")
+      if (oldFp != srcFp) System.err.println(
+        s"[scale] NOT merging: src fingerprint changed/absent - this run replaces the artifact")
+      else if (old.path("base_sf").asText() == sfDir) {
         mergeCount = old.path("merge_count").asInt(1) + 1
         val oq = old.path("queries")
         mergedRows = mergedRows.map { case (q, a, b, r, na, nb) =>
@@ -354,12 +361,20 @@ object BenchScale {
           } else (q, a, b, r, na, nb)
         }
         val oa = old.path("ann_tiers")
-        mergedAnn = mergedAnn.map { case (name, n, cells, b, q) =>
-          if (oa.has(name) && oa.get(name).path("cells").asInt() == cells)
-            (name, n, cells,
-              math.min(b, oa.get(name).path("build_sec").asDouble(b)),
-              math.min(q, oa.get(name).path("query_sec").asDouble(q)))
-          else (name, n, cells, b, q)
+        mergedAnn = mergedAnn.map { case (name, n, cells, b, q, split) =>
+          if (oa.has(name) && oa.get(name).path("cells").asInt() == cells) {
+            val ob2 = oa.get(name).path("build_sec").asDouble(b)
+            // the split rides with whichever run supplied the winning
+            // build time (an old min without a recorded split keeps ours)
+            val split2 =
+              if (ob2 < b && oa.get(name).has("build_split")) {
+                import scala.jdk.CollectionConverters._
+                val bs = oa.get(name).path("build_split")
+                bs.fieldNames().asScala.map(f => f -> bs.get(f).asDouble()).toSeq
+              } else split
+            (name, n, cells, math.min(b, ob2),
+              math.min(q, oa.get(name).path("query_sec").asDouble(q)), split2)
+          } else (name, n, cells, b, q, split)
         }
         val ob = old.path("bpe_tiers")
         mergedBpe = mergedBpe.map { case (name, rounds, m, sec, pm) =>
@@ -380,14 +395,16 @@ object BenchScale {
 
     val json = "{" +
       s""""rep":$Rep,"base_sf":"$sfDir","build_sec":$buildSec,"cpus":$cpus,""" +
-      s""""merge_count":$mergeCount,""" +
+      s""""merge_count":$mergeCount,"src_fingerprint":"$srcFp",""" +
       "\"queries\":{" + mergedRows.map { case (q, a, b, r, na, nb) =>
         s""""$q":{"base_sec":$a,"x10_sec":$b,"ratio":$r,""" +
           s""""out_base":$na,"out_x10":$nb}"""
       }.mkString(",") + "}," +
-      "\"ann_tiers\":{" + mergedAnn.map { case (name, n, cells, b, q) =>
+      "\"ann_tiers\":{" + mergedAnn.map { case (name, n, cells, b, q, split) =>
         s""""$name":{"n":$n,"cells":$cells,"nprobe":8,""" +
-          s""""build_sec":$b,"query_sec":$q,"contracts":"pass"}"""
+          s""""build_sec":$b,"query_sec":$q,"build_split":{""" +
+          split.map { case (s, v) => s""""$s":$v""" }.mkString(",") +
+          s"""},"contracts":"pass"}"""
       }.mkString(",") + "}," +
       "\"bpe_tiers\":{" + mergedBpe.map { case (name, rounds, m, sec, pm) =>
         s""""$name":{"rounds":$rounds,"merges":$m,"sec":$sec,""" +

@@ -229,6 +229,45 @@ object StreamingParity {
         .select(unix_timestamp(col("day_start")).as("day_s"), col("cohort"),
           col("n_events"), col("sum_u_events"))
         .orderBy(col("day_s"), col("cohort"))
+    },
+
+    // Arbitrary-stateful timeout-emission gate (VERDICT r11 #5): per-user
+    // activity bursts (45-min inactivity gap) whose sealed record carries
+    // cumulative STATE — exact decimal-snapped value total in 1e-4 units
+    // and the (ts, event_id)-argmax last event type. After the single
+    // real-data drain nothing is sealed (the watermark trails the data);
+    // every output row of the two sentinel drains is produced on the
+    // `state.hasTimedOut` branch, and the state evicts via
+    // `state.remove()` — the FMGWS emission path the other gates never
+    // drive. Oracle: batch gaps-and-islands with the same gap, payload
+    // recomputed relationally.
+    "q_stream_state_parity" -> { (s, dir) =>
+      val base = memo(s, dir, "sstate") { b =>
+        val ev = eventsFixture(s, dir).select(
+          col("user_id"), col("ts"), col("event_type"), col("event_id"),
+          (col("value").cast("decimal(18,4)") * 10000).cast("long").as("value_q"))
+        ev.write.mode("append").parquet(s"$b/src")
+        def drain(): Unit =
+          graft.streaming.StreamState.run(s, s"$b/src", s"$b/out", s"$b/ckpt")
+        drain()
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        def sentinel(plusDays: Int, uid: Long): Unit =
+          s.range(1).select(lit(uid).as("user_id"),
+              (lit(maxTs) + expr(s"INTERVAL $plusDays DAYS"))
+                .cast("timestamp").as("ts"),
+              lit("sentinel").as("event_type"), lit(-1L).as("event_id"),
+              lit(0L).as("value_q"))
+            .write.mode("append").parquet(s"$b/src")
+        sentinel(30, SentinelUser); drain()
+        sentinel(60, SentinelUser + 1); drain()
+      }
+      s.read.parquet(s"$base/out")
+        .where(col("user_id") < SentinelUser)
+        .select(col("user_id"),
+          unix_timestamp(col("start_ts")).as("start_s"),
+          unix_timestamp(col("end_ts")).as("end_s"),
+          col("n_events"), col("value_q"), col("last_event_type"))
+        .orderBy(col("user_id"), col("start_s"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -325,5 +364,36 @@ object StreamingParity {
         |  dim.cohort AS cohort, COUNT(*) AS n_events,
         |  CAST(SUM(dim.u_events) AS BIGINT) AS sum_u_events
         |FROM ev JOIN dim ON ev.user_id = dim.user_id
-        |GROUP BY 1, 2 ORDER BY day_s, cohort""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY day_s, cohort""".stripMargin,
+
+    // Batch gaps-and-islands with the 45-min burst gap; value total from
+    // the same per-row decimal(18,4) snap, last event type via the
+    // (t, event_id)-ordered window (event_id is unique, so the order is
+    // total and the argmax deterministic on both engines).
+    "q_stream_state_parity" ->
+      """WITH ev AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+        |    CAST(event_id AS BIGINT) AS event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS value_q
+        |  FROM events
+        |), d AS (
+        |  SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 2700
+        |         THEN 1 ELSE 0 END AS new_b
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |), g AS (
+        |  SELECT *, SUM(new_b) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid
+        |  FROM d
+        |), lt AS (
+        |  SELECT *, last_value(event_type) OVER (
+        |    PARTITION BY user_id, bid ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+        |  FROM g
+        |)
+        |SELECT user_id, MIN(t) AS start_s, MAX(t) AS end_s,
+        |  COUNT(*) AS n_events, CAST(SUM(value_q) AS BIGINT) AS value_q,
+        |  MAX(last_type) AS last_event_type
+        |FROM lt GROUP BY user_id, bid
+        |ORDER BY user_id, start_s""".stripMargin)
 }

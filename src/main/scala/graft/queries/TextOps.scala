@@ -104,7 +104,7 @@ object TextOps {
     * pass can commit all of them), cutting the sequential-round count
     * by ~BpeBatch×. [[BpeRounds]] × [[BpeBatch]] bounds merges per
     * induction at 16384; with the round-11 incremental pair maintenance
-    * (see [[bpeInduce]]) the sf0.01 gate corpus commits ~5.7k merges in
+    * (see [[bpeInduce]]) the sf0.01 corpus commits ~5.7k merges in
     * 128 rounds at ~0.009 s/merge — production-shaped counts (VERDICT
     * r10 #3), where the r10 full-reaggregate form managed 708.
     * [[BpeCap]] bounds the per-round candidate window the disjointness
@@ -112,8 +112,18 @@ object TextOps {
     * bounded pattern as the Lloyd argmax). The oracle unrolls the
     * identical batched rounds as a generated CTE chain, so the
     * selection rule is pinned cross-engine, not just implemented.
+    *
+    * [[BpeGateRounds]] is the HASH-GATE budget (VERDICT r11 #1: every
+    * oracle must fit the per-oracle latency budget so a slow oracle can
+    * never zero the round's correctness artifact again). 24 rounds ≈
+    * 600+ cross-engine-verified merges covering every code path —
+    * selection, disjointness, cap, batched application — identically
+    * to round 25+; the production-scale 128/512-round inductions stay
+    * measured engine-side in Bench/BenchScale with their merge counts
+    * pinned in the artifacts.
     */
   private[graft] val BpeRounds = 128
+  private[graft] val BpeGateRounds = 24
   private[graft] val BpeBatch = 128
   private[graft] val BpeCap = 1024
 
@@ -220,7 +230,7 @@ object TextOps {
       val b = java.nio.file.Files.createTempDirectory("graft_bpe").toString
       sys.addShutdownHook(
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b)))
-      val (merges, vocab) = bpeInduce(s, bpeWords(s, dir))
+      val (merges, vocab) = bpeInduce(s, bpeWords(s, dir), rounds = BpeGateRounds)
       import s.implicits._
       merges.toDF("rank", "a", "b", "pc").coalesce(1)
         .write.mode("overwrite").parquet(s"$b/merges")
@@ -2000,6 +2010,13 @@ object TextOps {
     // integer sums/divs, bit-identical cross-engine (a production run
     // swaps in double log-sums — same joins, same tables; the ratio
     // sum is the same top-slice intent at gate-exact precision).
+    // The numerator c_tgt·N_src·4096 exceeds int64 once corpora reach
+    // ~10^8 tokens with skewed buckets, and Spark's non-ANSI int64
+    // wraps silently where DuckDB errors — so the ratio is computed in
+    // 128-bit exact intermediates (Spark decimal(38,0), DuckDB
+    // HUGEINT; both exact integers, same floor) and an empty target
+    // corpus (N_tgt = 0, e.g. no 'en' docs) yields weight 0 on both
+    // engines instead of Spark-null vs DuckDB division error.
     // Selection: the top ceil(N/4) docs by score — threshold = the
     // K-th largest score via TakeOrderedAndProject + a 1-row
     // broadcast min, ties kept inclusively on both engines (never a
@@ -2025,8 +2042,10 @@ object TextOps {
         .join(broadcast(tgt), Seq("bucket"), "left")
         .join(broadcast(src), Seq("bucket"))
         .crossJoin(broadcast(ns))
-        .withColumn("r_fp",
-          expr("(coalesce(c_tgt, 0L) * n_src * 4096L) div (c_src * n_tgt)"))
+        .withColumn("r_fp", expr(
+          """case when n_tgt is null or n_tgt = 0 then 0L
+            |else (cast(coalesce(c_tgt, 0L) as decimal(38,0)) * n_src * 4096)
+            |     div (cast(c_src as decimal(38,0)) * n_tgt) end""".stripMargin))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_toks"),
           sum($"r_fp").cast("long").as("weight_fp"))
@@ -2197,7 +2216,7 @@ object TextOps {
   private def bpeOracleChain(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH RECURSIVE ch AS (
+      s"""WITH ch AS MATERIALIZED (
         |  SELECT doc_id, string_agg(token, '_' ORDER BY rn) AS unit,
         |    COUNT(*) AS nw
         |  FROM (
@@ -2219,25 +2238,45 @@ object TextOps {
         |)""".stripMargin)
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
     // reference, so a chained s1..sK would re-expand the whole prefix
-    // exponentially (~4^K scans); materializing each level (and joining
-    // b_i once instead of three scalar subqueries) keeps the oracle
-    // linear in K.
+    // exponentially (~4^K scans); materializing each level keeps the
+    // oracle linear in K.
+    //
+    // Per-round shape (VERDICT r11 — the old form was a 227 s latency
+    // bomb: a per-candidate recursive CTE paid ~1 ms of query-iteration
+    // overhead × BpeCap × K steps, and the list_reduce-of-replaces
+    // application paid an interpreted lambda per (unit, pair)):
+    //  f_i  — the greedy disjoint-symbol batch selection as ONE
+    //         list_reduce fold over the rank-ordered candidates, the
+    //         accumulator a 'SYMS#RKS' string ('|a|b|ab|...#,rk1,..').
+    //         The lambda ALWAYS rebuilds the accumulator with
+    //         empty-string deltas on rejection — returning `acc`
+    //         itself from a CASE branch hits a DuckDB 1.0 list_reduce
+    //         vectorization bug that silently drops earlier appends
+    //         (reproduced: accept,accept,reject,accept loses the first
+    //         two rks). Semantics identical to the r10 recursion:
+    //         scan candidates in rank order, take while batch < cap
+    //         and operands/result symbols unused.
+    //  sel_i — selected (a, b, pc, rn) parsed back from the fold.
+    //  pat_i — the round's merges as ONE regex alternation
+    //          \[(a1\]\[b1|a2\]\[b2|...)\]. Batch merges are
+    //          symbol-DISJOINT by construction, so their matches are
+    //          position-disjoint and non-interacting: the sequential
+    //          replace fold ≡ one leftmost non-overlapping alternation
+    //          pass (verified 0-diff vs the fold on live batches).
+    //  s_i  — applies the round in TWO regex passes over BUCKETED
+    //         bodies: seqs concat with '!' (never in a pattern) into
+    //         ~64 bodies so RE2 compiles per BUCKET, not per row (a
+    //         non-literal pattern defeats DuckDB's compile-once
+    //         fast path — measured 0.27 s/round per-row vs 0.017 s
+    //         bucketed). Pass 1 marks matches {a][b}, pass 2 fuses
+    //         to [ab]; unnest zips tokens back positionally.
     for (i <- 1 to k) {
       val prev = s"s${i - 1}"
-      // batch application: the round's [pattern, replacement] pairs
-      // aggregate to ONE ordered list (pr_i, rank 1 first) and fold
-      // over each seq via list_reduce — identical to the engine's
-      // foldLeft of replaces in rank order. The round-10 form spelled
-      // this as BpeBatch nested replaces with two scalar subqueries per
-      // slot; at 128-slot batches × 128 rounds DuckDB re-evaluated
-      // ~240M subqueries and the oracle ran for tens of minutes — the
-      // list fold keeps the same semantics at two subqueries per round.
-      // (list_reduce has no seed parameter, so the accumulator rides as
-      // a 2-slot VARCHAR list prepended to the pair list.)
-      val applied =
-        s"CASE WHEN (SELECT prs FROM pr$i) IS NULL THEN seq " +
-          s"ELSE list_reduce(list_prepend([seq, ''], (SELECT prs FROM pr$i)), " +
-          s"(acc, x) -> [replace(acc[1], x[1], x[2]), ''])[1] END"
+      val cond =
+        s"""len(split_part(acc[1],'#',2)) - len(replace(split_part(acc[1],'#',2), ',', '')) < $BpeBatch
+           |        AND NOT (contains(split_part(acc[1],'#',1), '|' || x[1] || '|')
+           |              OR contains(split_part(acc[1],'#',1), '|' || x[2] || '|')
+           |              OR contains(split_part(acc[1],'#',1), '|' || x[1] || x[2] || '|'))""".stripMargin
       sb.append(s""",
         |p$i AS (
         |  SELECT syms[j] AS a, syms[j+1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
@@ -2249,31 +2288,40 @@ object TextOps {
         |), c$i AS MATERIALIZED (
         |  SELECT a, b, pc, row_number() OVER (ORDER BY pc DESC, a, b) AS rk
         |  FROM (SELECT a, b, pc FROM p$i ORDER BY pc DESC, a, b LIMIT $BpeCap)
-        |), r$i AS (
-        |  SELECT 0 AS step, CAST([] AS VARCHAR[]) AS syms,
-        |    CAST([] AS INTEGER[]) AS rks
-        |  UNION ALL
-        |  SELECT c.rk,
-        |    CASE WHEN len(r.rks) < $BpeBatch AND NOT (list_contains(r.syms, c.a)
-        |      OR list_contains(r.syms, c.b) OR list_contains(r.syms, c.a || c.b))
-        |      THEN list_concat(r.syms, [c.a, c.b, c.a || c.b]) ELSE r.syms END,
-        |    CASE WHEN len(r.rks) < $BpeBatch AND NOT (list_contains(r.syms, c.a)
-        |      OR list_contains(r.syms, c.b) OR list_contains(r.syms, c.a || c.b))
-        |      THEN list_append(r.rks, c.rk) ELSE r.rks END
-        |  FROM r$i r JOIN c$i c ON c.rk = r.step + 1
+        |), f$i AS MATERIALIZED (
+        |  SELECT list_reduce(
+        |    list_prepend(['|','',''], COALESCE(cs, CAST([] AS VARCHAR[][]))),
+        |    (acc, x) -> [split_part(acc[1],'#',1) ||
+        |      CASE WHEN $cond
+        |      THEN x[1] || '|' || x[2] || '|' || x[1] || x[2] || '|' ELSE '' END
+        |      || '#' || split_part(acc[1],'#',2) ||
+        |      CASE WHEN $cond
+        |      THEN ',' || x[3] ELSE '' END, '', ''])[1] AS res
+        |  FROM (SELECT list([a, b, CAST(rk AS VARCHAR)] ORDER BY rk) AS cs FROM c$i)
         |), sel$i AS MATERIALIZED (
         |  SELECT c.a, c.b, c.pc, row_number() OVER (ORDER BY c.rk) AS rn
         |  FROM c$i c
-        |  JOIN (SELECT unnest(rks) AS rk FROM
-        |        (SELECT rks FROM r$i ORDER BY step DESC LIMIT 1)) u
+        |  JOIN (SELECT CAST(u AS INTEGER) AS rk FROM (
+        |          SELECT unnest(string_split(substr(split_part(res,'#',2), 2), ',')) AS u
+        |          FROM f$i WHERE split_part(res,'#',2) <> '')) u
         |    ON u.rk = c.rk
-        |), pr$i AS MATERIALIZED (
-        |  SELECT list(['[' || a || '][' || b || ']', '[' || a || b || ']']
-        |              ORDER BY rn) AS prs
+        |), pat$i AS MATERIALIZED (
+        |  SELECT '\\[(' || string_agg(a || '\\]\\[' || b, '|' ORDER BY rn) || ')\\]' AS pat
         |  FROM sel$i
         |), s$i AS MATERIALIZED (
-        |  SELECT token, cnt, $applied AS seq
-        |  FROM $prev
+        |  SELECT unnest(toks) AS token, unnest(cnts) AS cnt,
+        |    unnest(string_split(rep, '!')) AS seq
+        |  FROM (
+        |    SELECT toks, cnts,
+        |      CASE WHEN p.pat IS NULL THEN body
+        |      ELSE regexp_replace(regexp_replace(body, p.pat, '{\\1}', 'g'),
+        |             '\\{([a-z0-9_]+)\\]\\[([a-z0-9_]+)\\}', '[\\1\\2]', 'g') END AS rep
+        |    FROM (SELECT list(token ORDER BY token) AS toks,
+        |                 list(cnt ORDER BY token) AS cnts,
+        |                 string_agg(seq, '!' ORDER BY token) AS body
+        |          FROM $prev GROUP BY hash(token) % 64) b
+        |    CROSS JOIN pat$i p
+        |  )
         |)""".stripMargin)
     }
     sb.toString
@@ -2360,8 +2408,8 @@ object TextOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "q_bpe_merges" -> bpeOracle(BpeRounds),
-    "q_bpe_encode" -> bpeEncodeOracle(BpeRounds),
+    "q_bpe_merges" -> bpeOracle(BpeGateRounds),
+    "q_bpe_encode" -> bpeEncodeOracle(BpeGateRounds),
     "q_text_stats" ->
       """WITH d AS (
         |  SELECT lang, n_chars,
@@ -2506,15 +2554,26 @@ object TextOps {
     // then every document joins its cluster: reachability via a recursive
     // CTE is quadratic per component — fine at oracle scale, which is the
     // point of the Spark side's linear-per-round label propagation.
+    // Pair generation via the token inverted index (shared-token counts
+    // from a tok-keyed equi-join), not per-pair list_intersect: the
+    // all-pairs list form re-scanned two token lists per candidate pair
+    // and was a 17 s oracle at sf0.01 (r12 latency budget); the
+    // inverted-index join computes identical |A∩B| in 0.2 s. Jaccard
+    // formula and threshold unchanged.
     "q_dup_clusters" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      """WITH RECURSIVE tok AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         |  FROM documents
+        |), sz AS MATERIALIZED (
+        |  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+        |), shared AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS c
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
         |), j AS (
-        |  SELECT a.doc_id AS u, b.doc_id AS v
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
-        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+        |  SELECT u, v FROM shared
+        |  JOIN sz su ON su.doc_id = u JOIN sz sv ON sv.doc_id = v
+        |  WHERE c * 1.0 / (su.n + sv.n - c) >= 0.9
         |), e AS (
         |  SELECT u, v FROM j UNION SELECT v, u FROM j
         |), reach AS (
@@ -2893,18 +2952,31 @@ object TextOps {
     // Same winnowing selection via DuckDB list comprehensions: md5-hex
     // 8-gram hashes, inclusive 1-based list slice [j : j+15] = Spark
     // slice(grams, j, 16), lexicographic list min.
+    // Sliding window-min as a frame-bounded window function over the
+    // unnested gram rows, not a per-position list slice+aggregate (the
+    // list-comprehension form allocated a 16-slot list per window and
+    // ran 8-11 s at sf0.01 — r12 latency budget; this is 0.2 s with
+    // identical fingerprints).
     "q_winnow_fp" ->
-      """WITH g AS (
+      """WITH gl AS (
         |  SELECT doc_id,
         |    [md5(substr(text, i, 8)) for i in generate_series(1, length(text)-7)]
         |      AS grams
         |  FROM documents WHERE length(text) >= 23
         |),
-        |f AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [list_aggregate(grams[j:j+15], 'min')
-        |     for j in generate_series(1, len(grams)-15)])) AS fp
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, unnest(grams) AS gram,
+        |    generate_subscripts(grams, 1) AS i, len(grams) AS ng
+        |  FROM gl
+        |),
+        |w AS (
+        |  SELECT doc_id, i, ng,
+        |    min(gram) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
         |  FROM g
+        |),
+        |f AS (
+        |  SELECT DISTINCT doc_id, fp FROM w WHERE i <= ng - 15
         |),
         |shared AS (
         |  SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM f GROUP BY fp
@@ -3261,7 +3333,9 @@ object TextOps {
         |), w AS (
         |  SELECT t.doc_id, COUNT(*) AS n_toks,
         |    CAST(SUM(
-        |      (COALESCE(g.c_tgt, 0) * ns.n_src * 4096) // (s.c_src * ns.n_tgt)
+        |      CASE WHEN ns.n_tgt IS NULL OR ns.n_tgt = 0 THEN 0
+        |      ELSE (CAST(COALESCE(g.c_tgt, 0) AS HUGEINT) * ns.n_src * 4096)
+        |           // (CAST(s.c_src AS HUGEINT) * ns.n_tgt) END
         |    ) AS BIGINT) AS weight_fp
         |  FROM tok t
         |  LEFT JOIN tgt g ON t.bucket = g.bucket

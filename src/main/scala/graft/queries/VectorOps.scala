@@ -374,22 +374,43 @@ object VectorOps {
   /** The trained IVF-PQ index: broadcast-sized coarse centroids and PQ
     * codebooks plus the corpus-cardinality code table and per-cell
     * sizes — everything a query needs, nothing of the raw vectors.
+    * `stageSec` carries the build-phase attribution when the build was
+    * materialized (coarse train / corpus assign / residual explode /
+    * codebook train / encode), empty for the lazy registry-gate build.
     */
   private[queries] case class IvfPqIndex(cents: DataFrame, books: DataFrame,
-                                         codes: DataFrame, cellSizes: DataFrame)
+                                         codes: DataFrame, cellSizes: DataFrame,
+                                         stageSec: Seq[(String, Double)] = Nil)
 
   /** Index-build phase (train + encode). `materialize = true`
     * checkpoints the code table and cell sizes — the scale-tier bench
     * uses it to time build and query separately; the registry gate
-    * keeps the single lazy plan.
+    * keeps the single lazy plan. With `trainPred`, BOTH quantizers
+    * train on the sampled rows only (the faiss regime — coarse
+    * centroids AND PQ codebooks train on ≤10⁵-ish sampled vectors /
+    * residuals regardless of corpus size; VERDICT r11 #6): training
+    * cost is sample-bounded and only the two assignment passes (coarse
+    * cell + PQ encode, both the fused narrow NearestCell kernel) stay
+    * corpus-linear. Without `trainPred`, training covers the corpus —
+    * the small-gate path, bit-identical to previous rounds.
     */
   private def ivfPqBuild(cached: DataFrame, cells: Int,
-                         trainOn: Option[DataFrame],
+                         trainPred: Option[Column],
                          materialize: Boolean): IvfPqIndex = {
-    // coarse quantizer may train on a SAMPLE (standard IVF practice —
-    // faiss trains its coarse centroids on ~10⁵-10⁶ sampled vectors
-    // regardless of corpus size); assignment always covers the corpus
-    val cents = broadcast(lloydCentroids(trainOn.getOrElse(cached), cells))
+    val stages = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    // In materialize mode every stage below ends in an EAGER node
+    // (localCheckpoint), so wrapping it in stage() yields an honest
+    // per-stage wall split; in lazy mode stage() just labels zero-cost
+    // plan construction and the Seq stays out of the artifact.
+    def stage[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      stages += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
+    // coarse quantizer trains on the sample (assignment covers the corpus)
+    val cents = stage("coarse_train") {
+      broadcast(lloydCentroids(trainPred.map(cached.where).getOrElse(cached), cells))
+    }
     // In the materialized (scale-tier) build, pin the two expensive
     // intermediates: without this, the full-corpus coarse assignment
     // (the n × cells × dim argmax — 65 GMACs at the 1M tier) and the
@@ -401,7 +422,7 @@ object VectorOps {
     // is small enough that recomputation is cheaper than pinning).
     def pin(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(true) else df
-    val assigned = pin(assignCells(cached, cents))
+    val assigned = stage("corpus_assign") { pin(assignCells(cached, cents)) }
     // residuals r = v - centroid(cell): the PQ trains on what the coarse
     // quantizer could NOT explain — the variance left per cell is far
     // smaller than the raw corpus variance, which is why residual codes
@@ -409,28 +430,38 @@ object VectorOps {
     val resid = assigned.join(cents, Seq("cell"))
       .select(col("vec_id"), col("cell").as("ivf_cell"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
-    val subR = pin(resid.select(col("vec_id"), col("ivf_cell"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
-      .select(col("vec_id"), col("ivf_cell"), col("m"),
-        slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv")))
-    val books = pqCodebooks(subR.select(col("vec_id"), col("m"), col("sv")))
+    val subR = stage("residual_explode") {
+      pin(resid.select(col("vec_id"), col("ivf_cell"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
+        .select(col("vec_id"), col("ivf_cell"), col("m"),
+          slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv")))
+    }
+    // codebooks train on the SAMPLE's residuals only (trainPred rides on
+    // vec_id, which subR retains) — at the 1M tier this removes three
+    // corpus-wide pqAssign/mean passes, leaving the single final encode
+    val books = stage("books_train") {
+      pqCodebooks(trainPred.map(subR.where).getOrElse(subR)
+        .select(col("vec_id"), col("m"), col("sv")))
+    }
     // (vec_id, ivf_cell, m, code): the complete on-disk representation —
     // PqM small ints + one cell id per vector
-    val codes = pqAssign(subR, books)
-      .select(col("vec_id"), col("ivf_cell"), col("m"), col("cell").as("code"))
-    val cellSizes = assigned.groupBy(col("cell").as("ivf_cell"))
-      .agg(count(lit(1)).as("cell_n"))
-    if (materialize)
-      IvfPqIndex(cents, books, codes.localCheckpoint(true),
-        cellSizes.localCheckpoint(true))
-    else IvfPqIndex(cents, books, codes, cellSizes)
+    val codes = stage("encode") {
+      pin(pqAssign(subR, books)
+        .select(col("vec_id"), col("ivf_cell"), col("m"), col("cell").as("code")))
+    }
+    val cellSizes = stage("cell_sizes") {
+      pin(assigned.groupBy(col("cell").as("ivf_cell"))
+        .agg(count(lit(1)).as("cell_n")))
+    }
+    IvfPqIndex(cents, books, codes, cellSizes,
+      if (materialize) stages.toSeq else Nil)
   }
 
   def annIvfPqWithScan(emb: DataFrame, k: Int, cells: Int, nprobe: Int,
                        queryPred: Column,
-                       trainOn: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+                       trainPred: Option[Column] = None): (DataFrame, DataFrame) = {
     val cached = emb.cache()
-    val idx = ivfPqBuild(cached, cells, trainOn, materialize = false)
+    val idx = ivfPqBuild(cached, cells, trainPred, materialize = false)
     ivfPqQuery(cached, idx, k, nprobe, queryPred)
   }
 
@@ -494,14 +525,15 @@ object VectorOps {
     * q_ann_ivfpq_scale: per-query recall ≥ `minHits` of the exact
     * cosine top-k, and the integer-exact scanned-fraction bound
     * n_scanned × cells ≤ 2 × nprobe × n. Returns (n_corpus, build_sec,
-    * query_sec, recall_failures, scan_failures). The caller treats any
-    * failure as a bench error — a fast broken index measures nothing.
+    * query_sec, recall_failures, scan_failures, build_stage_split). The
+    * caller treats any failure as a bench error — a fast broken index
+    * measures nothing.
     */
   def annIvfPqScaleTier(s: SparkSession, dir: String, rep: Int,
                         cells: Int, nprobe: Int,
                         nQueries: Int = AnnScaleQueries, k: Int = 5,
                         minHits: Int = 3)
-      : (Long, Double, Double, Long, Long) = {
+      : (Long, Double, Double, Long, Long, Seq[(String, Double)]) = {
     val emb = scaledCorpus(s, dir, rep).cache()
     val n = emb.count() // fixture materialization, outside both timings
     val nBase = load(s, dir, "embeddings").count()
@@ -511,7 +543,7 @@ object VectorOps {
     }
     var idx: IvfPqIndex = null
     val buildSec = sec {
-      idx = ivfPqBuild(emb, cells, trainOn = Some(emb.where(col("vec_id") < nBase)),
+      idx = ivfPqBuild(emb, cells, trainPred = Some(col("vec_id") < nBase),
         materialize = true)
     }
     // Re-rank depth must cover the near-tie multiplicity: the fixture
@@ -542,7 +574,7 @@ object VectorOps {
     val scanFailures = scan
       .where(col("n_scanned") * cells.toLong > lit(2L) * nprobe.toLong * n)
       .count()
-    (n, buildSec, querySec, recallFailures, scanFailures)
+    (n, buildSec, querySec, recallFailures, scanFailures, idx.stageSec)
   }
 
   /** Production SemDeDup path (Abbas et al. 2023): Lloyd cells → the
@@ -666,7 +698,7 @@ object VectorOps {
       val nBase = load(s, dir, "embeddings").count()
       val (ann, scan) = annIvfPqWithScan(emb, 5,
         cells = AnnScaleCells, nprobe = AnnScaleProbes, pred,
-        trainOn = Some(emb.where(col("vec_id") < nBase)))
+        trainPred = Some(col("vec_id") < nBase))
       // baseline ranks by the SAME similarity the ANN re-rank uses
       // (cosine): the replicas are near-ties with non-unit norms, so a
       // dot-ranked baseline diverges for reasons unrelated to the ANN

@@ -29,15 +29,30 @@ object Bulk {
           ingestionDate: String,
           recipeMasterPath: Option[String] = None,
           tableSuffix: String = "",
-          seedBlooms: Boolean = false): (Long, Long, Long) = {
+          seedBlooms: Boolean = false,
+          stageSink: Option[scala.collection.mutable.Buffer[(String, Double)]] = None)
+      : (Long, Long, Long) = {
+    // per-stage wall attribution (VERDICT r11 #3): each stage below ends
+    // in a write/count ACTION, so the split is an honest decomposition a
+    // slow run can be diagnosed from (staging parse+bronze write vs
+    // silver shuffle vs dim builds vs fact join vs count read-backs)
+    def stage[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      stageSink.foreach(_ += name -> (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val sfx = tableSuffix
-    val bronze = StagingToBronze.enrich(rawLines, "bulk.jsonl", ingestionDate)
-    Warehouse.writeBronze(bronze, s"$warehouse/bronze_events$sfx",
-      batchId = ingestionDate.replace("-", "") + "0000")
+    stage("bronze") {
+      val bronze = StagingToBronze.enrich(rawLines, "bulk.jsonl", ingestionDate)
+      Warehouse.writeBronze(bronze, s"$warehouse/bronze_events$sfx",
+        batchId = ingestionDate.replace("-", "") + "0000")
+    }
 
-    val silver = BronzeToSilver.transform(
-      Warehouse.read(spark, s"$warehouse/bronze_events$sfx"))
-    Warehouse.writeSilverClustered(silver, s"$warehouse/user_events_silver$sfx")
+    stage("silver") {
+      val silver = BronzeToSilver.transform(
+        Warehouse.read(spark, s"$warehouse/bronze_events$sfx"))
+      Warehouse.writeSilverClustered(silver, s"$warehouse/user_events_silver$sfx")
+    }
 
     // NOT cached: this is a parquet read-back, and the five consumers
     // below each prune to a handful of columns (only the fact build reads
@@ -47,32 +62,36 @@ object Bulk {
     // a 1.9× GC-thrash regression (BENCH_r05 medallion_e2e_1m 92→177 s);
     // pruned columnar re-scans are cheaper than the cache at every scale.
     val silverAll = Warehouse.read(spark, s"$warehouse/user_events_silver$sfx")
-    // dim_user on the scalable SK path: same (user_sk, user_id) mapping as
-    // the window variant, but per-partition-offset assignment — a bulk
-    // user dim is the one dim that can reach 10⁸ rows at 100 TB
-    val dimUser = Dims.dimUserScalable(silverAll)
-    // bulk rebuild: the W3 fast path (monotonically_increasing_id) — no
-    // global window; downstream joins only by natural key
-    val dimEvent = Dims.dimFromColumnsFast(silverAll, Seq("event_name"), "event_sk")
-    val dimPage = Dims.dimPage(silverAll)
-    val masterPath = recipeMasterPath.getOrElse {
-      val p = s"$warehouse/recipe_master$sfx.parquet"
-      Dims.writeRecipeMasterFixture(
-        silverAll.select(col("prop_recipe_id").as("recipe_id")), p)
-      p
+    stage("dims") {
+      // dim_user on the scalable SK path: same (user_sk, user_id) mapping as
+      // the window variant, but per-partition-offset assignment — a bulk
+      // user dim is the one dim that can reach 10⁸ rows at 100 TB
+      val dimUser = Dims.dimUserScalable(silverAll)
+      // bulk rebuild: the W3 fast path (monotonically_increasing_id) — no
+      // global window; downstream joins only by natural key
+      val dimEvent = Dims.dimFromColumnsFast(silverAll, Seq("event_name"), "event_sk")
+      val dimPage = Dims.dimPage(silverAll)
+      val masterPath = recipeMasterPath.getOrElse {
+        val p = s"$warehouse/recipe_master$sfx.parquet"
+        Dims.writeRecipeMasterFixture(
+          silverAll.select(col("prop_recipe_id").as("recipe_id")), p)
+        p
+      }
+      val dimRecipe = Dims.dimRecipeFromMaster(spark.read.parquet(masterPath))
+      Seq("dim_user" -> dimUser, "dim_event" -> dimEvent, "dim_page" -> dimPage,
+        "dim_recipe" -> dimRecipe)
+        .foreach { case (n, df) => Warehouse.writeDim(df, s"$warehouse/$n$sfx") }
     }
-    val dimRecipe = Dims.dimRecipeFromMaster(spark.read.parquet(masterPath))
-    Seq("dim_user" -> dimUser, "dim_event" -> dimEvent, "dim_page" -> dimPage,
-      "dim_recipe" -> dimRecipe)
-      .foreach { case (n, df) => Warehouse.writeDim(df, s"$warehouse/$n$sfx") }
 
-    val fact = SilverToGold.buildFact(
-      silverAll,
-      Warehouse.read(spark, s"$warehouse/dim_user$sfx"),
-      Warehouse.read(spark, s"$warehouse/dim_recipe$sfx"),
-      Warehouse.read(spark, s"$warehouse/dim_event$sfx"),
-      Warehouse.read(spark, s"$warehouse/dim_page$sfx"))
-    Warehouse.writeFactClustered(fact, s"$warehouse/fact_user_events$sfx")
+    stage("fact") {
+      val fact = SilverToGold.buildFact(
+        silverAll,
+        Warehouse.read(spark, s"$warehouse/dim_user$sfx"),
+        Warehouse.read(spark, s"$warehouse/dim_recipe$sfx"),
+        Warehouse.read(spark, s"$warehouse/dim_event$sfx"),
+        Warehouse.read(spark, s"$warehouse/dim_page$sfx"))
+      Warehouse.writeFactClustered(fact, s"$warehouse/fact_user_events$sfx")
+    }
 
     // Optionally seed the micro-batch anti-join bloom sidecars (one
     // aggregate pass per sink; `trusted` because a full rebuild, by
@@ -92,9 +111,9 @@ object Bulk {
         trusted = true)
     }
 
-    (
+    stage("counts") {(
       Warehouse.read(spark, s"$warehouse/bronze_events$sfx").count(),
       silverAll.count(),
-      Warehouse.read(spark, s"$warehouse/fact_user_events$sfx").count())
+      Warehouse.read(spark, s"$warehouse/fact_user_events$sfx").count())}
   }
 }
