@@ -45,16 +45,20 @@ class StreamStateSpec extends SparkSpec {
       (1L, "2025-09-15 12:00:00", "view", 70000L),
       (2L, "2025-09-15 10:05:00", "signup", 0L)))
     StreamState.run(spark, events, out, ckpt)
-    // nothing can seal yet: the first batch ran under watermark 0
-    assert(spark.read.parquet(out).count() == 0)
+    // the drain's final watermark-commit batch runs at wm = 12:00 − 1 h =
+    // 11:00: u2's burst (ends 10:05, sealable from 10:50) times out and
+    // seals there, but NONE of u1's can (first burst ends 10:40, sealable
+    // only from 11:25) — partial sealing inside one drain is the
+    // AvailableNow semantics under test
+    assert(spark.read.parquet(out).where($"user_id" === 1).count() == 0)
     // advance the watermark (14:00 − 1 h = 13:00), then fire timeouts
     writeEvents(events, "b2", Seq((9L, "2025-09-15 14:00:00", "view", 0L)))
     StreamState.run(spark, events, out, ckpt)
     writeEvents(events, "b3", Seq((9L, "2025-09-15 18:00:00", "view", 0L)))
     StreamState.run(spark, events, out, ckpt)
 
-    val sealed = spark.read.parquet(out).cache()
-    val burst = sealed.where($"user_id" === 1 && $"n_events" === 3)
+    val sealedB = spark.read.parquet(out).cache()
+    val burst = sealedB.where($"user_id" === 1 && $"n_events" === 3)
     assert(burst.count() == 1)
     val b = burst.head()
     assert(b.getAs[Long]("value_q") == 265000L)
@@ -62,14 +66,14 @@ class StreamStateSpec extends SparkSpec {
     assert(b.getAs[java.sql.Timestamp]("start_ts").toString
       .startsWith("2025-09-15 10:00:00"))
     // the 12:00 singleton sealed separately with its own payload
-    val single = sealed.where($"user_id" === 1 && $"n_events" === 1)
+    val single = sealedB.where($"user_id" === 1 && $"n_events" === 1)
     assert(single.count() == 1)
     assert(single.head().getAs[Long]("value_q") == 70000L)
-    assert(sealed.where($"user_id" === 2).count() == 1)
+    assert(sealedB.where($"user_id" === 2).count() == 1)
 
     // eviction: re-draining with no new data emits nothing new (sealed
     // state is gone, not re-emitted)
-    val before = sealed.count()
+    val before = sealedB.count()
     StreamState.run(spark, events, out, ckpt)
     assert(spark.read.parquet(out).count() == before)
   }
