@@ -790,14 +790,17 @@ object Bench {
         val prevExt = extBusyProbes.get(name)
         val prevSteal = stealProbes.get(name)
         val prevLoad = loadProbes.get(name)
+        val prevSplit = stageSplits.get(name)
         val t = measureSingle(name, singleThunks(name))
         runsLog(name) = runsLog(name) :+ t
         if (t < results(name)) results(name) = t
         else {
           // the first run stays the reported number — keep its probes
+          // and stage split
           prevExt.foreach(extBusyProbes(name) = _)
           prevSteal.foreach(stealProbes(name) = _)
           prevLoad.foreach(loadProbes(name) = _)
+          prevSplit.foreach(stageSplits(name) = _)
         }
       } catch {
         case e: Throwable =>
