@@ -54,10 +54,17 @@ object Bench {
     // query runs twice and the second run re-derives the same logical plan,
     // so an in-query persist() re-registers a plan the first run cached —
     // intended reuse (the per-query release below still drops it after).
+    // The two streaming per-file WARN floods matter doubly here: beyond
+    // burying signal, the streaming entries emit THOUSANDS of lines per
+    // drain and the sandbox relays our stderr at real CPU cost — r12
+    // measured stream_join at 45 s vs 5.5 s purely by pipe backpressure,
+    // with the relay's CPU misread as a competitor.
     Seq("org.apache.spark.sql.execution.window.WindowExec",
         "org.apache.spark.rdd.MapPartitionsRDD",
         "org.apache.spark.rdd.ParallelCollectionRDD",
-        "org.apache.spark.sql.execution.CacheManager").foreach { l =>
+        "org.apache.spark.sql.execution.CacheManager",
+        "org.apache.spark.sql.execution.streaming.checkpointing.ChecksumCheckpointFileManager",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider").foreach { l =>
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         l, org.apache.logging.log4j.Level.ERROR)
     }
@@ -128,8 +135,23 @@ object Bench {
           if (pid == self) true
           else if (pid <= 1 || hops > 64 || !ppidOf.contains(pid)) false
           else underSelf(ppidOf(pid), hops + 1)
+        // Kernel threads (kthreadd's subtree, pid 2) are the kernel
+        // doing SOMEBODY's I/O — on an otherwise-idle host that's ours
+        // (streaming entries churn thousands of tiny checkpoint files
+        // through kworker writeback and read 0.05-0.08 "external" CPU).
+        // A real competitor's USERSPACE jiffies still flag.
+        @annotation.tailrec
+        def kernelThread(pid: Long, hops: Int = 0): Boolean =
+          if (pid == 2L) true
+          else if (pid <= 1 || hops > 64 || !ppidOf.contains(pid)) false
+          else kernelThread(ppidOf(pid), hops + 1)
+        // pid 1 is init (here: the sandbox's I/O relay, which burns CPU
+        // proportional to OUR own stdout/stderr volume) — never a
+        // competitor, always in the logical ancestor chain.
         stats.collect { case (pid, _, j)
-          if ancestors.contains(pid) || underSelf(pid) => j }.sum
+          if pid == 1L || ancestors.contains(pid) || underSelf(pid) ||
+            kernelThread(pid) => j
+        }.sum
       } catch { case _: Exception => -1L }
     def dirtyMb(): Long =
       try {
@@ -773,15 +795,21 @@ object Bench {
 
     // Single-run probe rule (VERDICT r8 #1): an entry measured while
     // OTHER processes held >10% of the machine's CPU, or the hypervisor
-    // stole >5% of it, was measured on a contended machine — retry it
+    // stole >15% of it, was measured on a contended machine — retry it
     // ONCE now. min(time) stays honest either way (contention only ever
-    // slows a run). The loadavg probe is the fallback criterion only
-    // when /proc deltas were unavailable: a post-entry 1-minute loadavg
-    // mostly reads the entry's OWN burst for 30 s+ entries.
+    // slows a run). The steal threshold is calibrated to THIS host's
+    // measured floor (r12): idle steal reads 1-3% and rises to 4-8%
+    // under our own 32-thread burst (co-tenant interference scales with
+    // our own demand; paired runs of the 5-8%-steal entries agree
+    // within 5%, so the number is trustworthy) — 15% is well above the
+    // own-burst floor and well below a real tenant storm. The loadavg
+    // probe is the fallback criterion only when /proc deltas were
+    // unavailable: a post-entry 1-minute loadavg mostly reads the
+    // entry's OWN burst for 30 s+ entries.
     def singleContended(n: String): Boolean =
       if (extBusyProbes.contains(n) || stealProbes.contains(n))
         extBusyProbes.getOrElse(n, 0.0) > 0.10 ||
-          stealProbes.getOrElse(n, 0.0) > 0.05
+          stealProbes.getOrElse(n, 0.0) > 0.15
       else loadProbes.get(n).exists(_ > loadBudget)
     val singleRetried = singleThunks.keys.filter(singleContended).toSeq
     singleRetried.foreach { name =>
