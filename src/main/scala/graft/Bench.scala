@@ -93,13 +93,23 @@ object Bench {
     // time the hypervisor ran other tenants — both normalized by
     // wall × 100 Hz × cpus, so they read as fractions of machine
     // capacity consumed by competitors while the entry ran.
-    def statJiffies(): (Long, Long) = // (busyNonIdle, steal)
+    // busy = user+nice+system ONLY: irq/softirq jiffies are attributed
+    // to NO process (they'd be "external" by definition), and on this
+    // host they're overwhelmingly interrupts serving OUR own I/O — the
+    // checkpoint-churning streaming entries read 0.20 "external" from
+    // their own interrupt load (r12). A userspace competitor's CPU is
+    // fully visible in its own processes' utime+stime, which is exactly
+    // what familyJiffies subtracts — apples to apples.
+    def statJiffies(): (Long, Long) = // (busyAttributable, steal)
       try {
         val f = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get("/proc/stat")))
           .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
         val steal = if (f.length > 7) f(7) else 0L
-        (f(0) + f(1) + f(2) + f(5) + f(6) + steal, steal)
+        // steal rides in its own probe, not in ext-busy (it has its own
+        // threshold; folding it into busy double-counted it as a
+        // phantom userspace competitor)
+        (f(0) + f(1) + f(2), steal)
       } catch { case _: Exception => (-1L, -1L) }
     // Jiffies charged to this process's FAMILY: self + all descendants
     // of self + the ancestor chain itself (the sbt/shell JVMs hosting
