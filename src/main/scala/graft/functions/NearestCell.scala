@@ -87,6 +87,75 @@ object NearestCell {
     graftbridge.toColumn(NearestCell(
       graftbridge.toExpression(v), graftbridge.toExpression(es), true))
 
+  /** The entry array unpacked to primitives: per entry its cell id, its
+    * vector (nulls already folded to 0.0 — the skip/zero rules of the
+    * ArrayData walk), its Σy² norm accumulated in element order (the
+    * identical fold the per-row walk performed), and len = -1 marking a
+    * null entry struct (skipped exactly as before).
+    */
+  private final class Packed(val m: Int, val cells: Array[Int],
+                             val cvs: Array[Array[Double]],
+                             val nbs: Array[Double])
+
+  /** Per-thread memo of the last unpacked entry array, keyed on the
+    * UnsafeArrayData's backing (baseObject identity, offset, length):
+    * in every assignment pass the entries come from ONE broadcast row,
+    * so each task re-reads the SAME bytes row after row — r12 measured
+    * the per-(row, entry) ArrayData walk (virtual getDouble + two null
+    * checks per element, getStruct/getArray per entry) at 166 s of the
+    * 1M-tier build's 184 s. Unpacking once per task and running the
+    * argmax over primitive arrays leaves the arithmetic SEQUENCE
+    * identical (same values, same fold order, same skip and tie rules
+    * — NearestCellSpec pins bit-parity), it just stops paying
+    * interpretation per element. Non-Unsafe inputs (interpreted
+    * single-row eval in tests) take the uncached unpack.
+    */
+  private val lastPacked =
+    new ThreadLocal[(AnyRef, Long, Int, Packed)]()
+
+  private def unpack(es: ArrayData): Packed = {
+    val m = es.numElements()
+    val cells = new Array[Int](m)
+    val cvs = new Array[Array[Double]](m)
+    val nbs = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      if (es.isNullAt(j)) cvs(j) = null
+      else {
+        val row = es.getStruct(j, 2)
+        cells(j) = row.getInt(0)
+        val cv = row.getArray(1)
+        val len = cv.numElements()
+        val y = new Array[Double](len)
+        var nb = 0.0
+        var i = 0
+        while (i < len) {
+          val yi = if (cv.isNullAt(i)) 0.0 else cv.getDouble(i)
+          y(i) = yi
+          nb += yi * yi
+          i += 1
+        }
+        cvs(j) = y
+        nbs(j) = nb
+      }
+      j += 1
+    }
+    new Packed(m, cells, cvs, nbs)
+  }
+
+  private def packedFor(es: ArrayData): Packed = es match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      val c = lastPacked.get()
+      if (c != null && (c._1 eq u.getBaseObject) &&
+          c._2 == u.getBaseOffset && c._3 == u.numElements()) c._4
+      else {
+        val p = unpack(u)
+        lastPacked.set((u.getBaseObject, u.getBaseOffset, u.numElements(), p))
+        p
+      }
+    case other => unpack(other)
+  }
+
   /** Fused argmax/argmin; called from both interpreted eval and the
     * generated code. Cosine arithmetic mirrors
     * CosineSimilarity.nullSafeEval exactly (sequential left fold,
@@ -95,47 +164,50 @@ object NearestCell {
     */
   def compute(v: ArrayData, es: ArrayData, l2: Boolean): java.lang.Integer = {
     val n = v.numElements()
-    val m = es.numElements()
+    val p = packedFor(es)
+    val x = new Array[Double](n)
+    var i0 = 0
+    while (i0 < n) {
+      x(i0) = if (v.isNullAt(i0)) 0.0 else v.getDouble(i0)
+      i0 += 1
+    }
     var bestCell = 0
     var bestD = 0.0
     var found = false
     var j = 0
-    while (j < m) {
-      // the input array type may carry containsNull=true; a null entry
-      // scores nothing (the composed transform+array_max form this
-      // replaces skipped nulls the same way)
-      if (!es.isNullAt(j)) {
-        val row = es.getStruct(j, 2)
-        val cell = row.getInt(0)
-        val cv = row.getArray(1)
-        if (cv.numElements() == n) {
-          if (l2) {
-            var d = 0.0
-            var i = 0
-            while (i < n) {
-              val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
-              val y = if (cv.isNullAt(i)) 0.0 else cv.getDouble(i)
-              val z = x - y
-              d += z * z
-              i += 1
-            }
-            if (!found || d < bestD || (d == bestD && cell < bestCell)) {
+    while (j < p.m) {
+      val y = p.cvs(j)
+      // null entry structs score nothing (the composed
+      // transform+array_max form this replaces skipped nulls the same
+      // way); length-mismatched entries are skipped identically
+      if (y != null && y.length == n) {
+        val cell = p.cells(j)
+        if (l2) {
+          var d = 0.0
+          var i = 0
+          while (i < n) {
+            val z = x(i) - y(i)
+            d += z * z
+            i += 1
+          }
+          if (!found || d < bestD || (d == bestD && cell < bestCell)) {
+            bestD = d; bestCell = cell; found = true
+          }
+        } else {
+          // na's fold is the same Σx² the fused per-entry loop
+          // accumulated (identical value every entry); nb comes from the
+          // unpack-time fold with the identical element order
+          var dot = 0.0; var na = 0.0
+          var i = 0
+          while (i < n) {
+            dot += x(i) * y(i); na += x(i) * x(i)
+            i += 1
+          }
+          val nb = p.nbs(j)
+          if (na != 0.0 && nb != 0.0) {
+            val d = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+            if (!found || d > bestD || (d == bestD && cell < bestCell)) {
               bestD = d; bestCell = cell; found = true
-            }
-          } else {
-            var dot = 0.0; var na = 0.0; var nb = 0.0
-            var i = 0
-            while (i < n) {
-              val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
-              val y = if (cv.isNullAt(i)) 0.0 else cv.getDouble(i)
-              dot += x * y; na += x * x; nb += y * y
-              i += 1
-            }
-            if (na != 0.0 && nb != 0.0) {
-              val d = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
-              if (!found || d > bestD || (d == bestD && cell < bestCell)) {
-                bestD = d; bestCell = cell; found = true
-              }
             }
           }
         }
