@@ -1434,6 +1434,46 @@ object TextOps {
         .orderBy($"doc_id", $"rank")
     },
 
+    // Okapi BM25 (k1=1.2, b=0.75), top-3 tokens per doc. Same plan
+    // shape as q_tfidf (explode → tf/df/dl aggregates → broadcast 1-row
+    // corpus scalars → per-doc top-k window), extended with the
+    // length-normalized saturation term. Cross-engine exactness: the
+    // classic ln IDF is transcendental (libm last-ulp divergence kills a
+    // hash gate), so the IDF keeps the RATIO form
+    // (N−df+0.5)/(df+0.5) = (2N−2df+1)/(2df+1) — exact integers in, one
+    // IEEE division. The saturation term multiplies through by 10 so
+    // k1/b become integers: tf·(k1+1)/(tf + k1(1−b) + k1·b·dl/avgdl)
+    // = 22·tf / (10·tf + 3 + 9·(dl·N/S)), with avgdl = S/N. Every
+    // intermediate is an int64-exact product (dl·N ≤ ~1e15 even at
+    // 10^10 docs × 10^5 tokens — no multiply-through-by-S overflow, the
+    // DSIR lesson) and every double op appears in the identical order in
+    // the DuckDB oracle, so scores are bit-identical.
+    "q_bm25" -> { (s, dir) =>
+      import s.implicits._
+      val docs = load(s, dir, "documents")
+      val tok = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+      val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val dfreq = tok.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
+      val scalars = tf.agg(countDistinct($"doc_id").as("n_docs"),
+        sum($"tf").as("s_tok"))
+      val r = ($"dl" * $"n_docs").cast("double") / $"s_tok".cast("double")
+      val den = (lit(10L) * $"tf" + lit(3L)).cast("double") + lit(9.0) * r
+      val idf = (lit(2L) * $"n_docs" - lit(2L) * $"df" + lit(1L)).cast("double") /
+        (lit(2L) * $"df" + lit(1L)).cast("double")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("score"), $"token")
+      tf.join(dfreq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(scalars))
+        .withColumn("score", idf * ((lit(22L) * $"tf").cast("double") / den))
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= 3)
+        .select($"doc_id", $"token", $"tf", $"df", $"dl", $"score",
+          $"rn".cast("long").as("rank"))
+        .orderBy($"doc_id", $"rank")
+    },
+
     // SimHash locality contract: fingerprint the WHOLE corpus (16-bit
     // per-bit majority vote over token hashes), then assert the locality
     // property that makes SimHash useful — near-identical docs (exact
@@ -2785,6 +2825,36 @@ object TextOps {
         |  FROM scored
         |)
         |SELECT doc_id, token, tf, df, score, CAST(rn AS BIGINT) AS rank
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Mirrors q_bm25's arithmetic tree op-for-op (ratio IDF, ×10 integer
+    // saturation term) so every double rounds identically. DuckDB SUMs
+    // of BIGINT are HUGEINT — exact, cast back for the output schema.
+    "q_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+        |), dfreq AS (
+        |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        |), n AS (
+        |  SELECT COUNT(DISTINCT doc_id) AS n_docs, SUM(tf) AS s_tok FROM tf
+        |), scored AS (
+        |  SELECT t.doc_id, t.token, t.tf, d.df, l.dl,
+        |    (CAST(2*n.n_docs - 2*d.df + 1 AS DOUBLE) / CAST(2*d.df + 1 AS DOUBLE))
+        |      * (CAST(22*t.tf AS DOUBLE) /
+        |         (CAST(10*t.tf + 3 AS DOUBLE)
+        |          + 9.0 * (CAST(l.dl * n.n_docs AS DOUBLE) / CAST(n.s_tok AS DOUBLE)))) AS score
+        |  FROM tf t JOIN dfreq d USING (token) JOIN dl l USING (doc_id) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, token, tf, df, CAST(dl AS BIGINT) AS dl, score,
+        |  CAST(rn AS BIGINT) AS rank
         |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_stratified_sample" ->
