@@ -95,7 +95,8 @@ object NearestCell {
     */
   private final class Packed(val m: Int, val cells: Array[Int],
                              val cvs: Array[Array[Double]],
-                             val nbs: Array[Double])
+                             val nbs: Array[Double],
+                             val sqbs: Array[Double])
 
   /** Per-thread memo of the last unpacked entry array, keyed on the
     * UnsafeArrayData's backing (baseObject identity, offset, length):
@@ -113,11 +114,18 @@ object NearestCell {
   private val lastPacked =
     new ThreadLocal[(AnyRef, Long, Int, Packed)]()
 
+  /** Diagnostic: unpacks actually performed (cache misses + non-Unsafe
+    * paths). A full assignment pass should add ~#tasks, not ~#rows.
+    */
+  private[graft] val unpackCount = new java.util.concurrent.atomic.AtomicLong
+
   private def unpack(es: ArrayData): Packed = {
+    unpackCount.incrementAndGet()
     val m = es.numElements()
     val cells = new Array[Int](m)
     val cvs = new Array[Array[Double]](m)
     val nbs = new Array[Double](m)
+    val sqbs = new Array[Double](m)
     var j = 0
     while (j < m) {
       if (es.isNullAt(j)) cvs(j) = null
@@ -137,10 +145,14 @@ object NearestCell {
         }
         cvs(j) = y
         nbs(j) = nb
+        // sqrt hoisted out of the per-row argmax: the same
+        // Math.sqrt(nb) the cosine denominator evaluated per (row,
+        // entry) — identical value, computed once per unpack
+        sqbs(j) = java.lang.Math.sqrt(nb)
       }
       j += 1
     }
-    new Packed(m, cells, cvs, nbs)
+    new Packed(m, cells, cvs, nbs, sqbs)
   }
 
   private def packedFor(es: ArrayData): Packed = es match {
@@ -171,6 +183,18 @@ object NearestCell {
       x(i0) = if (v.isNullAt(i0)) 0.0 else v.getDouble(i0)
       i0 += 1
     }
+    // na = Σx² is loop-invariant across entries (same fold, ascending
+    // element order, as the previous per-entry accumulation — identical
+    // value), so it and its sqrt hoist out of the argmax loop; the
+    // cosine denominator sqa*sqb multiplies the SAME two Math.sqrt
+    // results the per-entry form produced, so selection stays
+    // bit-identical (NearestCellSpec pins parity).
+    var na = 0.0
+    if (!l2) {
+      var i = 0
+      while (i < n) { na += x(i) * x(i); i += 1 }
+    }
+    val sqa = if (l2) 0.0 else java.lang.Math.sqrt(na)
     var bestCell = 0
     var bestD = 0.0
     var found = false
@@ -194,18 +218,15 @@ object NearestCell {
             bestD = d; bestCell = cell; found = true
           }
         } else {
-          // na's fold is the same Σx² the fused per-entry loop
-          // accumulated (identical value every entry); nb comes from the
-          // unpack-time fold with the identical element order
-          var dot = 0.0; var na = 0.0
+          var dot = 0.0
           var i = 0
           while (i < n) {
-            dot += x(i) * y(i); na += x(i) * x(i)
+            dot += x(i) * y(i)
             i += 1
           }
           val nb = p.nbs(j)
           if (na != 0.0 && nb != 0.0) {
-            val d = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+            val d = dot / (sqa * p.sqbs(j))
             if (!found || d > bestD || (d == bestD && cell < bestCell)) {
               bestD = d; bestCell = cell; found = true
             }

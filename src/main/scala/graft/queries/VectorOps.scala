@@ -118,7 +118,17 @@ object VectorOps {
       .select(col("vec_id").cast("long").as("base_id"),
         asDouble(col("embedding")).as("bv"))
     val nBase = base.count()
-    base
+    // The fixture parquet is ONE file → ONE partition, and explode
+    // preserves partitioning — without this repartition the entire
+    // rep×-replicated corpus (1M rows at the 1M tier) sat in a single
+    // partition and every downstream pass (coarse assign, residual
+    // explode, PQ encode) ran on ONE of the 32 cores (r12 measured the
+    // 1M coarse assignment at 50.8 s single-threaded vs ~2 s parallel).
+    // Shuffling the BASE is the cheap side of the fan-out: nBase rows
+    // move, the ×rep explosion happens after, already spread. Hash
+    // partitioning by base_id is deterministic, so Lloyd's mean folds
+    // see a reproducible row order run over run.
+    base.repartition(col("base_id"))
       .withColumn("r", explode(sequence(lit(0), lit(rep - 1))))
       .withColumn("vec_id", col("r") * nBase + col("base_id"))
       .select(col("vec_id"),

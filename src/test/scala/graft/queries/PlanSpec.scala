@@ -298,6 +298,9 @@ class PlanSpec extends SparkSpec {
       "q_ordered_funnel",
       // same 1-row pattern: the corpus-size N in the idf ratio
       "q_tfidf",
+      // same 1-row pattern: the (N, total-token) scalars in the BM25
+      // idf ratio and length normalization
+      "q_bm25",
       // same 1-row pattern: the train-token total N in the surprise
       "q_unigram_lm",
       // same 1-row pattern: the train-token total N in the backoff term
