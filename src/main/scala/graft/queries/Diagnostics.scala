@@ -46,6 +46,43 @@ object Diagnostics {
         .orderBy($"bucket")
     },
 
+    // Bloom-filter join pre-filter — the probe-instead-of-scan primitive
+    // the micro-batch sidecar ([[graft.runner.BloomSidecar]], native
+    // [[graft.functions.BloomMightContain]]) applies to every tick's
+    // anti-join, surfaced as a registry gate. Build a bloom over the
+    // "existing" key set (even order keys), probe EVERY key through the
+    // codegen'd expression, and pin the two properties that make the
+    // pattern safe at 100 TB: fn_ok — no existing key is ever missed
+    // (bloom false negatives are impossible; a miss would corrupt the
+    // dedup-append), and fpp_ok — false positives (extra exact-verify
+    // work, never wrong results) stay under 5× the configured 1% rate.
+    // Scale: the build is one treeAggregate into a fixed ~1 MB sketch,
+    // the probe is a narrow whole-stage-codegen map; the exact
+    // membership here is a modulo predicate so the DuckDB twin computes
+    // the same rows without needing the sketch (the q_approx_dau
+    // contract pattern). Spark's bloom hashing is fixed-seed, so the
+    // booleans are reproducible run over run.
+    "q_bloom_prefilter" -> { (s, dir) =>
+      import s.implicits._
+      val keys = load(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("okey"),
+          $"o_orderkey".cast("string").as("key"),
+          ($"o_orderkey" % 2 === 0).as("truly_present"))
+      val existing = keys.where($"truly_present")
+      val nExist = existing.count() // bounded driver scalar: sizes the sketch
+      val bf = existing.stat.bloomFilter("key", math.max(nExist, 1L), 0.01)
+      val probed = keys.withColumn("hit",
+        graft.functions.BloomMightContain($"key", bf))
+      val agg = probed.agg(
+        sum(when($"hit" && !$"truly_present", 1L).otherwise(0L)).as("fp"),
+        sum(when(!$"truly_present", 1L).otherwise(0L)).as("absent")).head()
+      val fppOk = agg.getLong(0) <= agg.getLong(1) / 20 + 10
+      probed.select($"okey", $"truly_present",
+        (!$"truly_present" || $"hit").as("fn_ok"),
+        lit(fppOk).as("fpp_ok"))
+        .orderBy($"okey")
+    },
+
     // Fuzzy string self-join (edit distance ≤ 1) via DELETION
     // neighborhoods — the scalable approximate string join (spelling
     // variants, near-identical entity names): every word type emits
@@ -123,6 +160,16 @@ object Diagnostics {
         |SELECT CAST(length(bin(c)) AS BIGINT) AS bucket,
         |  COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows
         |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // The oracle computes exact membership (the modulo predicate) and
+    // asserts the two bloom contracts as literal TRUE — the Spark side
+    // must deliver booleans that ARE true (no false negative anywhere,
+    // false positives under bound) for the hash to match.
+    "q_bloom_prefilter" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |  (o_orderkey % 2 = 0) AS truly_present,
+        |  TRUE AS fn_ok, TRUE AS fpp_ok
+        |FROM orders ORDER BY okey""".stripMargin,
 
     // The oracle verifies the PAIR SET with all-pairs levenshtein over
     // the (bounded) vocabulary — deletion-neighborhood candidate
