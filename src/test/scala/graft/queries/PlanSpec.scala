@@ -122,6 +122,13 @@ class PlanSpec extends SparkSpec {
     // group in full.
     assert(plan("q_stratified_sample").contains("WindowGroupLimit"),
       "rank filter did not push into a WindowGroupLimit")
+    // same contract for the retrieval scorers' per-doc top-3: the
+    // window shuffle must carry ~3·docs rows, not every (doc, token)
+    // pair — at web scale the pair table is tokens×docs-shaped
+    Seq("q_tfidf", "q_bm25").foreach { q =>
+      assert(plan(q).contains("WindowGroupLimit"),
+        s"$q: per-doc top-k did not push into a WindowGroupLimit")
+    }
   }
 
   test("date-partitioned fact joined to a filtered dim prunes partitions dynamically") {
