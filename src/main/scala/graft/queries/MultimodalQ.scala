@@ -62,6 +62,45 @@ object MultimodalQ {
           $"width".cast("long").as("width"),
           $"height".cast("long").as("height"))
         .orderBy($"media_id")
+    },
+
+    // Temporal frame sampling over video payloads, gated byte-for-byte:
+    // each doc synthesizes a GFTV container (8..32 frames of 64..80
+    // bytes, every frame a distinct constant fill derived from
+    // (doc_id, frame)), the header parse recovers count/size FROM THE
+    // BYTES, and a uniform-4 temporal sample (idx_j = ⌊j·F/4⌋ — the
+    // standard video-classification sampling grid) slices each sampled
+    // frame's byte range with a codegen'd binary substring and hashes
+    // it. The oracle reconstructs every frame's bytes from arithmetic
+    // (constant fill in the single-byte chr range) and recomputes the
+    // sha — offsets, lengths, AND content all round-trip through the
+    // container bytes, so a parser or slicing regression breaks the
+    // hash. Scale: header parse is one narrow mapPartitions pass,
+    // sampling explodes exactly 4 rows per payload (never F), and the
+    // slice reads only sampled ranges — the frames the sample skips are
+    // never touched, which is the entire point of sampling a 100-TB
+    // video corpus.
+    "q_multimodal_frames" -> { (s, dir) =>
+      import s.implicits._
+      val media = load(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val f = (8 + id % 25).toInt
+          val sz = (64 + id % 17).toInt
+          val payload = Multimodal.videoBytes(f, sz,
+            i => ((id * 31 + i * 7) % 96 + 32).toByte)
+          (id, payload)
+        }.toDF("media_id", "payload")
+      Multimodal.decodeVideoMeta(media)
+        .withColumn("j", explode(sequence(lit(0), lit(3))))
+        .withColumn("frame_idx", expr("j * n_frames div 4"))
+        .withColumn("frame_off",
+          lit(Multimodal.VideoHeaderLen.toLong) + $"frame_idx" * $"frame_size")
+        .select($"media_id", $"j".cast("long").as("j"),
+          $"frame_idx", $"frame_off",
+          $"frame_size".cast("long").as("frame_len"),
+          sha2(expr("substring(payload, cast(frame_off + 1 as int), frame_size)"),
+            256).as("frame_sha"))
+        .orderBy($"media_id", $"j")
     }
   )
 
@@ -83,6 +122,26 @@ object MultimodalQ {
         |    WHEN 1 THEN 'jpeg' ELSE 'gif' END AS fmt,
         |  CAST(16 + doc_id % 624 AS BIGINT) AS width,
         |  CAST(16 + doc_id % 464 AS BIGINT) AS height
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Reconstructs the generation arithmetic (frame count/size/fill are
+    // doc_id-derived; fills stay in the single-byte chr range) and
+    // recomputes offsets + frame sha — the Spark side must recover all
+    // of it from the container BYTES alone.
+    "q_multimodal_frames" ->
+      """WITH g AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(8 + doc_id % 25 AS BIGINT) AS f,
+        |    CAST(64 + doc_id % 17 AS BIGINT) AS s
+        |  FROM documents
+        |), sampled AS (
+        |  SELECT media_id, f, s, j, (j * f) // 4 AS frame_idx
+        |  FROM g, (SELECT unnest(generate_series(0, 3)) AS j)
+        |)
+        |SELECT media_id, CAST(j AS BIGINT) AS j, frame_idx,
+        |  10 + frame_idx * s AS frame_off, s AS frame_len,
+        |  sha256(repeat(chr(CAST((media_id * 31 + frame_idx * 7) % 96 + 32
+        |    AS INT)), CAST(s AS INT))) AS frame_sha
+        |FROM sampled ORDER BY media_id, j""".stripMargin
   )
 }
