@@ -63,4 +63,39 @@ class MultimodalDecodeSpec extends SparkSpec {
       3L -> ("jpeg", 320, 240),
       4L -> ("gif", 8, 8)))
   }
+
+  test("video header round-trips count/size; malformed containers parse to None") {
+    val v = Multimodal.videoBytes(12, 64, i => i.toByte)
+    assert(v.length == Multimodal.VideoHeaderLen + 12 * 64)
+    assert(Multimodal.videoMeta(v).map(m => (m.n_frames, m.frame_size)) ==
+      Some((12, 64)))
+    // single-frame and max-u16 frame-size edges
+    assert(Multimodal.videoMeta(Multimodal.videoBytes(1, 1, _ => 7.toByte))
+      .map(m => (m.n_frames, m.frame_size)) == Some((1, 1)))
+    // rejection edges: wrong magic, truncated header, truncated tail
+    // frame (declared length ≠ actual bytes — slicing it would read
+    // garbage), zero frames
+    assert(Multimodal.videoMeta("GXTV0000000000".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.videoMeta(v.take(Multimodal.VideoHeaderLen - 1)).isEmpty)
+    assert(Multimodal.videoMeta(v.dropRight(1)).isEmpty)
+    assert(Multimodal.videoMeta(
+      Multimodal.videoBytes(0, 64, _ => 0.toByte)).isEmpty)
+  }
+
+  test("decodeVideoMeta drops unparseable rows; frame slices match the fill") {
+    val rows = Seq(
+      (1L, Multimodal.videoBytes(8, 16, i => (40 + i).toByte)),
+      (2L, "not a video".getBytes("UTF-8")),
+      (3L, Multimodal.videoBytes(4, 32, i => (60 + i).toByte)))
+    val meta = Multimodal.decodeVideoMeta(rows.toDF("media_id", "payload"))
+    val byId = meta.collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(byId == Map(1L -> ((8, 16)), 3L -> ((4, 32))))
+    // slice frame 2 of media 1 via the same binary substring the gate
+    // uses: 16 bytes, every one the fill value 42
+    import org.apache.spark.sql.functions._
+    val frame = meta.where(col("media_id") === 1L)
+      .select(expr(s"substring(payload, ${Multimodal.VideoHeaderLen + 2 * 16 + 1}, 16)"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(frame.length == 16 && frame.forall(_ == 42.toByte))
+  }
 }
