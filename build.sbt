@@ -11,6 +11,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench gate keeps a ~2000-char tail of this sbt
+// invocation's combined output and parses the LAST JSON line as the
+// round summary. sbt's default fork output strategy prefixes every
+// forked-stdout line with "[info] " (which defeated the parse in r12,
+// VERDICT #1); StdoutOutput passes the forked JVM's stdout/stderr
+// through verbatim. showSuccess/showTiming=false drop sbt's trailing
+// "[success] Total time: ..." line so graft.Bench's compact summary is
+// the literal last line of the invocation (the exit code still carries
+// success/failure for the driver's rc check).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+// showSuccess/showTiming are consumed by sbt's command engine, not by
+// another setting — exclude them from the unused-key lint.
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -105,7 +105,7 @@ object Bench {
     // before the end snapshot), and a competitor in ANOTHER container
     // is invisible by construction — steal and wall-time blowup remain
     // the backstops for those.
-    def statJiffies(): (Long, Long) = // (busyGlobal — telemetry only, steal)
+    def statJiffies(): (Long, Long) = // (busyGlobal, steal)
       try {
         val f = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get("/proc/stat")))
@@ -114,14 +114,18 @@ object Bench {
         (f(0) + f(1) + f(2), steal)
       } catch { case _: Exception => (-1L, -1L) }
     // One /proc walk, every visible pid classified and summed:
-    // (family, external). Family = self + all descendants + the
-    // ancestor chain (sbt/shell/harness JVMs hosting `runMain`) + pid 1
-    // (the sandbox's I/O relay — burns CPU proportional to OUR OWN
-    // stdout/stderr volume) + kernel threads (kthreadd's subtree: on an
-    // otherwise-idle host the kworker writeback they do is ours).
-    // External = everything else — sibling processes under the same
-    // harness included (a concurrent Verify/compile must still flag).
-    def censusJiffies(): (Long, Long) =
+    // (familyProc, familyKernel, external). familyProc = self + all
+    // descendants + the ancestor chain (sbt/shell/harness JVMs hosting
+    // `runMain`). familyKernel = pid 1 (the sandbox's I/O relay — burns
+    // CPU proportional to OUR OWN stdout/stderr volume) + kernel
+    // threads (kthreadd's subtree: on an otherwise-idle host the
+    // kworker writeback they do is ours). External = everything else —
+    // sibling processes under the same harness included (a concurrent
+    // Verify/compile must still flag). The split is recorded per entry
+    // (ADVICE r12) so a reviewer can see how much CPU the family/kernel
+    // classification absorbed instead of taking contended:false on
+    // faith; the classification itself only uses ext.
+    def censusJiffies(): (Long, Long, Long) =
       try {
         val pids = Option(new java.io.File("/proc").list()).toSeq.flatten
           .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
@@ -152,14 +156,14 @@ object Bench {
           if (pid == 2L) true
           else if (pid <= 1 || hops > 64 || !ppidOf.contains(pid)) false
           else kernelThread(ppidOf(pid), hops + 1)
-        var fam = 0L; var ext = 0L
+        var famP = 0L; var famK = 0L; var ext = 0L
         stats.foreach { case (pid, _, j) =>
-          if (pid == 1L || ancestors.contains(pid) || underSelf(pid) ||
-            kernelThread(pid)) fam += j
+          if (pid == 1L || kernelThread(pid)) famK += j
+          else if (ancestors.contains(pid) || underSelf(pid)) famP += j
           else ext += j
         }
-        (fam, ext)
-      } catch { case _: Exception => (-1L, -1L) }
+        (famP, famK, ext)
+      } catch { case _: Exception => (-1L, -1L, -1L) }
     def dirtyMb(): Long =
       try {
         import scala.jdk.CollectionConverters._
@@ -219,27 +223,72 @@ object Bench {
     val singleThunks = scala.collection.mutable.LinkedHashMap[String, () => Double]()
     val extBusyProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
     val stealProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Non-flipping telemetry (VERDICT r12 #3 + ADVICE): the global
+    // /proc/stat busy fraction and the family/kernel census split ride
+    // in the artifact next to ext-busy, so a reviewer can check
+    // global ≈ famProc + famKernel + ext on an idle host and see any
+    // out-of-namespace ghost CPU (global − sum of visible pids) that
+    // the visible-process ext signal is structurally blind to. Only
+    // ext-busy flips contended; these fields make that claim auditable.
+    val globalBusyProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val famBusyProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val kernelBusyProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
     /** Run a single-run entry with writeback settled first and
       * competitor-CPU fractions measured across it. Returns the entry's
       * reported seconds (for the retry path to min against).
       */
     def measureSingle(name: String, f: () => Double): Double = {
       settleDirty()
-      val (_, s0) = statJiffies()
-      val (fam0, ext0) = censusJiffies()
+      val (g0, s0) = statJiffies()
+      val (famP0, famK0, ext0) = censusJiffies()
       val w0 = System.nanoTime()
       val t = f()
       val wall = (System.nanoTime() - w0) / 1e9
-      val (_, s1) = statJiffies()
-      val (fam1, ext1) = censusJiffies()
+      val (g1, s1) = statJiffies()
+      val (famP1, famK1, ext1) = censusJiffies()
       val cap = wall * 100.0 * cpus.toDouble
-      if (s0 >= 0 && fam0 >= 0 && s1 >= 0 && fam1 >= 0 && cap > 0) {
+      if (s0 >= 0 && famP0 >= 0 && s1 >= 0 && famP1 >= 0 && cap > 0) {
         extBusyProbes(name) = math.max(0.0, (ext1 - ext0).toDouble) / cap
         stealProbes(name) = math.max(0.0, (s1 - s0).toDouble) / cap
+        globalBusyProbes(name) = math.max(0.0, (g1 - g0).toDouble) / cap
+        famBusyProbes(name) = math.max(0.0, (famP1 - famP0).toDouble) / cap
+        kernelBusyProbes(name) = math.max(0.0, (famK1 - famK0).toDouble) / cap
       }
       loadProbes(name) = loadavg()
       t
     }
+
+    // Probe self-test (VERDICT r12 #3): prove the census can still see
+    // an OUTSIDER before trusting this round's ext-busy zeros. Spawn
+    // two 1.5 s spinners double-forked so their parent sh exits
+    // immediately and they are reparented away from our process tree —
+    // to the census they then look exactly like an external competitor
+    // (not pid 1, not an ancestor, not under self, not a kernel
+    // thread). Assert both the global /proc/stat delta AND the census
+    // ext delta book the burn. If the sandbox reparents orphans to a
+    // subreaper INSIDE our ancestor chain the spinners would still
+    // classify external (ancestors-set membership is exact-pid, not
+    // subtree), so a failure here means /proc genuinely can't see the
+    // load — which is precisely what must be reported, not assumed.
+    val probeSelftest: String = try {
+      val (g0, _) = statJiffies()
+      val (_, _, ext0) = censusJiffies()
+      new ProcessBuilder("sh", "-c",
+        "( timeout 1.5 sh -c 'while :; do :; done' ) & " +
+        "( timeout 1.5 sh -c 'while :; do :; done' ) &").start().waitFor()
+      Thread.sleep(2000)
+      val (g1, _) = statJiffies()
+      val (_, _, ext1) = censusJiffies()
+      // 2 cores × 1.5 s × 100 Hz ≈ 300 jiffies; accept ≥ half (scheduler
+      // slack, USER_HZ rounding, spinner startup)
+      val extD = ext1 - ext0; val gD = g1 - g0
+      val seen = extD >= 150 && gD >= 150
+      s"""{"ext_jiffies":$extD,"global_jiffies":$gD,""" +
+        s""""expected_min":150,"external_visible":$seen}"""
+    } catch { case e: Exception =>
+      s"""{"error":"${e.getMessage}","external_visible":false}"""
+    }
+    System.err.println(s"[bench] probe selftest: $probeSelftest")
     val stageSplits =
       scala.collection.mutable.LinkedHashMap[String, Seq[(String, Double)]]()
     /** `runs = 2` double-runs an entry in THIS process and keeps the
@@ -256,23 +305,26 @@ object Bench {
         singleThunks(name) = () => f
         var best = Double.MaxValue
         val log = Seq.newBuilder[Double]
-        var winner: (Option[Double], Option[Double], Double,
-          Option[Seq[(String, Double)]]) = (None, None, -1.0, None)
+        val probeMaps = Seq(extBusyProbes, stealProbes, globalBusyProbes,
+          famBusyProbes, kernelBusyProbes)
+        var winProbes: Seq[Option[Double]] = probeMaps.map(_ => None)
+        var winLoad = -1.0
+        var winSplit: Option[Seq[(String, Double)]] = None
         for (_ <- 1 to runs) {
           val t = measureSingle(name, () => f)
           log += t
           if (t < best) {
             best = t
-            winner = (extBusyProbes.get(name), stealProbes.get(name),
-              loadProbes(name), stageSplits.get(name))
+            winProbes = probeMaps.map(_.get(name))
+            winLoad = loadProbes(name)
+            winSplit = stageSplits.get(name)
           }
         }
-        winner match { case (e, st, l, sp) =>
-          e.foreach(extBusyProbes(name) = _)
-          st.foreach(stealProbes(name) = _)
-          loadProbes(name) = l
-          sp.foreach(stageSplits(name) = _)
+        probeMaps.zip(winProbes).foreach { case (m, v) =>
+          v.foreach(m(name) = _)
         }
+        loadProbes(name) = winLoad
+        winSplit.foreach(stageSplits(name) = _)
         results(name) = best
         runsLog(name) = log.result()
       }
@@ -821,8 +873,9 @@ object Bench {
     singleRetried.foreach { name =>
       releaseAll()
       try {
-        val prevExt = extBusyProbes.get(name)
-        val prevSteal = stealProbes.get(name)
+        val probeMaps = Seq(extBusyProbes, stealProbes, globalBusyProbes,
+          famBusyProbes, kernelBusyProbes)
+        val prevProbes = probeMaps.map(_.get(name))
         val prevLoad = loadProbes.get(name)
         val prevSplit = stageSplits.get(name)
         val t = measureSingle(name, singleThunks(name))
@@ -831,8 +884,9 @@ object Bench {
         else {
           // the first run stays the reported number — keep its probes
           // and stage split
-          prevExt.foreach(extBusyProbes(name) = _)
-          prevSteal.foreach(stealProbes(name) = _)
+          probeMaps.zip(prevProbes).foreach { case (m, v) =>
+            v.foreach(m(name) = _)
+          }
           prevLoad.foreach(loadProbes(name) = _)
           prevSplit.foreach(stageSplits(name) = _)
         }
@@ -858,12 +912,24 @@ object Bench {
     // a code change that legitimately slows an operator, stale faster
     // numbers would lie — delete the old artifact or set the flag).
     // ------------------------------------------------------------------
-    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
-      val re = "CORRECTNESS_r(\\d+)\\.json".r
-      val judged = Option(new java.io.File(".").list()).toSeq.flatten.collect {
-        case re(n) => n.toInt }
-      if (judged.isEmpty) 0 else judged.max + 1
-    }
+    // Round identity (VERDICT r12 #2): the max(CORRECTNESS)+1 inference
+    // mis-named the DRIVER's end-of-round run — the driver writes
+    // CORRECTNESS_r{N} BEFORE running bench, so its round-N bench saw N
+    // judged files and stamped itself r{N+1}. The committed ROUND
+    // marker file is now authoritative (the builder bumps it as the
+    // first commit of each round, so both in-round and end-of-round
+    // runs agree); env override first, inference as last resort.
+    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+      .orElse(try {
+        Some(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("ROUND"))).trim.toInt)
+      } catch { case _: Exception => None })
+      .getOrElse {
+        val re = "CORRECTNESS_r(\\d+)\\.json".r
+        val judged = Option(new java.io.File(".").list()).toSeq.flatten.collect {
+          case re(n) => n.toInt }
+        if (judged.isEmpty) 0 else judged.max + 1
+      }
     val artifactName =
       if (only.isEmpty) f"BENCH_local_r$round%02d.json"
       else f"BENCH_local_r$round%02d.partial.json"
@@ -886,8 +952,12 @@ object Bench {
           mergeCount = old.path("merge_count").asInt(1) + 1
           val oldR = old.path("runs")
           val oldP = old.path("loadavg_probes")
-          val oldExt = old.path("ext_busy_probes")
-          val oldSteal = old.path("steal_probes")
+          val mergeProbeMaps = Seq(
+            "ext_busy_probes" -> extBusyProbes,
+            "steal_probes" -> stealProbes,
+            "global_busy_probes" -> globalBusyProbes,
+            "fam_busy_probes" -> famBusyProbes,
+            "kernel_busy_probes" -> kernelBusyProbes)
           // Skipped names (q_gold_*, q_stream_*, the scale contract, the
           // memoized BPE entries) must not be resurrected from an older
           // artifact written before they joined the skip set — merging
@@ -902,10 +972,11 @@ object Bench {
             if (oldWins) {
               results(n) = oldV
               if (oldP.has(n)) loadProbes(n) = oldP.get(n).asDouble()
-              if (oldExt.has(n)) extBusyProbes(n) = oldExt.get(n).asDouble()
-              else extBusyProbes.remove(n)
-              if (oldSteal.has(n)) stealProbes(n) = oldSteal.get(n).asDouble()
-              else stealProbes.remove(n)
+              mergeProbeMaps.foreach { case (field, m) =>
+                val oldM = old.path(field)
+                if (oldM.has(n)) m(n) = oldM.get(n).asDouble()
+                else m.remove(n)
+              }
             } else if (!results.contains(n)) results(n) = newV
             runsLog(n) = oldRuns ++ runsLog.getOrElse(n, Seq.empty)
           }
@@ -946,6 +1017,13 @@ object Bench {
         extBusyProbes.map { case (k, v) => k -> f"$v%.4f" })},""" +
       s""""steal_probes":${fmtMap(
         stealProbes.map { case (k, v) => k -> f"$v%.4f" })},""" +
+      s""""global_busy_probes":${fmtMap(
+        globalBusyProbes.map { case (k, v) => k -> f"$v%.4f" })},""" +
+      s""""fam_busy_probes":${fmtMap(
+        famBusyProbes.map { case (k, v) => k -> f"$v%.4f" })},""" +
+      s""""kernel_busy_probes":${fmtMap(
+        kernelBusyProbes.map { case (k, v) => k -> f"$v%.4f" })},""" +
+      s""""probe_selftest":$probeSelftest,""" +
       s""""stage_splits":${fmtMap(stageSplits.map { case (k, v) =>
         k -> v.map { case (s2, t2) => "\"" + s2 + "\":" + f"$t2%.2f" }
           .mkString("{", ",", "}") })},""" +
@@ -956,16 +1034,28 @@ object Bench {
         .mkString("[", ",", "]")},""" +
       s""""contended_queries":$contendedJson,"contended":$contended,""" +
       s""""src_fingerprint":"$srcFp","sf":"$sfDir"}"""
-    // The driver's gate artifact keeps only a ~2000-char stdout TAIL —
+    // The driver's gate artifact keeps only a ~2000-char tail of the
+    // sbt invocation's combined output and parses its last JSON line —
     // round 11 printed the full ~10 KB artifact here and the tail began
-    // mid-JSON, so BENCH_r11.json carried `parsed: null` (VERDICT r11
-    // #2). The FULL artifact lives only in the in-repo file; stdout gets
-    // a compact (<1500-char) summary as the LAST line: headline total,
-    // entry count, the slowest entries (still a `queries` map, so the
-    // driver's schema parses it), contention verdict, and a pointer to
-    // the full file. Round inferred from the committed CORRECTNESS_r<NN>
-    // files, overridable via SPARK_GRAFT_ROUND; partial-suite runs go to
-    // a scratch-suffixed name so iteration can't clobber the round file.
+    // mid-JSON (parsed: null); round 12's compact summary survived in
+    // the tail but arrived as "[info] {...}" followed by sbt's
+    // "[success] Total time" line, and still didn't parse (VERDICT r12
+    // #1). Both sbt framing defects are now fixed in build.sbt
+    // (run/outputStrategy := StdoutOutput drops the "[info] " prefix;
+    // showSuccess/showTiming := false drop the trailing "[success]"
+    // line), and the summary is printed AFTER spark.stop() so no
+    // late WARN from session shutdown can land behind it on the merged
+    // stream — making it the literal last line of the invocation,
+    // unprefixed, whichever of the two contracts the driver's parser
+    // uses. It is also emitted on stderr immediately before, in case
+    // the parser scans only one of the merged streams. The FULL
+    // artifact lives in the in-repo file; stdout keeps a compact
+    // (<1500-char) summary: headline total, entry count, the slowest
+    // entries (still a `queries` map, so the driver's schema parses
+    // it), contention verdict, and a pointer to the full file. Round
+    // comes from the committed ROUND marker (env-overridable);
+    // partial-suite runs go to a scratch-suffixed name so iteration
+    // can't clobber the round file.
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(artifactName),
         (json + "\n").getBytes("UTF-8"))
@@ -981,9 +1071,12 @@ object Bench {
       s""""run_count":${runsLog.values.map(_.size).sum},""" +
       s""""wall_sec":${f"$wall%.1f"},"contended":$contended,""" +
       s""""full":"$artifactName","sf":"$sfDir"}"""
-    println(summary)
     if (summary.length > 1500) System.err.println(
       s"[bench] WARNING: summary line ${summary.length} chars > 1500 budget")
     spark.stop()
+    System.err.println(summary)
+    System.err.flush()
+    println(summary)
+    System.out.flush()
   }
 }

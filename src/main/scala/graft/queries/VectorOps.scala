@@ -126,8 +126,11 @@ object VectorOps {
     // 1M coarse assignment at 50.8 s single-threaded vs ~2 s parallel).
     // Shuffling the BASE is the cheap side of the fan-out: nBase rows
     // move, the ×rep explosion happens after, already spread. Hash
-    // partitioning by base_id is deterministic, so Lloyd's mean folds
-    // see a reproducible row order run over run.
+    // partitioning by base_id makes the partition ASSIGNMENT
+    // deterministic; within-partition row order is NOT (shuffle block
+    // fetch order varies run over run). Downstream consumers don't
+    // depend on it: seed selection is order-insensitive
+    // (orderBy(vec_id).limit), and the recall contracts carry slack.
     base.repartition(col("base_id"))
       .withColumn("r", explode(sequence(lit(0), lit(rep - 1))))
       .withColumn("vec_id", col("r") * nBase + col("base_id"))

@@ -98,4 +98,87 @@ class MultimodalDecodeSpec extends SparkSpec {
       .collect()(0).getAs[Array[Byte]](0)
     assert(frame.length == 16 && frame.forall(_ == 42.toByte))
   }
+
+  test("mp4 demuxer recovers codec/dims and exact per-sample ranges from box tables") {
+    // 7 frames of varying sizes in 2-sample chunks → 4 chunks (tail
+    // chunk short, second stsc run), frames contiguous in mdat at 24
+    val sizes = Array(10, 20, 30, 40, 50, 60, 70)
+    val mp4 = Multimodal.mp4Bytes(sizes, i => (50 + i).toByte,
+      samplesPerChunk = 2, w = 320, h = 180)
+    val t = Multimodal.mp4Track(mp4).get
+    assert(t.codec == "avc1" && t.width == 320 && t.height == 180)
+    assert(t.sizes.toSeq == sizes.toSeq)
+    assert(t.offsets.toSeq ==
+      sizes.scanLeft(24L)(_ + _).toSeq.take(sizes.length))
+    // byte-level: slice each declared range and check the constant fill
+    sizes.indices.foreach { i =>
+      val slice = mp4.slice(t.offsets(i).toInt, t.offsets(i).toInt + t.sizes(i))
+      assert(slice.length == sizes(i) && slice.forall(_ == (50 + i).toByte))
+    }
+    // single-frame container (one chunk, one run)
+    val one = Multimodal.mp4Track(
+      Multimodal.mp4Bytes(Array(17), _ => 9.toByte)).get
+    assert(one.sizes.toSeq == Seq(17) && one.offsets.toSeq == Seq(24L))
+  }
+
+  test("mp4 rejection edges: truncation, bad tables, out-of-bounds ranges") {
+    val sizes = Array(10, 20, 30)
+    val mp4 = Multimodal.mp4Bytes(sizes, _ => 1.toByte)
+    assert(Multimodal.mp4Track(mp4).isDefined)
+    // not an MP4 at all / empty / truncated before moov
+    assert(Multimodal.mp4Track("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.mp4Track(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.mp4Track(mp4.take(30)).isEmpty)
+    // truncated INSIDE moov: box size now points past the payload end
+    assert(Multimodal.mp4Track(mp4.dropRight(5)).isEmpty)
+    // corrupt an stco offset to point past the payload: the demuxer
+    // must refuse rather than hand out a garbage slice. stco body ends
+    // with the last chunk offset — find the box and smash its offset.
+    val idx = {
+      var i = -1; var k = 0
+      while (i < 0 && k + 4 <= mp4.length) {
+        if (mp4(k) == 's' && mp4(k + 1) == 't' && mp4(k + 2) == 'c' &&
+          mp4(k + 3) == 'o') i = k
+        k += 1
+      }
+      i
+    }
+    assert(idx > 0)
+    val bad = mp4.clone()
+    // first chunk offset is at stco fourcc + 4 (ver/flags) + 4 (count)
+    val o = idx + 4 + 8
+    bad(o) = 0x7F.toByte; bad(o + 1) = 0xFF.toByte
+    assert(Multimodal.mp4Track(bad).isEmpty)
+    // zero declared samples
+    val zeroN = mp4.clone()
+    val szIdx = {
+      var i = -1; var k = 0
+      while (i < 0 && k + 4 <= zeroN.length) {
+        if (zeroN(k) == 's' && zeroN(k + 1) == 't' && zeroN(k + 2) == 's' &&
+          zeroN(k + 3) == 'z') i = k
+        k += 1
+      }
+      i
+    }
+    // sample_count is at stsz fourcc end + 4 (ver/flags) + 4 (uniform)
+    (0 until 4).foreach(d => zeroN(szIdx + 12 + d) = 0.toByte)
+    assert(Multimodal.mp4Track(zeroN).isEmpty)
+  }
+
+  test("decodeMp4 drops unparseable rows; sampled slice hashes match the fill") {
+    val rows = Seq(
+      (1L, Multimodal.mp4Bytes(Array(16, 20, 24, 28), i => (70 + i).toByte)),
+      (2L, "not a video".getBytes("UTF-8")),
+      (3L, Multimodal.mp4Bytes(Array(32), _ => 5.toByte)))
+    val meta = Multimodal.decodeMp4(rows.toDF("media_id", "payload"))
+    val byId = meta.collect().map(r => r.getLong(0) -> r.getInt(5)).toMap
+    assert(byId == Map(1L -> 4, 3L -> 1))
+    import org.apache.spark.sql.functions._
+    // frame 2 of media 1: offset 24+16+20=60, len 24, fill 72
+    val frame = meta.where(col("media_id") === 1L)
+      .select(expr("substring(payload, cast(element_at(frame_offsets, 3) + 1 as int), " +
+        "element_at(frame_sizes, 3))"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(frame.length == 24 && frame.forall(_ == 72.toByte))
+  }
 }
