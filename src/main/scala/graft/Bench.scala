@@ -260,37 +260,52 @@ object Bench {
 
     // Probe self-test (VERDICT r12 #3): prove the census can still see
     // an OUTSIDER before trusting this round's ext-busy zeros. Spawn
-    // two 1.5 s spinners double-forked so their parent sh exits
+    // two 2.5 s spinners double-forked so their parent sh exits
     // immediately and they are reparented away from our process tree —
     // to the census they then look exactly like an external competitor
     // (not pid 1, not an ancestor, not under self, not a kernel
-    // thread). Assert both the global /proc/stat delta AND the census
-    // ext delta book the burn. If the sandbox reparents orphans to a
-    // subreaper INSIDE our ancestor chain the spinners would still
-    // classify external (ancestors-set membership is exact-pid, not
-    // subtree), so a failure here means /proc genuinely can't see the
-    // load — which is precisely what must be reported, not assumed.
+    // thread). The ext census is snapshotted MID-RUN, while the
+    // spinners are still alive: the first cut of this test snapshotted
+    // after they exited and read ext=0 with global=328 — a live
+    // demonstration of the documented census blind spot (an exited
+    // competitor's jiffies leave /proc with it) and of why the global
+    // /proc/stat delta rides in the artifact as the non-flipping
+    // backstop (it books the burn even after the process is gone).
+    // Assert both signals see the spinners; a failure here means /proc
+    // genuinely can't see the load in this sandbox — which is precisely
+    // what must be reported, not assumed.
     val probeSelftest: String = try {
       val (g0, _) = statJiffies()
       val (_, _, ext0) = censusJiffies()
       new ProcessBuilder("sh", "-c",
-        "( timeout 1.5 sh -c 'while :; do :; done' ) & " +
-        "( timeout 1.5 sh -c 'while :; do :; done' ) &").start().waitFor()
-      Thread.sleep(2000)
-      val (g1, _) = statJiffies()
+        "( timeout 2.5 sh -c 'while :; do :; done' ) & " +
+        "( timeout 2.5 sh -c 'while :; do :; done' ) &").start().waitFor()
+      Thread.sleep(1800) // census while the spinners still run
       val (_, _, ext1) = censusJiffies()
-      // 2 cores × 1.5 s × 100 Hz ≈ 300 jiffies; accept ≥ half (scheduler
-      // slack, USER_HZ rounding, spinner startup)
+      Thread.sleep(1200) // let them exit; global still books the burn
+      val (g1, _) = statJiffies()
+      // 2 cores × 1.8 s × 100 Hz ≈ 360 jiffies live; ≈ 500 total by the
+      // global read; accept ≥ half (scheduler slack, USER_HZ rounding,
+      // spinner startup)
       val extD = ext1 - ext0; val gD = g1 - g0
-      val seen = extD >= 150 && gD >= 150
+      val seen = extD >= 180 && gD >= 250
       s"""{"ext_jiffies":$extD,"global_jiffies":$gD,""" +
-        s""""expected_min":150,"external_visible":$seen}"""
+        s""""expected_min_ext":180,"expected_min_global":250,""" +
+        s""""external_visible":$seen}"""
     } catch { case e: Exception =>
       s"""{"error":"${e.getMessage}","external_visible":false}"""
     }
     System.err.println(s"[bench] probe selftest: $probeSelftest")
     val stageSplits =
       scala.collection.mutable.LinkedHashMap[String, Seq[(String, Double)]]()
+    // A tick sink accumulates one entry per stage per micro-batch; sum by
+    // name (first-seen order) so the artifact carries one number per
+    // stage however many micro-batches the drain ran.
+    def sumStages(b: Iterable[(String, Double)]): Seq[(String, Double)] = {
+      val m = scala.collection.mutable.LinkedHashMap[String, Double]()
+      b.foreach { case (k, v) => m(k) = m.getOrElse(k, 0.0) + v }
+      m.toSeq
+    }
     /** `runs = 2` double-runs an entry in THIS process and keeps the
       * minimum (VERDICT r11 #3: the driver's one-shot artifact showed
       * medallion_e2e_1m at 8× the committed cross-run min with clean
@@ -417,7 +432,7 @@ object Bench {
     // pays O(affected dates) — the medallion_tick vs
     // medallion_tick_rollup delta IS the maintenance increment).
     def medallionTick(redeliveredHalf: Boolean, rollup: Boolean = false,
-                      dir: String = sfDir): Double = {
+                      dir: String = sfDir, splitName: String = null): Double = {
       import org.apache.spark.sql.functions._
       val staging = java.nio.file.Files.createTempDirectory("graft_bench_stg").toString
       val wh = java.nio.file.Files.createTempDirectory("graft_bench_tick_wh").toString
@@ -432,11 +447,14 @@ object Bench {
       stageInterval(staging, graft.pipeline.RefEventsAdapter.toRawJson(
         day.where(col("rep") >= tick2Lo && col("rep") < tick2Lo + 8).drop("rep")),
         t0.plusMinutes(15))
+      val stages = scala.collection.mutable.ArrayBuffer[(String, Double)]()
       val mb = new graft.runner.MicroBatch(spark, staging, wh,
-        maintainRollup = rollup)
+        maintainRollup = rollup, stageSink = Some(stages))
       mb.runInterval(t0) // untimed: seeds warehouse + sidecar coverage
+      stages.clear() // attribute only the timed tick
       var factAfter = 0L
       val t = time { factAfter = mb.runInterval(t0.plusMinutes(15))._3 }
+      if (splitName != null) stageSplits(splitName) = sumStages(stages)
       // a tick that processed nothing measured nothing — fail loudly
       // rather than record a vacuously fast number
       require(factAfter > 0, s"bench tick (redelivered=$redeliveredHalf) was a no-op")
@@ -481,10 +499,16 @@ object Bench {
       medallion(sys.env.getOrElse("SPARK_GRAFT_MEDALLION_REPLICATE", "10").toInt,
         splitName = "medallion_e2e_1m")
     }
-    single("medallion_tick") { medallionTick(redeliveredHalf = false) }
-    single("medallion_tick_redelivered") { medallionTick(redeliveredHalf = true) }
+    single("medallion_tick") {
+      medallionTick(redeliveredHalf = false, splitName = "medallion_tick")
+    }
+    single("medallion_tick_redelivered") {
+      medallionTick(redeliveredHalf = true,
+        splitName = "medallion_tick_redelivered")
+    }
     single("medallion_tick_rollup") {
-      medallionTick(redeliveredHalf = false, rollup = true)
+      medallionTick(redeliveredHalf = false, rollup = true,
+        splitName = "medallion_tick_rollup")
     }
 
     // Structured-Streaming twin of the tick: AvailableNow drain of one
@@ -500,20 +524,32 @@ object Bench {
       val day = tickDay()
       def stage(df: DataFrame, sub: String): Unit =
         graft.pipeline.RefEventsAdapter.toRawJson(df).write.text(s"$staging/$sub")
-      def drain(): Unit = {
-        graft.streaming.StreamingIngest.runBronze(spark, s"$staging/*/part-*",
-          s"$wh/bronze", s"$wh/ckpt_b", "2025-09-15")
-        graft.streaming.StreamingIngest.runSilver(spark, s"$wh/bronze",
-          s"$wh/silver", s"$wh/ckpt_s")
-        graft.streaming.StreamingIngest.runGold(spark, s"$wh/silver", wh,
-          s"$wh/ckpt_g")
+      def drain(splits: Option[scala.collection.mutable.Buffer[(String, Double)]]): Unit = {
+        def timed(name: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          splits.foreach(_ += name -> (System.nanoTime() - t0) / 1e9)
+        }
+        timed("bronze_drain") {
+          graft.streaming.StreamingIngest.runBronze(spark, s"$staging/*/part-*",
+            s"$wh/bronze", s"$wh/ckpt_b", "2025-09-15")
+        }
+        timed("silver_drain") {
+          graft.streaming.StreamingIngest.runSilver(spark, s"$wh/bronze",
+            s"$wh/silver", s"$wh/ckpt_s")
+        }
+        timed("gold_drain") {
+          graft.streaming.StreamingIngest.runGold(spark, s"$wh/silver", wh,
+            s"$wh/ckpt_g")
+        }
       }
       stage(day.where(col("rep") < 8).drop("rep"), "b1")
-      drain() // untimed: seeds warehouse + checkpoints + sidecar coverage
+      drain(None) // untimed: seeds warehouse + checkpoints + sidecar coverage
       val factBefore = spark.read.parquet(s"$wh/fact_user_events").count()
       stage(day.where(col("rep") >= 8).drop("rep")
         .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY")), "b2")
-      val t = time { drain() }
+      val splits = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      val t = time { drain(Some(splits)) }
+      stageSplits("streaming_tick") = sumStages(splits)
       // the drain must have appended the second batch's facts — a no-op
       // (e.g. rows discarded as late vs the persisted watermark) would
       // record a vacuously fast number
@@ -546,16 +582,18 @@ object Bench {
         graft.streaming.StreamingIngest.runSilver(spark, s"$wh/bronze",
           s"$wh/silver", s"$wh/ckpt_s")
       }
-      def drainGold(): Unit =
+      def drainGold(sink: Option[scala.collection.mutable.Buffer[(String, Double)]]): Unit =
         graft.streaming.StreamingIngest.runGold(spark, s"$wh/silver", wh,
-          s"$wh/ckpt_g", maintainRollup = true)
+          s"$wh/ckpt_g", maintainRollup = true, stageSink = sink)
       stage(day.where(col("rep") < 8).drop("rep"), "b1")
-      drainIngest(); drainGold() // untimed seed
+      drainIngest(); drainGold(None) // untimed seed
       val factBefore = spark.read.parquet(s"$wh/fact_user_events").count()
       stage(day.where(col("rep") >= 8).drop("rep")
         .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY")), "b2")
       drainIngest() // untimed: isolate the gold stage
-      val t = time { drainGold() }
+      val splits = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      val t = time { drainGold(Some(splits)) }
+      stageSplits("streaming_gold") = sumStages(splits)
       require(spark.read.parquet(s"$wh/fact_user_events").count() > factBefore,
         "bench streaming_gold drained nothing")
       require(spark.read.parquet(s"$wh/agg_daily_events").count() > 0,

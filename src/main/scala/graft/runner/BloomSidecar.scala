@@ -122,13 +122,19 @@ class BloomSidecar(spark: SparkSession, sinkPath: String,
 
   /** Record a batch's keys, one bloom update per affected partition, in a
     * single distributed pass: `keyed` is (part_dir, key) at batch
-    * cardinality, aggregated per partition into fixed-size blooms (at
-    * most `affected partitions` blooms ever reach the driver — the same
-    * bounded collect as the tick's affected-key set). Partitions that
-    * exist but are not covered are skipped (see class doc); callers that
-    * CAN vouch for full coverage (a bulk writer seeding a partition it is
-    * about to create) pass `trusted = true` to override the existence
-    * check. Call BEFORE appending the data the keys describe.
+    * cardinality, clustered per partition into fixed-size blooms that are
+    * rolled to the sidecar FROM THE EXECUTOR TASK that built them
+    * (VERDICT r12 #4: the previous collect() shipped one full-size bloom
+    * per distinct partition to the driver — bounded on a tick, but a
+    * multi-year 100-TB bulk re-seed is 1000+ partitions ≈ GBs through one
+    * driver). Only a per-task count crosses back. Each partition's keys
+    * land in exactly one task (repartition by dir), so no two tasks ever
+    * roll the same partition concurrently — the same single-writer
+    * property the driver loop had. Partitions that exist but are not
+    * covered are skipped (see class doc); callers that CAN vouch for full
+    * coverage (a bulk writer seeding a partition it is about to create)
+    * pass `trusted = true` to override the existence check. Call BEFORE
+    * appending the data the keys describe.
     */
   def addBatch(keyed: DataFrame, trusted: Boolean = false): Unit = {
     val (n, p) = (expectedItems, fpp)
@@ -145,8 +151,11 @@ class BloomSidecar(spark: SparkSession, sinkPath: String,
     // combiner — a batch of late events spanning 30 dates on 32 cores
     // transiently held ~1000 empty 1.2 MB blooms). One extra O(batch)
     // shuffle of (dir, key) pairs buys memory bounded by the affected
-    // partition count.
-    val blooms = clean.repartition(col(clean.columns.head)).rdd
+    // partition count per task.
+    val sink = sinkPath
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(hconf))
+    val rolled = clean.repartition(col(clean.columns.head)).rdd
       .map(r => (r.getString(0), r.getString(1)))
       .mapPartitions { it =>
         val m = scala.collection.mutable.LinkedHashMap[String, BloomFilter]()
@@ -155,33 +164,60 @@ class BloomSidecar(spark: SparkSession, sinkPath: String,
           m.getOrElseUpdate(dir, BloomFilter.create(n, p)).putString(k)
           cnt(dir) = cnt.getOrElse(dir, 0L) + 1
         }
-        m.iterator.map { case (dir, bf) => (dir, (bf, cnt(dir))) }
+        var nSealed = 0L
+        m.foreach { case (dir, bf) =>
+          if (BloomSidecar.sealPartition(confB.value.value, sink, dir, bf,
+            cnt(dir), trusted)) nSealed += 1
+        }
+        Iterator.single(nSealed)
       }
-      .collect()
-    blooms.foreach { case (partDir, (bf, added)) =>
-      val fresh = !fs(dataDir(partDir)).exists(dataDir(partDir))
-      if (trusted || fresh || bloomFiles(partDir).nonEmpty) roll(partDir, bf, added)
-    }
+      .fold(0L)(_ + _)
+    rolled: Unit // an action drove the writes; the count is telemetry only
+  }
+}
+
+object BloomSidecar {
+
+  private def bloomFilesIn(conf: org.apache.hadoop.conf.Configuration,
+                           sinkPath: String, partDir: String): Seq[Path] = {
+    val d = new Path(s"$sinkPath/_bloom/$partDir")
+    val f = d.getFileSystem(conf)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.filter(_.getPath.getName.endsWith(".bloom")).map(_.getPath)
   }
 
-  /** Merge `bf` with the partition's current bloom files into one new
-    * file (cumulative insert count in the name), then drop the old ones.
-    * Write-new-then-delete-old: no state in the sequence ever
-    * under-approximates the partition.
+  private def fileCountOf(p: Path): Long =
+    "_n(\\d+)\\.bloom$".r.findFirstMatchIn(p.getName)
+      .map(_.group(1).toLong).getOrElse(0L)
+
+  /** Coverage-check + roll for one partition, runnable inside an executor
+    * task (only a Configuration, paths and the task-built bloom — no
+    * SparkSession). Merges `bf` with the partition's current bloom files
+    * into one new file (cumulative insert count in the name), then drops
+    * the old ones. Write-new-then-delete-old: no state in the sequence
+    * ever under-approximates the partition. Returns whether a roll
+    * happened.
     */
-  private def roll(partDir: String, bf: BloomFilter, added: Long): Unit = {
-    val old = bloomFiles(partDir)
+  private[runner] def sealPartition(
+      conf: org.apache.hadoop.conf.Configuration, sinkPath: String,
+      partDir: String, bf: BloomFilter, added: Long,
+      trusted: Boolean): Boolean = {
+    val dataDir = new Path(s"$sinkPath/$partDir")
+    val fresh = !dataDir.getFileSystem(conf).exists(dataDir)
+    val old = bloomFilesIn(conf, sinkPath, partDir)
+    if (!(trusted || fresh || old.nonEmpty)) return false
     old.foreach { p =>
-      val in = fs(p).open(p)
+      val in = p.getFileSystem(conf).open(p)
       try bf.mergeInPlace(BloomFilter.readFrom(in)) finally in.close()
     }
-    val total = added + old.map(fileCount).sum
-    val d = bloomDir(partDir)
-    val f = fs(d)
+    val total = added + old.map(fileCountOf).sum
+    val d = new Path(s"$sinkPath/_bloom/$partDir")
+    val f = d.getFileSystem(conf)
     f.mkdirs(d)
     val next = new Path(d, s"${java.util.UUID.randomUUID()}_n$total.bloom")
     val out = f.create(next, false)
     try bf.writeTo(out) finally out.close()
-    old.foreach(p => fs(p).delete(p, false))
+    old.foreach(p => p.getFileSystem(conf).delete(p, false))
+    true
   }
 }

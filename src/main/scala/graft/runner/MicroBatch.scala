@@ -38,7 +38,21 @@ import graft.pipeline._
 class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
                  tableSuffix: String = "",
                  bloomExpectedItems: Long = 1L << 20,
-                 maintainRollup: Boolean = false) {
+                 maintainRollup: Boolean = false,
+                 stageSink: Option[scala.collection.mutable.Buffer[(String, Double)]] = None) {
+
+  /** Per-stage wall attribution (VERDICT r12 #6): when a sink is
+    * supplied, each named tick stage appends (name, seconds) — the bench
+    * artifact then attributes a slow tick to a stage instead of one
+    * opaque number. Appends accumulate across ticks/micro-batches; the
+    * bench sums by name.
+    */
+  private def stage[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    stageSink.foreach(_ += name -> (System.nanoTime() - t0) / 1e9)
+    r
+  }
 
   val bronzePath = s"$warehouse/bronze_events$tableSuffix"
   val silverPath = s"$warehouse/user_events_silver$tableSuffix"
@@ -205,14 +219,16 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
       try StagingToBronze.readStaging(spark, path)
       catch { case _: org.apache.spark.sql.AnalysisException => return (0L, 0L, 0L) }
     if (raw.isEmpty) return (0L, 0L, 0L)
-    val bronze = StagingToBronze.enrich(raw, path, ingestionDate)
-      .withColumn("batch_id", lit(batchId))
-    // scoped, not leaked: the tick needs dynamic mode only for its own
-    // batch-partition replace — the session's setting is restored so a
-    // later full-table overwrite elsewhere stays a full overwrite
-    IncrementalRollup.withDynamicPartitionOverwrite(spark) {
-      bronze.write.mode("overwrite")
-        .partitionBy("ingestion_date", "batch_id").parquet(bronzePath)
+    stage("bronze") {
+      val bronze = StagingToBronze.enrich(raw, path, ingestionDate)
+        .withColumn("batch_id", lit(batchId))
+      // scoped, not leaked: the tick needs dynamic mode only for its own
+      // batch-partition replace — the session's setting is restored so a
+      // later full-table overwrite elsewhere stays a full overwrite
+      IncrementalRollup.withDynamicPartitionOverwrite(spark) {
+        bronze.write.mode("overwrite")
+          .partitionBy("ingestion_date", "batch_id").parquet(bronzePath)
+      }
     }
 
     // --- bronze → silver: read back only this batch's partition (P3)
@@ -224,8 +240,10 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     // The affected set is tiny (a 15-min batch touches 1-2 event dates),
     // so collect it and filter STATICALLY — the existing-silver scan then
     // carries PartitionFilters instead of relying on runtime DPP.
-    val affectedKeys = silverNew.select("year", "month", "day").distinct()
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    val affectedKeys = stage("silver_parse") {
+      silverNew.select("year", "month", "day").distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    }
     val affectedFilter = affectedFilterOf(affectedKeys)
     // Anti-join APPEND, not merge-overwrite: the batch (already deduped by
     // event_id in BronzeToSilver.transform) drops rows whose event_id is
@@ -235,18 +253,20 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     // rows), not O(affected partitions): at a 100-TB clickstream a day
     // partition is ~10²-10³ GB and the old path rewrote it up to 96×/day.
     // (Small appended files are the documented Scale.compact concern.)
-    val silverExisting = readOrEmpty(silverPath, silverNew.schema).where(affectedFilter)
-    val silverAppend = antiJoinExisting(silverNew,
-        silverExisting.select("event_id"), silverBloom, silverPartDirs(affectedKeys))
-      // materialize before appending to the path the anti-join reads
-      .localCheckpoint(true)
-    if (!silverAppend.isEmpty) {
-      // sidecar BEFORE data: a crash between the two leaves a bloom that
-      // over-approximates the partition — safe (see BloomSidecar)
-      silverBloom.addBatch(
-        silverAppend.select(silverPartCol.as("part"), col("event_id")))
-      silverAppend.write.mode("append")
-        .partitionBy("year", "month", "day").parquet(silverPath)
+    stage("silver_append") {
+      val silverExisting = readOrEmpty(silverPath, silverNew.schema).where(affectedFilter)
+      val silverAppend = antiJoinExisting(silverNew,
+          silverExisting.select("event_id"), silverBloom, silverPartDirs(affectedKeys))
+        // materialize before appending to the path the anti-join reads
+        .localCheckpoint(true)
+      if (!silverAppend.isEmpty) {
+        // sidecar BEFORE data: a crash between the two leaves a bloom that
+        // over-approximates the partition — safe (see BloomSidecar)
+        silverBloom.addBatch(
+          silverAppend.select(silverPartCol.as("part"), col("event_id")))
+        silverAppend.write.mode("append")
+          .partitionBy("year", "month", "day").parquet(silverPath)
+      }
     }
     // readOrEmpty: a batch whose rows ALL failed parsing appends nothing,
     // and on a fresh warehouse the sink won't exist yet
@@ -255,7 +275,7 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     val factTotal = goldFromSilverBatch(silverBatch, affectedKeys)
 
     // bronzeBatch reads the partition just written — no staging re-read
-    (bronzeBatch.count(), silverBatch.count(), factTotal)
+    stage("counts") { (bronzeBatch.count(), silverBatch.count(), factTotal) }
   }
 
   /** The gold stage for one batch of silver rows: incremental dim
@@ -289,32 +309,37 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     // of an O(day) event_id column scan ([[antiJoinExisting]]); uncovered
     // (pre-sidecar / bulk-seeded-without-blooms) partitions keep the
     // plain anti-join, identical semantics either way.
-    val silverTodo = antiJoinExisting(silverBatch,
-        factAffected(readOrEmpty(factPath, factIdSchema)).select("event_id"),
-        factBloom, factDates.map(d => s"created_date=$d"))
-      // per-tick cardinality; feeds 4 dim upserts + the fact build
-      .localCheckpoint(true)
+    val silverTodo = stage("gold_todo") {
+      antiJoinExisting(silverBatch,
+          factAffected(readOrEmpty(factPath, factIdSchema)).select("event_id"),
+          factBloom, factDates.map(d => s"created_date=$d"))
+        // per-tick cardinality; feeds 4 dim upserts + the fact build
+        .localCheckpoint(true)
+    }
 
     // dim_user keys on (user_id, anonymous_id) alone — attributes ride
     // along and must not fork a new SK when they change — so it keeps its
     // dedicated upsert (J5 + A4 + W2).
-    val existingUser = readOrEmpty(dimUserPath, dimUserSchema)
-    val dimUser = appendOnly(dimUserPath,
-      existingUser.limit(0)
-        .unionByName(Dims.dimUserUpsert(silverTodo, existingUser),
-          allowMissingColumns = true)
-        .localCheckpoint(true))
-    val dimEvent = upsertDim(dimEventPath, dimEventSchema,
-      Seq("event_name"), "event_sk",
-      silverTodo.where(col("event_name").isNotNull).select("event_name"))
-    val dimPage = upsertDim(dimPagePath, dimPageSchema,
-      Seq("page_name", "page_url"), "page_sk",
-      silverTodo.where(col("page_name").isNotNull || col("page_url").isNotNull)
-        .select("page_name", "page_url"))
-    val dimRecipe = upsertDim(dimRecipePath, dimRecipeSchema,
-      Seq("recipe_id"), "recipe_sk",
-      silverTodo.where(col("prop_recipe_id").isNotNull)
-        .select(col("prop_recipe_id").cast("string").as("recipe_id")))
+    val (dimUser, dimEvent, dimPage, dimRecipe) = stage("gold_dims") {
+      val existingUser = readOrEmpty(dimUserPath, dimUserSchema)
+      val dimUser = appendOnly(dimUserPath,
+        existingUser.limit(0)
+          .unionByName(Dims.dimUserUpsert(silverTodo, existingUser),
+            allowMissingColumns = true)
+          .localCheckpoint(true))
+      val dimEvent = upsertDim(dimEventPath, dimEventSchema,
+        Seq("event_name"), "event_sk",
+        silverTodo.where(col("event_name").isNotNull).select("event_name"))
+      val dimPage = upsertDim(dimPagePath, dimPageSchema,
+        Seq("page_name", "page_url"), "page_sk",
+        silverTodo.where(col("page_name").isNotNull || col("page_url").isNotNull)
+          .select("page_name", "page_url"))
+      val dimRecipe = upsertDim(dimRecipePath, dimRecipeSchema,
+        Seq("recipe_id"), "recipe_sk",
+        silverTodo.where(col("prop_recipe_id").isNotNull)
+          .select(col("prop_recipe_id").cast("string").as("recipe_id")))
+      (dimUser, dimEvent, dimPage, dimRecipe)
+    }
 
     // silver → gold, append-only: every todo row lacks a fact row by
     // construction, so the build's output appends directly. Existing fact
@@ -323,16 +348,19 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     // created_at = kst_timestamp and silver's (year,month,day) derive from
     // the same timestamp, so the affected fact dates ARE the affected
     // silver keys.
-    val factNew = SilverToGold
-      .buildFact(silverTodo, dimUser, dimRecipe, dimEvent, dimPage)
-      .withColumn("created_date", to_date(col("created_at")))
-      // one execution of the dim joins for the emptiness probe + write
-      .localCheckpoint(true)
-    if (!factNew.isEmpty) {
-      // sidecar BEFORE data — same over-approximation-only crash contract
-      factBloom.addBatch(factNew.select(
-        concat(lit("created_date="), col("created_date")).as("part"), col("event_id")))
-      factNew.write.mode("append").partitionBy("created_date").parquet(factPath)
+    val factNew = stage("gold_fact") {
+      val built = SilverToGold
+        .buildFact(silverTodo, dimUser, dimRecipe, dimEvent, dimPage)
+        .withColumn("created_date", to_date(col("created_at")))
+        // one execution of the dim joins for the emptiness probe + write
+        .localCheckpoint(true)
+      if (!built.isEmpty) {
+        // sidecar BEFORE data — same over-approximation-only crash contract
+        factBloom.addBatch(built.select(
+          concat(lit("created_date="), col("created_date")).as("part"), col("event_id")))
+        built.write.mode("append").partitionBy("created_date").parquet(factPath)
+      }
+      built
     }
     // Maintained gold rollup (VERDICT r9 wiring): the reference's gold
     // stage recomputes its daily aggregates every tick
@@ -341,10 +369,13 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     // rollup are recomputed from fact and dynamic-partition-overwritten
     // — O(affected dates) per tick, converging to exactly the table a
     // full rebuild produces (the IncrementalRollupSpec splice contract).
-    if (maintainRollup && factDates.nonEmpty)
+    if (maintainRollup && factDates.nonEmpty) stage("gold_rollup") {
       IncrementalRollup.update(spark, factPath, rollupDailyPath,
         "created_date", factDates.map(_.toString), dailyRollupAgg)
-    factAffected(readOrEmpty(factPath, factNew.schema)).count()
+    }
+    stage("gold_count") {
+      factAffected(readOrEmpty(factPath, factNew.schema)).count()
+    }
   }
 
   /** Partition-local daily KPI rollup over the fact — grouping keys

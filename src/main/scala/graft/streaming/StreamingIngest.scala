@@ -80,10 +80,11 @@ object StreamingIngest {
     * the EP1 gold-tick semantics, streaming-native.
     */
   def runGold(spark: SparkSession, silverPath: String, warehouse: String,
-              checkpoint: String, maintainRollup: Boolean = false): Unit = {
+              checkpoint: String, maintainRollup: Boolean = false,
+              stageSink: Option[scala.collection.mutable.Buffer[(String, Double)]] = None): Unit = {
     val schema = spark.read.parquet(silverPath).schema
     val mb = new graft.runner.MicroBatch(spark, stagingBase = "", warehouse,
-      maintainRollup = maintainRollup)
+      maintainRollup = maintainRollup, stageSink = stageSink)
     val q = spark.readStream.schema(schema).parquet(silverPath)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
