@@ -90,6 +90,11 @@ object BronzeToSilver {
       col("parsed_properties.action").as("prop_action"),
       col("parsed_properties.search_keyword").as("prop_search_keyword"),
       col("parsed_properties.result_count").as("prop_result_count"),
+      // schema-on-read array properties (q_silver_array_props round
+      // trip); null for event types that don't carry them
+      col("parsed_properties.selected_filters").as("prop_selected_filters"),
+      col("parsed_properties.displayed_recipe_ids").as("prop_displayed_recipe_ids"),
+      col("parsed_properties.targeting_tags").as("prop_targeting_tags"),
       col("source_file").as("data_source"))
       .withColumn("processed_at", current_timestamp())
       .withColumn("pipeline_version", lit(PipelineVersion))

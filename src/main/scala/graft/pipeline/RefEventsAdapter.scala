@@ -70,6 +70,31 @@ object RefEventsAdapter {
         lit("2024-01-01").as("start_date"),
         lit("2024-12-31").as("end_date")).as("ab_test")))
 
+    // Per-event-type ARRAY properties, mirroring the reference
+    // generator's texture (search events carry selected_filters, list
+    // views displayed_recipe_ids, ad-targeted events targeting_tags —
+    // create_event_logs.py:297,674,722): variable length via slice of a
+    // max-length array, deterministic in (k, user_id) so the DuckDB
+    // oracle rebuilds every element arithmetically. to_json drops null
+    // fields, so non-carrying event types have no key at all — the
+    // parse must handle both absence and presence.
+    val selectedFilters = when(et === "view",
+      slice(array((0 until 3).map(j =>
+        concat(lit("f"), ((k + lit(j)) % 8).cast("string"))): _*),
+        lit(1), lit(1) + k % 3))
+      .otherwise(lit(null).cast("array<string>"))
+    val displayedRecipeIds = when(et === "click",
+      slice(array((0 until 4).map(j =>
+        (lit(2000) + (k * 5 + lit(j)) % 500).cast("string")): _*),
+        lit(1), lit(1) + k % 4))
+      .otherwise(lit(null).cast("array<string>"))
+    val targetingTags = when(et === "signup",
+      array(
+        concat(lit("t"), (col("user_id") % 4).cast("string")),
+        concat(lit("u"), (k % 5).cast("string")),
+        concat(lit("v"), ((col("user_id") + k) % 7).cast("string"))))
+      .otherwise(lit(null).cast("array<string>"))
+
     val properties = to_json(struct(
       pageName.as("page_name"),
       when(et.isin("click", "view", "purchase"), (lit(1000) + k).cast("string"))
@@ -80,7 +105,10 @@ object RefEventsAdapter {
         .otherwise(lit(null).cast("string")).as("action"),
       when(et === "view", concat(lit("kw"), (k % 10).cast("string")))
         .otherwise(lit(null).cast("string")).as("search_keyword"),
-      when(et === "view", k).otherwise(lit(null).cast("int")).as("result_count")))
+      when(et === "view", k).otherwise(lit(null).cast("int")).as("result_count"),
+      selectedFilters.as("selected_filters"),
+      displayedRecipeIds.as("displayed_recipe_ids"),
+      targetingTags.as("targeting_tags")))
 
     fanned.select(to_json(struct(
       concat(lit("anon-"), col("user_id")).as("anonymous_id"),

@@ -59,7 +59,16 @@ object Schemas {
     StructField("list_type", StringType),
     StructField("action", StringType),
     StructField("search_keyword", StringType),
-    StructField("result_count", IntegerType)
+    StructField("result_count", IntegerType),
+    // Per-event-type array properties the reference generator emits
+    // (create_event_logs.py:297-311 targeting_tags, :674-681
+    // selected_filters, :722 displayed_recipe_ids) but its silver ETL
+    // never projects (bronze_to_silver_iceberg.py:140-145 declares only
+    // scalars) — schema-on-read closure for the array corner: absent
+    // keys parse to null, present ones to typed arrays.
+    StructField("selected_filters", ArrayType(StringType)),
+    StructField("displayed_recipe_ids", ArrayType(StringType)),
+    StructField("targeting_tags", ArrayType(StringType))
   ))
 
   /** Bronze: raw string preservation + ingestion metadata, partitioned by

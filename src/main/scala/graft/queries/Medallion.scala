@@ -82,6 +82,34 @@ object Medallion {
         .orderBy($"event_id")
     },
 
+    // §2.8 schema-on-read arrays (VERDICT r12 #8): the per-event-type
+    // event_properties ARRAYS (selected_filters on search views,
+    // displayed_recipe_ids on list clicks, targeting_tags on targeted
+    // signups — the texture the reference generator emits but its
+    // silver ETL never projects) through the REAL silver parse, then a
+    // posexplode_outer → ordered re-aggregation round trip: every
+    // element must survive the double-encode → double-from_json chain
+    // in position, and event types without the key must parse to null
+    // (count 0), not empty. Scale: posexplode is a narrow map (rows ×
+    // avg array length, never materialized wide), the re-agg shuffles
+    // on event_id like every dedup in the pipeline.
+    "q_silver_array_props" -> { (s, dir) =>
+      import s.implicits._
+      val silver = RefEventsAdapter.toSilver(load(s, dir, "events"), duplicate = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      def rejoin(arr: String, outN: String, outCsv: String): DataFrame =
+        silver.select($"event_id", posexplode_outer(col(arr)).as(Seq("p", "v")))
+          .groupBy($"event_id")
+          .agg(
+            count($"v").as(outN),
+            array_join(transform(array_sort(collect_list(struct($"p", $"v"))),
+              x => x("v")), ",").as(outCsv))
+      rejoin("prop_selected_filters", "n_filters", "filters_csv")
+        .join(rejoin("prop_displayed_recipe_ids", "n_recipes", "recipes_csv"), "event_id")
+        .join(rejoin("prop_targeting_tags", "n_tags", "tags_csv"), "event_id")
+        .orderBy($"event_id")
+    },
+
     // W1 — SCD-1 latest-per-user with row-dependent columns proving the
     // recency ordering, + deterministic SK assignment.
     "q_scd1_dim_user" -> { (s, dir) =>
@@ -295,6 +323,33 @@ object Medallion {
          |  u.user_id, u.anonymous_id, TRUE
          |FROM users u, mx WHERE NOT has_signup
          |ORDER BY user_sk""".stripMargin,
+
+    // Rebuilds every array element arithmetically (DuckDB list
+    // comprehensions over range) — the Spark side must recover the same
+    // elements in the same order from the container JSON alone.
+    "q_silver_array_props" ->
+      """WITH e AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS event_id, user_id, event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |  CAST(CASE WHEN event_type = 'view' THEN 1 + k % 3 ELSE 0 END AS BIGINT) AS n_filters,
+        |  CASE WHEN event_type = 'view' THEN
+        |    array_to_string(['f' || CAST((k + j) % 8 AS VARCHAR)
+        |                     for j in range(0, 1 + k % 3)], ',')
+        |  ELSE '' END AS filters_csv,
+        |  CAST(CASE WHEN event_type = 'click' THEN 1 + k % 4 ELSE 0 END AS BIGINT) AS n_recipes,
+        |  CASE WHEN event_type = 'click' THEN
+        |    array_to_string([CAST(2000 + (k * 5 + j) % 500 AS VARCHAR)
+        |                     for j in range(0, 1 + k % 4)], ',')
+        |  ELSE '' END AS recipes_csv,
+        |  CAST(CASE WHEN event_type = 'signup' THEN 3 ELSE 0 END AS BIGINT) AS n_tags,
+        |  CASE WHEN event_type = 'signup' THEN
+        |    't' || CAST(user_id % 4 AS VARCHAR) || ',u' || CAST(k % 5 AS VARCHAR)
+        |      || ',v' || CAST((user_id + k) % 7 AS VARCHAR)
+        |  ELSE '' END AS tags_csv
+        |FROM e ORDER BY event_id""".stripMargin,
 
     "q_array_props" ->
       """WITH e AS (

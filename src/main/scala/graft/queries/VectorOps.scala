@@ -547,7 +547,14 @@ object VectorOps {
                         nQueries: Int = AnnScaleQueries, k: Int = 5,
                         minHits: Int = 3)
       : (Long, Double, Double, Long, Long, Seq[(String, Double)]) = {
-    val emb = scaledCorpus(s, dir, rep).cache()
+    // Storage level scales with the tier: the deserialized columnar
+    // cache is right up to ~1M vectors, but a 10M × 64-double corpus is
+    // ~5 GB raw — serialized + disk-spillable keeps the tier inside the
+    // bench heap instead of thrashing old-gen GC (the r5 cache-level
+    // lesson, applied at the tier that actually hits it).
+    val emb = scaledCorpus(s, dir, rep).persist(
+      if (rep >= 1000) org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = emb.count() // fixture materialization, outside both timings
     val nBase = load(s, dir, "embeddings").count()
     val pred = col("vec_id") < nQueries.toLong
@@ -555,8 +562,13 @@ object VectorOps {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     var idx: IvfPqIndex = null
+    // Training sample: at least one full replica (every distinct base
+    // location represented), and at least 2 points per requested cell so
+    // Lloyd never has more centroids than training vectors (the 10M
+    // tier's 2048 cells vs the 2000-vector replica-0 sample).
+    val trainN = math.max(nBase, 2L * cells)
     val buildSec = sec {
-      idx = ivfPqBuild(emb, cells, trainPred = Some(col("vec_id") < nBase),
+      idx = ivfPqBuild(emb, cells, trainPred = Some(col("vec_id") < trainN),
         materialize = true)
     }
     // Re-rank depth must cover the near-tie multiplicity: the fixture
