@@ -393,7 +393,8 @@ object VectorOps {
     */
   private[queries] case class IvfPqIndex(cents: DataFrame, books: DataFrame,
                                          codes: DataFrame, cellSizes: DataFrame,
-                                         stageSec: Seq[(String, Double)] = Nil)
+                                         stageSec: Seq[(String, Double)] = Nil,
+                                         scratchDir: Option[String] = None)
 
   /** Index-build phase (train + encode). `materialize = true`
     * checkpoints the code table and cell sizes — the scale-tier bench
@@ -409,7 +410,26 @@ object VectorOps {
     */
   private def ivfPqBuild(cached: DataFrame, cells: Int,
                          trainPred: Option[Column],
-                         materialize: Boolean): IvfPqIndex = {
+                         materialize: Boolean,
+                         nHint: Long = -1L): IvfPqIndex = {
+    // Partition sizing for the materialized intermediates (the 10M-tier
+    // OOM lesson): with the session's 32 shuffle partitions, pinning a
+    // 10M-row assigned table (full 64-dim vectors, ~600 B/row) and the
+    // ×PqM exploded residual table means every concurrent task
+    // materializes ~300 MB — and localCheckpoint blocks that spill to
+    // disk round-trip through Java object serialization on read-back,
+    // which inflates a partition 2-3× over its raw bytes in transient
+    // heap. Size partitions to the DATA (≈50k vectors / ≈300k
+    // sub-vector rows per task ≈ 30-50 MB deserialized) exactly as a
+    // 1000-executor cluster would, instead of inheriting a fixed
+    // shuffle width.
+    val parallelism = cached.sparkSession.sparkContext.defaultParallelism
+    val vecParts = if (nHint > 0)
+      math.min(2048L, math.max(parallelism.toLong, nHint / 50000L)).toInt
+    else parallelism
+    val subParts = if (nHint > 0)
+      math.min(4096L, math.max(parallelism.toLong, nHint * PqM / 300000L)).toInt
+    else parallelism
     val stages = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     // In materialize mode every stage below ends in an EAGER node
     // (localCheckpoint), so wrapping it in stage() yields an honest
@@ -432,10 +452,34 @@ object VectorOps {
     // cell sizes (measured: 4× of the 1M tier's 23-minute build was
     // exactly this recomputation). The registry gate keeps the single
     // lazy plan (its exchange counts are snapshot-pinned and its corpus
-    // is small enough that recomputation is cheaper than pinning).
+    // is small enough that recomputation is cheaper than pinning). Pin
+    // MECHANISM matters at the 10M tier: localCheckpoint blocks that
+    // spill round-trip through Java object serialization on read-back,
+    // whose transient object graphs OOM'd the 8 GB heap even at 50k-row
+    // partitions — big tiers (nHint > 4M vectors) pin through a parquet
+    // scratch round-trip instead (columnar, streamed, off-heap — how a
+    // production job materializes a stage), deleted by the caller via
+    // IvfPqIndex.scratchDir. Tiers at ≤1M keep the faster in-memory
+    // localCheckpoint (measured: parquet pins cost the 100k tier +8 s).
+    val scratch: Option[String] =
+      if (materialize && nHint > 4000000L)
+        Some(java.nio.file.Files.createTempDirectory("graft_ivfpq_pin").toString)
+      else None
+    var pinN = 0
     def pin(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(true) else df
-    val assigned = stage("corpus_assign") { pin(assignCells(cached, cents)) }
+      if (!materialize) df
+      else scratch match {
+        case Some(dir) =>
+          pinN += 1
+          val p = s"$dir/pin_$pinN"
+          df.write.parquet(p)
+          df.sparkSession.read.parquet(p)
+        case None => df.localCheckpoint(true)
+      }
+    val assigned = stage("corpus_assign") {
+      val a = assignCells(cached, cents)
+      pin(if (scratch.isDefined) a.repartition(vecParts, col("vec_id")) else a)
+    }
     // residuals r = v - centroid(cell): the PQ trains on what the coarse
     // quantizer could NOT explain — the variance left per cell is far
     // smaller than the raw corpus variance, which is why residual codes
@@ -444,10 +488,12 @@ object VectorOps {
       .select(col("vec_id"), col("cell").as("ivf_cell"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
     val subR = stage("residual_explode") {
-      pin(resid.select(col("vec_id"), col("ivf_cell"),
+      val s = resid.select(col("vec_id"), col("ivf_cell"),
           explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
         .select(col("vec_id"), col("ivf_cell"), col("m"),
-          slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv")))
+          slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+      pin(if (scratch.isDefined)
+        s.repartition(subParts, col("vec_id"), col("m")) else s)
     }
     // codebooks train on the SAMPLE's residuals only (trainPred rides on
     // vec_id, which subR retains) — at the 1M tier this removes three
@@ -467,7 +513,7 @@ object VectorOps {
         .agg(count(lit(1)).as("cell_n")))
     }
     IvfPqIndex(cents, books, codes, cellSizes,
-      if (materialize) stages.toSeq else Nil)
+      if (materialize) stages.toSeq else Nil, scratch)
   }
 
   def annIvfPqWithScan(emb: DataFrame, k: Int, cells: Int, nprobe: Int,
@@ -549,11 +595,16 @@ object VectorOps {
       : (Long, Double, Double, Long, Long, Seq[(String, Double)]) = {
     // Storage level scales with the tier: the deserialized columnar
     // cache is right up to ~1M vectors, but a 10M × 64-double corpus is
-    // ~5 GB raw — serialized + disk-spillable keeps the tier inside the
-    // bench heap instead of thrashing old-gen GC (the r5 cache-level
-    // lesson, applied at the tier that actually hits it).
+    // ~5 GB raw — at that size BOTH in-memory levels OOM'd the 8 GB
+    // bench heap in MemoryStore unroll (putIteratorAsBytes buffers each
+    // partition's serialized batches in memory before spilling; 32
+    // concurrent ~160 MB unrolls > heap). DISK_ONLY streams batches to
+    // disk with one bounded builder per task — the corpus materializes
+    // once and every subsequent scan reads the (page-cached) local
+    // blocks, which is exactly how a 100-TB corpus behaves: you don't
+    // pin it in RAM, you re-read columnar storage.
     val emb = scaledCorpus(s, dir, rep).persist(
-      if (rep >= 1000) org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      if (rep >= 1000) org.apache.spark.storage.StorageLevel.DISK_ONLY
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = emb.count() // fixture materialization, outside both timings
     val nBase = load(s, dir, "embeddings").count()
@@ -569,7 +620,7 @@ object VectorOps {
     val trainN = math.max(nBase, 2L * cells)
     val buildSec = sec {
       idx = ivfPqBuild(emb, cells, trainPred = Some(col("vec_id") < trainN),
-        materialize = true)
+        materialize = true, nHint = n)
     }
     // Re-rank depth must cover the near-tie multiplicity: the fixture
     // puts `rep` near-identical replicas in every base's cluster, and
@@ -599,6 +650,9 @@ object VectorOps {
     val scanFailures = scan
       .where(col("n_scanned") * cells.toLong > lit(2L) * nprobe.toLong * n)
       .count()
+    emb.unpersist()
+    idx.scratchDir.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     (n, buildSec, querySec, recallFailures, scanFailures, idx.stageSec)
   }
 
