@@ -98,21 +98,63 @@ object NearestCell {
                              val nbs: Array[Double],
                              val sqbs: Array[Double])
 
-  /** Per-thread memo of the last unpacked entry array, keyed on the
+  /** Per-thread memo of unpacked entry arrays, keyed on the
     * UnsafeArrayData's backing (baseObject identity, offset, length):
-    * in every assignment pass the entries come from ONE broadcast row,
-    * so each task re-reads the SAME bytes row after row — r12 measured
+    * in every assignment pass the entries come from broadcast rows, so
+    * each task re-reads the SAME bytes row after row — r12 measured
     * the per-(row, entry) ArrayData walk (virtual getDouble + two null
     * checks per element, getStruct/getArray per entry) at 166 s of the
-    * 1M-tier build's 184 s. Unpacking once per task and running the
-    * argmax over primitive arrays leaves the arithmetic SEQUENCE
-    * identical (same values, same fold order, same skip and tie rules
-    * — NearestCellSpec pins bit-parity), it just stops paying
-    * interpretation per element. Non-Unsafe inputs (interpreted
-    * single-row eval in tests) take the uncached unpack.
+    * 1M-tier build's 184 s. Unpacking once per distinct array and
+    * running the argmax over primitive arrays leaves the arithmetic
+    * SEQUENCE identical (same values, same fold order, same skip and
+    * tie rules — NearestCellSpec pins bit-parity), it just stops paying
+    * interpretation per element. The memo is a small per-thread LRU
+    * (not a single last-entry slot): the hierarchical coarse assignment
+    * interleaves up to superK distinct member arrays per task in row
+    * order — a one-slot memo would re-unpack ~70 KB of member
+    * centroids per ROW (GC-catastrophic at 10M rows) or force a
+    * multi-GB sort to cluster rows first. 256 slots × ≤1 MB bounds the
+    * cache at a few MB per thread in practice. Non-Unsafe inputs
+    * (interpreted single-row eval in tests) take the uncached unpack.
     */
-  private val lastPacked =
-    new ThreadLocal[(AnyRef, Long, Int, Packed)]()
+  private final class MemoKey(val ref: AnyRef, val off: Long, val len: Int) {
+    override def hashCode: Int =
+      System.identityHashCode(ref) ^ java.lang.Long.hashCode(off) ^ len
+    override def equals(o: Any): Boolean = o match {
+      case k: MemoKey => (k.ref eq ref) && k.off == off && k.len == len
+      case _ => false
+    }
+  }
+  // access-ordered; eviction is size-aware (entry count AND total cached
+  // doubles) so the cache can't pin gigabytes of broadcast pages across
+  // a long suite — see evict()
+  private val packedCache =
+    new ThreadLocal[java.util.LinkedHashMap[MemoKey, Packed]]() {
+      override def initialValue(): java.util.LinkedHashMap[MemoKey, Packed] =
+        new java.util.LinkedHashMap[MemoKey, Packed](64, 0.75f, true)
+    }
+  private def packedDoubles(p: Packed): Long = {
+    var s = 0L; var j = 0
+    while (j < p.m) { if (p.cvs(j) != null) s += p.cvs(j).length; j += 1 }
+    s
+  }
+  /** Keep ≤128 entries and ≤4M cached doubles (~32 MB) per thread —
+    * enough for a superK-way hierarchical assignment's full member-array
+    * working set, bounded however many distinct packs a long suite
+    * streams through.
+    */
+  private def evict(cache: java.util.LinkedHashMap[MemoKey, Packed],
+                    totals: Array[Long]): Unit = {
+    val it = cache.entrySet().iterator()
+    while ((cache.size() > 128 || totals(0) > 4000000L) && it.hasNext) {
+      val e = it.next()
+      totals(0) -= packedDoubles(e.getValue)
+      it.remove()
+    }
+  }
+  private val cacheDoubles = new ThreadLocal[Array[Long]]() {
+    override def initialValue(): Array[Long] = Array(0L)
+  }
 
   /** Diagnostic: unpacks actually performed (cache misses + non-Unsafe
     * paths). A full assignment pass should add ~#tasks, not ~#rows.
@@ -157,12 +199,16 @@ object NearestCell {
 
   private def packedFor(es: ArrayData): Packed = es match {
     case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
-      val c = lastPacked.get()
-      if (c != null && (c._1 eq u.getBaseObject) &&
-          c._2 == u.getBaseOffset && c._3 == u.numElements()) c._4
+      val cache = packedCache.get()
+      val k = new MemoKey(u.getBaseObject, u.getBaseOffset, u.numElements())
+      val hit = cache.get(k)
+      if (hit != null) hit
       else {
         val p = unpack(u)
-        lastPacked.set((u.getBaseObject, u.getBaseOffset, u.numElements(), p))
+        val totals = cacheDoubles.get()
+        totals(0) += packedDoubles(p)
+        cache.put(k, p)
+        evict(cache, totals)
         p
       }
     case other => unpack(other)

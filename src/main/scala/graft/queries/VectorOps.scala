@@ -193,7 +193,7 @@ object VectorOps {
     * broadcastable by construction; each pass is one corpus-linear
     * assignment plus a (cell, dim)-keyed mean, no driver math.
     */
-  private def lloydCentroids(cached: DataFrame, cells: Int): DataFrame = {
+  private[queries] def lloydCentroids(cached: DataFrame, cells: Int): DataFrame = {
     var centroids = cached.orderBy(col("vec_id")).limit(cells)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
     for (_ <- 0 until 2) {
@@ -223,12 +223,80 @@ object VectorOps {
     * (~5/6 of q_ann_ivfpq_scale's 344 s); the narrow form shuffles
     * nothing.
     */
-  private def assignCells(cached: DataFrame, cents: DataFrame): DataFrame = {
+  private[queries] def assignCells(cached: DataFrame, cents: DataFrame): DataFrame = {
     val packed = cents.agg(
       array_sort(collect_list(struct(col("cell"), col("cv")))).as("es"))
     cached.crossJoin(broadcast(packed))
       .select(col("vec_id"), col("v"),
         graft.functions.NearestCell(col("v"), col("es")).as("cell"))
+  }
+
+  /** Two-level (hierarchical) coarse assignment — the IMI/coarse-of-
+    * coarse trick that removes the n × cells term from IVF builds at
+    * large cell counts: cluster the CENTROIDS into ~√cells super-cells,
+    * route each vector to its nearest super (superK dots), then argmax
+    * only over the cells whose top-`memberR` supers include it
+    * (≈ memberR·cells/superK dots). At the 10M tier (2048 cells, 64
+    * supers) that is ~128 dot-equivalents per vector instead of 2048 —
+    * the stage that measured 103 s of the 152 s build. Assignment
+    * becomes approximate (a vector lands in its true best cell iff that
+    * cell's membership covers the vector's super — overwhelmingly true
+    * for clustered data since nearby cells share supers), which IVF
+    * tolerates by construction: the index stays internally consistent
+    * (queries probe the same assignment), and the tier's recall +
+    * scanned-fraction contracts gate the approximation. Rows whose
+    * super has an empty membership list (possible if a degenerate super
+    * is in no cell's top-R) fall back to the exact full argmax via a
+    * per-row CASE — never dropped, never null. sortWithinPartitions on
+    * the super id keeps NearestCell's per-task unpack memo hot (runs of
+    * equal super reuse one unpacked member array). Small cell counts
+    * (< 4 × superK) keep the exact single-level form — the hierarchy
+    * only pays past that.
+    */
+  private[queries] def assignCellsHierarchical(
+      cached: DataFrame, cents: DataFrame,
+      superK: Int = 64, memberR: Int = 4): DataFrame = {
+    val nCells = cents.count()
+    if (nCells < 4L * superK) return assignCells(cached, cents)
+    val superCents = lloydCentroids(
+      cents.select(col("cell").cast("long").as("vec_id"), col("cv").as("v")),
+      superK)
+      .select(col("cell").as("super"), col("cv").as("scv"))
+    // membership: every cell joins its memberR nearest supers, so a
+    // vector routed to super s sees all cells for which s is a top-R
+    // super — the overlap that makes near-boundary assignments agree
+    // with the exact argmax
+    val member = cents.crossJoin(broadcast(superCents))
+      .withColumn("d", graft.functions.CosineSimilarity(col("cv"), col("scv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cell").orderBy(desc("d"), asc("super"))))
+      .where(col("rn") <= memberR)
+      .select(col("super"), col("cell"), col("cv"))
+    val packedBySuper = member.groupBy(col("super"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("cv")))).as("sub_es"))
+    val superPacked = superCents.agg(array_sort(collect_list(
+      struct(col("super").as("cell"), col("scv").as("cv")))).as("ses"))
+    val fullPacked = cents.agg(
+      array_sort(collect_list(struct(col("cell"), col("cv")))).as("full_es"))
+    // No row clustering needed before the membership join: NearestCell's
+    // per-thread unpack memo is an LRU sized for the whole superK-way
+    // member-array working set, so rows can interleave supers freely.
+    // (Two rejected alternatives, both measured: sorting AFTER the join
+    // materializes each row WITH its joined ~66 KB member array into the
+    // sort buffer — a ~660 GB spill that filled the disk at the 10M
+    // tier; sorting BEFORE it spills a 5.5 GB sorter per pass just to
+    // keep a one-slot memo hot.) The final projection consumes sub_es
+    // from the broadcast row without ever copying it into an output row.
+    cached.crossJoin(broadcast(superPacked))
+      .withColumn("super", graft.functions.NearestCell(col("v"), col("ses")))
+      .drop("ses")
+      .join(broadcast(packedBySuper), Seq("super"), "left")
+      .crossJoin(broadcast(fullPacked))
+      .select(col("vec_id"), col("v"),
+        when(col("sub_es").isNotNull,
+          graft.functions.NearestCell(col("v"), col("sub_es")))
+          .otherwise(graft.functions.NearestCell(col("v"), col("full_es")))
+          .as("cell"))
   }
 
   def annIvf(emb: DataFrame, k: Int, cells: Int = 8, nprobe: Int = 3): DataFrame = {
@@ -412,24 +480,12 @@ object VectorOps {
                          trainPred: Option[Column],
                          materialize: Boolean,
                          nHint: Long = -1L): IvfPqIndex = {
-    // Partition sizing for the materialized intermediates (the 10M-tier
-    // OOM lesson): with the session's 32 shuffle partitions, pinning a
-    // 10M-row assigned table (full 64-dim vectors, ~600 B/row) and the
-    // ×PqM exploded residual table means every concurrent task
-    // materializes ~300 MB — and localCheckpoint blocks that spill to
-    // disk round-trip through Java object serialization on read-back,
-    // which inflates a partition 2-3× over its raw bytes in transient
-    // heap. Size partitions to the DATA (≈50k vectors / ≈300k
-    // sub-vector rows per task ≈ 30-50 MB deserialized) exactly as a
-    // 1000-executor cluster would, instead of inheriting a fixed
-    // shuffle width.
-    val parallelism = cached.sparkSession.sparkContext.defaultParallelism
-    val vecParts = if (nHint > 0)
-      math.min(2048L, math.max(parallelism.toLong, nHint / 50000L)).toInt
-    else parallelism
-    val subParts = if (nHint > 0)
-      math.min(4096L, math.max(parallelism.toLong, nHint * PqM / 300000L)).toInt
-    else parallelism
+    // (The 10M-tier OOM history, for the next reader: in-memory pins of
+    // the 10M-row assigned table and its ×PqM exploded residuals OOM'd
+    // the 8 GB heap twice — first in MemoryStore unroll, then in the
+    // Java-serialized read-back of spilled localCheckpoint blocks, even
+    // with data-sized 50k-row partitions. The parquet scratch pin below
+    // is the fix: columnar, streamed, off-heap both ways.)
     val stages = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     // In materialize mode every stage below ends in an EAGER node
     // (localCheckpoint), so wrapping it in stage() yields an honest
@@ -472,13 +528,25 @@ object VectorOps {
         case Some(dir) =>
           pinN += 1
           val p = s"$dir/pin_$pinN"
-          df.write.parquet(p)
+          // 16 MB row groups: each of the 32 concurrent writer tasks
+          // buffers one row group on-heap before flushing — the default
+          // 128 MB × 32 writers was itself an OOM at the 10M tier.
+          // Scratch pins are re-read once sequentially, so row-group
+          // granularity costs nothing here.
+          df.write.option("parquet.block.size", 16L * 1024 * 1024).parquet(p)
           df.sparkSession.read.parquet(p)
         case None => df.localCheckpoint(true)
       }
     val assigned = stage("corpus_assign") {
-      val a = assignCells(cached, cents)
-      pin(if (scratch.isDefined) a.repartition(vecParts, col("vec_id")) else a)
+      // big tiers route through the two-level assignment (superK dots +
+      // member-cell argmax instead of the full n × cells wall); the
+      // tier contracts gate the approximation. No repartition on the
+      // parquet-pin path: columnar read-back streams, so partition
+      // width no longer risks read-back OOM, and the shuffle would
+      // move the full 64-dim vectors (~6 GB at 10M) for nothing.
+      val a = if (scratch.isDefined) assignCellsHierarchical(cached, cents)
+              else assignCells(cached, cents)
+      pin(a)
     }
     // residuals r = v - centroid(cell): the PQ trains on what the coarse
     // quantizer could NOT explain — the variance left per cell is far
@@ -492,8 +560,9 @@ object VectorOps {
           explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
         .select(col("vec_id"), col("ivf_cell"), col("m"),
           slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
-      pin(if (scratch.isDefined)
-        s.repartition(subParts, col("vec_id"), col("m")) else s)
+      // narrow explode keeps the corpus partitioning; the parquet pin
+      // streams, so no repartition needed here either
+      pin(s)
     }
     // codebooks train on the SAMPLE's residuals only (trainPred rides on
     // vec_id, which subR retains) — at the 1M tier this removes three

@@ -454,6 +454,36 @@ class TextVectorSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("planted-variant"),
       s"guard fired with an unexpected message: ${e.getMessage}")
   }
+
+  test("hierarchical coarse assignment: no rows lost, no nulls, >=90% exact agreement") {
+    // 10k-vector replica corpus, 256 cells, 16 supers (past the 4×superK
+    // threshold so the two-level path actually engages). The two-level
+    // argmax is allowed to differ from exact near cell boundaries —
+    // membership overlap (memberR=2) keeps that rare — but it must never
+    // drop or null a row (the empty-membership fallback), and bulk
+    // agreement is what makes the tier's recall contracts hold.
+    val emb = VectorOps.scaledCorpus(spark, sf, rep = 50).cache()
+    val cents = VectorOps.lloydCentroids(emb.where($"vec_id" < 512), 256)
+      .localCheckpoint(true)
+    val exact = VectorOps.assignCells(emb, cents)
+      .select($"vec_id", $"cell".as("exact_cell"))
+    val hier = VectorOps.assignCellsHierarchical(emb, cents, superK = 16)
+      .select($"vec_id", $"cell".as("hier_cell"))
+    val n = emb.count()
+    val joined = exact.join(hier, Seq("vec_id")).cache()
+    assert(joined.count() == n, "hierarchical assignment lost rows")
+    assert(joined.where($"hier_cell".isNull).count() == 0)
+    val agree = joined.where($"exact_cell" === $"hier_cell").count()
+    assert(agree >= (n * 0.9).toLong, s"agreement $agree / $n below 90%")
+    // below the threshold the function must BE the exact form
+    val small = VectorOps.lloydCentroids(emb.where($"vec_id" < 64), 8)
+      .localCheckpoint(true)
+    val a = VectorOps.assignCells(emb, small).select($"vec_id", $"cell")
+    val b = VectorOps.assignCellsHierarchical(emb, small, superK = 16)
+      .select($"vec_id", $"cell")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    joined.unpersist(); emb.unpersist()
+  }
 }
 
 /** Test-only access to SparkEntry queries by name. */
