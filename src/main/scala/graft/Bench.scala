@@ -293,7 +293,18 @@ object Bench {
         s""""expected_min_ext":180,"expected_min_global":250,""" +
         s""""external_visible":$seen}"""
     } catch { case e: Exception =>
-      s"""{"error":"${e.getMessage}","external_visible":false}"""
+      // escape before embedding (ADVICE r13 #3): IO/Hadoop messages
+      // routinely carry quotes/backslashes/newlines, which would make
+      // the probe_selftest field — and with it the whole artifact —
+      // unparseable JSON
+      val raw = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+      val msg = raw.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      }
+      s"""{"error":"$msg","external_visible":false}"""
     }
     System.err.println(s"[bench] probe selftest: $probeSelftest")
     val stageSplits =

@@ -156,6 +156,42 @@ object NearestCell {
     override def initialValue(): Array[Long] = Array(0L)
   }
 
+  /** Task attempt id whose completion listener currently owns this
+    * thread's cache (-1 = none registered). Entries are keyed on
+    * broadcast-page identity, which is only stable WITHIN a task: a
+    * later task on the same thread could see a freed page's (ref, off,
+    * len) reused with different bytes (ADVICE r13 #1 — a silent stale
+    * hit), and strong MemoKey refs would pin dead broadcast pages per
+    * thread for the executor's life. So on the first cached access of
+    * each task we register a completion listener that clears the
+    * thread's cache — listeners run on the task's own thread, so the
+    * ThreadLocal it clears is the right one.
+    */
+  private val ownerTask = new ThreadLocal[Array[Long]]() {
+    override def initialValue(): Array[Long] = Array(-1L)
+  }
+  private def scopeCacheToTask(): Boolean = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc == null) {
+      // driver-side eval (tests, single-row interpreted paths): no task
+      // boundary exists; evict() alone bounds the cache. Broadcast pages
+      // referenced here are driver-local values, not executor memory
+      // pages, so the reuse hazard does not apply.
+      true
+    } else {
+      val owner = ownerTask.get()
+      if (owner(0) != tc.taskAttemptId()) {
+        owner(0) = tc.taskAttemptId()
+        tc.addTaskCompletionListener[Unit] { _ =>
+          packedCache.get().clear()
+          cacheDoubles.get()(0) = 0L
+          ownerTask.get()(0) = -1L
+        }
+      }
+      true
+    }
+  }
+
   /** Diagnostic: unpacks actually performed (cache misses + non-Unsafe
     * paths). A full assignment pass should add ~#tasks, not ~#rows.
     */
@@ -198,7 +234,11 @@ object NearestCell {
   }
 
   private def packedFor(es: ArrayData): Packed = es match {
-    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+    // Cache ONLY on-heap UnsafeArrayData (baseObject != null): off-heap
+    // arrays key on an absolute address whose page can be freed and
+    // reused between reads — identity no longer implies same bytes.
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        if u.getBaseObject != null && scopeCacheToTask() =>
       val cache = packedCache.get()
       val k = new MemoKey(u.getBaseObject, u.getBaseOffset, u.numElements())
       val hit = cache.get(k)

@@ -192,6 +192,14 @@ object VectorOps {
     * Lloyd passes (assign → element-wise mean). Only ever `cells` rows —
     * broadcastable by construction; each pass is one corpus-linear
     * assignment plus a (cell, dim)-keyed mean, no driver math.
+    *
+    * CONTRACT: the returned frame is eagerly localCheckpointed (the
+    * trailing pin of the final Lloyd pass), so every downstream
+    * re-evaluation — however many subplans reference it — reads the SAME
+    * materialized centroid values, bitwise. Without the pin, a re-run of
+    * the mean aggregation could fold floats in a different shuffle
+    * arrival order and yield bitwise-different centroids per subplan
+    * (ADVICE r13 #4).
     */
   private[queries] def lloydCentroids(cached: DataFrame, cells: Int): DataFrame = {
     var centroids = cached.orderBy(col("vec_id")).limit(cells)
@@ -496,9 +504,19 @@ object VectorOps {
       stages += name -> (System.nanoTime() - t0) / 1e9
       r
     }
-    // coarse quantizer trains on the sample (assignment covers the corpus)
+    // coarse quantizer trains on the sample (assignment covers the
+    // corpus). Pinned ONCE here (cells × dim rows — tiny): the
+    // hierarchical super-Lloyd, membership join, empty-membership
+    // fallback array, residual subtraction, and the caller's probe join
+    // all re-read this frame in separate subplans, and identical
+    // centroid VALUES across those reads is what keeps the index
+    // internally consistent (ADVICE r13 #4). lloydCentroids already
+    // returns an eagerly localCheckpointed frame; the explicit pin makes
+    // the invariant a property of THIS function, not of its helper's
+    // implementation detail.
     val cents = stage("coarse_train") {
-      broadcast(lloydCentroids(trainPred.map(cached.where).getOrElse(cached), cells))
+      broadcast(lloydCentroids(trainPred.map(cached.where).getOrElse(cached), cells)
+        .localCheckpoint(true))
     }
     // In the materialized (scale-tier) build, pin the two expensive
     // intermediates: without this, the full-corpus coarse assignment

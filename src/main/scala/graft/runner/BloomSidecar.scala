@@ -197,6 +197,18 @@ object BloomSidecar {
     * the old ones. Write-new-then-delete-old: no state in the sequence
     * ever under-approximates the partition. Returns whether a roll
     * happened.
+    *
+    * Retries/speculation (ADVICE r13 #2): the repartition-by-dir shuffle
+    * gives single-writer-per-partition only per successful attempt — a
+    * speculative or retried attempt of the same task can interleave with
+    * another attempt on the same dir. Every interleaving stays
+    * over-approximating (each attempt merges whatever old files it can
+    * still read, and writes a superset of its own batch), but it can
+    * leave DUPLICATE superset .bloom files and an inflated _n<total>
+    * count (the count is telemetry for the saturation heuristic, never
+    * a correctness input — over-counting only makes the fallback-to-
+    * always-check trigger earlier). Old files deleted by a concurrent
+    * attempt mid-merge are skipped rather than failing the task.
     */
   private[runner] def sealPartition(
       conf: org.apache.hadoop.conf.Configuration, sinkPath: String,
@@ -206,11 +218,18 @@ object BloomSidecar {
     val fresh = !dataDir.getFileSystem(conf).exists(dataDir)
     val old = bloomFilesIn(conf, sinkPath, partDir)
     if (!(trusted || fresh || old.nonEmpty)) return false
+    // only files actually merged contribute to the cumulative count; a
+    // file a concurrent attempt already rolled+deleted is skipped (its
+    // keys live on in that attempt's superset output)
+    var mergedN = 0L
     old.foreach { p =>
-      val in = p.getFileSystem(conf).open(p)
-      try bf.mergeInPlace(BloomFilter.readFrom(in)) finally in.close()
+      try {
+        val in = p.getFileSystem(conf).open(p)
+        try bf.mergeInPlace(BloomFilter.readFrom(in)) finally in.close()
+        mergedN += fileCountOf(p)
+      } catch { case _: java.io.FileNotFoundException => () }
     }
-    val total = added + old.map(fileCountOf).sum
+    val total = added + mergedN
     val d = new Path(s"$sinkPath/_bloom/$partDir")
     val f = d.getFileSystem(conf)
     f.mkdirs(d)

@@ -86,6 +86,42 @@ class NearestCellSpec extends SparkSpec {
     assert(r.getInt(0) == 5 && r.getInt(1) == 5)
   }
 
+  test("unpack memo is task-scoped: hit within a task, cleared at task completion") {
+    // The memo keys on broadcast-page identity (baseObject, offset,
+    // len), which is only stable WITHIN a task — a freed page could be
+    // reused with different bytes by a later task (ADVICE r13 #1). So
+    // the contract is: same UnsafeArrayData re-read inside one task =
+    // ONE unpack; the same object seen by the NEXT task must re-unpack
+    // (the completion listener cleared the thread's cache).
+    import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+    import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val esType = ArrayType(StructType(Seq(
+      StructField("cell", IntegerType),
+      StructField("cv", ArrayType(DoubleType)))))
+    val catalystEs = CatalystTypeConverters.createToCatalystConverter(esType)(
+      Seq(org.apache.spark.sql.Row(0, Seq(1.0, 0.0)),
+        org.apache.spark.sql.Row(1, Seq(0.0, 1.0))))
+    // an on-heap UnsafeArrayData — the exact shape the cached path accepts
+    val es = UnsafeProjection.create(Array[DataType](esType))(
+      InternalRow(catalystEs)).copy().getArray(0)
+    val v = new GenericArrayData(Array[Any](2.0, 0.5))
+    val t0 = NearestCell.unpackCount.get()
+    org.apache.spark.graftTaskContextBridge.withTaskContext {
+      assert(NearestCell.compute(v, es, false) == 0)
+      assert(NearestCell.compute(v, es, false) == 0)
+    }
+    val t1 = NearestCell.unpackCount.get()
+    assert(t1 - t0 == 1,
+      s"expected exactly 1 unpack for 2 same-task reads, got ${t1 - t0}")
+    org.apache.spark.graftTaskContextBridge.withTaskContext {
+      assert(NearestCell.compute(v, es, false) == 0)
+    }
+    assert(NearestCell.unpackCount.get() - t1 == 1,
+      "cache survived a task boundary: the next task must re-unpack the same pages")
+  }
+
   test("runs inside whole-stage codegen") {
     // cache the corpus frame, as assignCells' callers do: without the
     // InMemoryRelation boundary Catalyst collapses the float→double
