@@ -524,4 +524,129 @@ object Multimodal {
     val moov = box("moov", box("trak", box("mdia", box("minf", stbl))))
     ftyp ++ mdat ++ moov
   }
+
+  // ---------------------------------------------------------------------
+  // REAL container demuxer: RIFF/WAVE (PCM) chunk walk, pure JVM — the
+  // audio twin of the MP4 sample-table walk. The parse follows the
+  // actual RIFF grammar: 12-byte RIFF header, then little-endian
+  // (fourcc, u32 size) chunks with odd sizes padded to word boundaries
+  // (the alignment rule real writers emit and naive parsers break on).
+  // `fmt ` yields the PCM geometry (channels, rate, bits, block align);
+  // `data` yields the sample region; unknown chunks (LIST, fact, cue…)
+  // are skipped by size, never interpreted. Same Option-returning
+  // rejection edges as mp4Track: truncation, declared-size mismatch,
+  // non-PCM format tags, inconsistent block align / byte rate, and a
+  // data region escaping the payload all yield None — a corrupt
+  // container must not slice garbage. Audio sampling downstream is
+  // O(1) metadata per row: a sample frame's byte range is
+  // data_off + idx · block_align, so a window sampler touches ONLY the
+  // sampled ranges — the point of range-addressed audio at 100 TB.
+  // ---------------------------------------------------------------------
+
+  /** Demuxed PCM WAV: geometry + the data region's byte range. */
+  case class WavPcm(channels: Int, sampleRate: Int, bits: Int,
+                    blockAlign: Int, nSamples: Long, dataOff: Long)
+
+  private def leU32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+
+  /** Parse a PCM RIFF/WAVE payload, or None for unrecognized/
+    * malformed/truncated bytes.
+    */
+  def wavPcm(payload: Array[Byte]): Option[WavPcm] = {
+    val b = payload
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
+      return None
+    // RIFF size covers everything after the (fourcc, size) pair
+    if (leU32(b, 4) != b.length - 8L) return None
+    var pos = 12L
+    var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, bits, blockAlign
+    var data: Option[(Long, Long)] = None // off, len
+    while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val cid = fourcc(b, pos.toInt)
+      val len = leU32(b, pos.toInt + 4)
+      val body = pos + 8
+      if (body + len > b.length) return None
+      cid match {
+        case "fmt " =>
+          if (len < 16) return None
+          val o = body.toInt
+          val audioFormat = leU16(b, o)
+          val ch = leU16(b, o + 2)
+          val rate = leU32(b, o + 4).toInt
+          val byteRate = leU32(b, o + 8).toInt
+          val blockAlign = leU16(b, o + 12)
+          val bits = leU16(b, o + 14)
+          // PCM only, and the derived fields must be self-consistent —
+          // real parsers trust blockAlign for addressing, so a value
+          // that disagrees with ch·bits/8 would slice garbage
+          if (audioFormat != 1 || ch <= 0 || rate <= 0 ||
+              bits % 8 != 0 || bits == 0 ||
+              blockAlign != ch * (bits / 8) ||
+              byteRate != rate * blockAlign) return None
+          fmt = Some((ch, rate, bits, blockAlign))
+        case "data" => data = Some((body, len))
+        case _ => () // LIST/fact/cue/…: skipped by size, never parsed
+      }
+      pos = body + len + (len % 2) // odd chunks pad to word alignment
+    }
+    for {
+      (ch, rate, bits, blockAlign) <- fmt
+      (off, len) <- data
+      if len % blockAlign == 0 && len > 0
+    } yield WavPcm(ch, rate, bits, blockAlign, len / blockAlign, off)
+  }
+
+  /** Demux stage: (media_id, payload) → PCM geometry + data range,
+    * dropping unparseable payloads — the WAV twin of [[decodeMp4]],
+    * same narrow mapPartitions shape. The payload column stays on the
+    * row for downstream byte-range slicing.
+    */
+  def decodeWav(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        wavPcm(payload).map(w => (id, payload, w.channels, w.sampleRate,
+          w.bits, w.blockAlign, w.nSamples, w.dataOff))
+      })
+      .toDF("media_id", "payload", "channels", "sample_rate", "bits",
+        "block_align", "n_samples", "data_off")
+  }
+
+  /** Synthesize a minimal VALID PCM WAV: RIFF header, `fmt ` (16-byte
+    * PCM body), a `LIST` filler chunk of `listLen` zero bytes (odd
+    * lengths exercise the word-alignment pad), then `data` holding the
+    * samples — sample frame i is a constant-fill block of blockAlign
+    * bytes (`fill(i)`), so an oracle can reconstruct any frame's bytes
+    * from arithmetic alone.
+    */
+  def wavBytes(nSamples: Int, channels: Int, sampleRate: Int, bits: Int,
+               listLen: Int, fill: Int => Byte): Array[Byte] = {
+    require(nSamples > 0 && channels > 0 && bits % 8 == 0 && listLen >= 0)
+    val blockAlign = channels * (bits / 8)
+    val dataLen = nSamples * blockAlign
+    val listPad = listLen % 2
+    val total = 12 + 24 + 8 + listLen + listPad + 8 + dataLen
+    val out = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+    out.put("LIST".getBytes("US-ASCII")).putInt(listLen)
+      .put(new Array[Byte](listLen + listPad))
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until nSamples).foreach { i =>
+      val v = fill(i)
+      var j = 0
+      while (j < blockAlign) { out.put(v); j += 1 }
+    }
+    out.array()
+  }
 }

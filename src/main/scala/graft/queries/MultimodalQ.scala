@@ -143,6 +143,47 @@ object MultimodalQ {
           sha2(expr("substring(payload, cast(frame_off + 1 as int), frame_len)"),
             256).as("frame_sha"))
         .orderBy($"media_id", $"j")
+    },
+
+    // The AUDIO twin (RIFF/WAVE PCM): each doc synthesizes a minimal
+    // valid WAV — doc_id-derived channel count / sample rate / bit
+    // depth, a LIST filler chunk whose frequently-odd length exercises
+    // RIFF's word-alignment pad (so data_off VARIES and must come from
+    // the chunk walk, not a constant), and constant-fill sample frames.
+    // The demuxer must recover the PCM geometry and the data region
+    // from the CHUNK TABLES alone; a uniform-4 window sample then
+    // slices one block-aligned frame per grid point (sample_off =
+    // data_off + idx·block_align) and hashes it. The oracle recomputes
+    // geometry, offsets, and fill bytes arithmetically — any fmt/data
+    // parse, alignment, or slicing regression breaks the hash. Scale:
+    // demux is one narrow mapPartitions pass over O(1) metadata per
+    // payload, and only sampled ranges are ever sliced.
+    "q_multimodal_wav" -> { (s, dir) =>
+      import s.implicits._
+      val media = load(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val ch = (1 + id % 2).toInt
+          val rate = (8000 + (id % 5) * 4000).toInt
+          val bits = if (id % 3 == 0) 8 else 16
+          val n = (100 + id % 57).toInt
+          val listLen = (5 + id % 7).toInt
+          val payload = Multimodal.wavBytes(n, ch, rate, bits, listLen,
+            i => ((id * 41 + i * 13) % 96 + 32).toByte)
+          (id, payload)
+        }.toDF("media_id", "payload")
+      Multimodal.decodeWav(media)
+        .withColumn("j", explode(sequence(lit(0), lit(3))))
+        .withColumn("sample_idx", expr("j * n_samples div 4"))
+        .withColumn("sample_off", $"data_off" + $"sample_idx" * $"block_align")
+        .select($"media_id",
+          $"channels".cast("long").as("channels"),
+          $"sample_rate".cast("long").as("sample_rate"),
+          $"bits".cast("long").as("bits"),
+          $"j".cast("long").as("j"), $"sample_idx", $"sample_off",
+          $"block_align".cast("long").as("sample_len"),
+          sha2(expr("substring(payload, cast(sample_off + 1 as int), block_align)"),
+            256).as("sample_sha"))
+        .orderBy($"media_id", $"j")
     }
   )
 
@@ -211,6 +252,34 @@ object MultimodalQ {
         |  base + (frame_idx % 7) * 4 AS frame_len,
         |  sha256(repeat(chr(CAST((media_id * 37 + frame_idx * 11) % 96 + 32 AS INT)),
         |    CAST(base + (frame_idx % 7) * 4 AS INT))) AS frame_sha
-        |FROM sampled ORDER BY media_id, j""".stripMargin
+        |FROM sampled ORDER BY media_id, j""".stripMargin,
+
+    // WAV layout is fully arithmetic: 12-byte RIFF header + 24-byte fmt
+    // chunk + (8 + L + L%2)-byte LIST chunk + 8-byte data header puts
+    // the sample region at 52 + L + L%2; frame i starts block_align·i
+    // bytes in, block_align = channels · bits/8. The Spark side must
+    // recover the same numbers from the RIFF chunk walk.
+    "q_multimodal_wav" ->
+      """WITH g AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |    CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS rate,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS BIGINT) AS bits,
+        |    CAST(100 + doc_id % 57 AS BIGINT) AS n,
+        |    CAST(5 + doc_id % 7 AS BIGINT) AS l
+        |  FROM documents
+        |), s AS (
+        |  SELECT media_id, ch, rate, bits, n,
+        |    ch * (bits // 8) AS ba, 52 + l + (l % 2) AS data_off,
+        |    j, (j * n) // 4 AS sample_idx
+        |  FROM g, (SELECT unnest(generate_series(0, 3)) AS j)
+        |)
+        |SELECT media_id, ch AS channels, rate AS sample_rate, bits,
+        |  CAST(j AS BIGINT) AS j, sample_idx,
+        |  data_off + sample_idx * ba AS sample_off,
+        |  ba AS sample_len,
+        |  sha256(repeat(chr(CAST((media_id * 41 + sample_idx * 13) % 96 + 32 AS INT)),
+        |    CAST(ba AS INT))) AS sample_sha
+        |FROM s ORDER BY media_id, j""".stripMargin
   )
 }

@@ -165,6 +165,70 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(Multimodal.mp4Track(zeroN).isEmpty)
   }
 
+  test("wav demuxer recovers PCM geometry and data range from the chunk walk") {
+    // odd LIST length → word-alignment pad; data_off must come from the
+    // walk (52 + 5 + 1 = 58), not a constant
+    val wav = Multimodal.wavBytes(10, 2, 16000, 16, listLen = 5,
+      i => (40 + i).toByte)
+    val w = Multimodal.wavPcm(wav).get
+    assert(w.channels == 2 && w.sampleRate == 16000 && w.bits == 16)
+    assert(w.blockAlign == 4 && w.nSamples == 10 && w.dataOff == 58)
+    // byte-level: each sample frame is blockAlign bytes of its fill
+    (0 until 10).foreach { i =>
+      val o = (w.dataOff + i * w.blockAlign).toInt
+      val slice = wav.slice(o, o + w.blockAlign)
+      assert(slice.length == 4 && slice.forall(_ == (40 + i).toByte))
+    }
+    // even LIST length (no pad) and zero-length LIST both walk cleanly
+    assert(Multimodal.wavPcm(Multimodal.wavBytes(3, 1, 8000, 8, 4,
+      _ => 1.toByte)).get.dataOff == 56)
+    assert(Multimodal.wavPcm(Multimodal.wavBytes(3, 1, 8000, 8, 0,
+      _ => 1.toByte)).get.dataOff == 52)
+  }
+
+  test("wav rejection edges: truncation, size mismatch, non-PCM, bad geometry") {
+    val wav = Multimodal.wavBytes(10, 2, 16000, 16, 5, _ => 7.toByte)
+    assert(Multimodal.wavPcm(wav).isDefined)
+    assert(Multimodal.wavPcm(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.wavPcm("plain text but long enough".getBytes("UTF-8")).isEmpty)
+    // truncated / declared RIFF size disagreeing with actual length
+    assert(Multimodal.wavPcm(wav.take(20)).isEmpty)
+    assert(Multimodal.wavPcm(wav.dropRight(1)).isEmpty)
+    // non-PCM format tag (audioFormat at fmt body offset 0 = byte 20)
+    val nonPcm = wav.clone(); nonPcm(20) = 2.toByte
+    assert(Multimodal.wavPcm(nonPcm).isEmpty)
+    // blockAlign disagreeing with channels·bits/8 (byte 32) would make
+    // every downstream range slice garbage — must refuse
+    val badAlign = wav.clone(); badAlign(32) = 5.toByte
+    assert(Multimodal.wavPcm(badAlign).isEmpty)
+    // data length not a multiple of blockAlign (data size field at
+    // 36 + 8 + 5 + 1 + 4 = 54; 40·16-bit stereo bytes → declare 39)
+    val badLen = wav.clone(); badLen(54) = 39.toByte
+    assert(Multimodal.wavPcm(badLen).isEmpty)
+    // a chunk whose declared size runs past the payload end (LIST size
+    // field at byte 40)
+    val overrun = wav.clone(); overrun(40) = 0xFF.toByte; overrun(41) = 0xFF.toByte
+    assert(Multimodal.wavPcm(overrun).isEmpty)
+  }
+
+  test("decodeWav drops unparseable rows; sampled slice matches the fill") {
+    val rows = Seq(
+      (1L, Multimodal.wavBytes(8, 1, 8000, 16, 3, i => (60 + i).toByte)),
+      (2L, "not audio at all, really".getBytes("UTF-8")),
+      (3L, Multimodal.wavBytes(4, 2, 44100, 8, 0, _ => 9.toByte)))
+    val meta = Multimodal.decodeWav(rows.toDF("media_id", "payload"))
+    val byId = meta.collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getLong(6))).toMap
+    assert(byId == Map(1L -> (1, 8L), 3L -> (2, 4L)))
+    import org.apache.spark.sql.functions._
+    // sample 5 of media 1: off = 56 + 5·2 = 66 (odd LIST pads 1), fill 65
+    val slice = meta.where(col("media_id") === 1L)
+      .select(expr("substring(payload, cast(data_off + 5 * block_align + 1 as int), " +
+        "block_align)"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(slice.length == 2 && slice.forall(_ == 65.toByte))
+  }
+
   test("decodeMp4 drops unparseable rows; sampled slice hashes match the fill") {
     val rows = Seq(
       (1L, Multimodal.mp4Bytes(Array(16, 20, 24, 28), i => (70 + i).toByte)),
