@@ -616,6 +616,55 @@ object Multimodal {
         "block_align", "n_samples", "data_off")
   }
 
+  /** One sampled audio window's integer-exact amplitude stats. */
+  case class AudioWindow(media_id: Long, j: Int, win_start: Long,
+                         win_len: Int, sum_amp: Long, peak_abs: Int)
+
+  /** Audio feature extraction over a uniform sampling grid: demux each
+    * payload (RIFF walk), take `grid` windows of up to `maxWin` sample
+    * frames starting at ⌊j·n/grid⌋, decode channel 0 of each frame —
+    * signed little-endian for 16-bit PCM, offset-binary (−128) for
+    * 8-bit — and emit per-window sum and peak |amplitude|. REAL decode
+    * with zero codec deps: PCM amplitudes ARE the container bytes, so
+    * this is the integer arithmetic every energy/VAD/loudness feature
+    * starts from, and integer-exactness makes it oracle-checkable.
+    * One narrow mapPartitions pass; only the sampled windows' byte
+    * ranges are ever read — grid·maxWin·block_align bytes per payload
+    * regardless of duration, the property that matters when the corpus
+    * is 100 TB of audio. Unparseable payloads drop (wavPcm = None).
+    */
+  def pcmWindows(media: DataFrame, grid: Int = 4, maxWin: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        wavPcm(payload).toSeq.flatMap { w =>
+          (0 until grid).map { j =>
+            val start = j.toLong * w.nSamples / grid
+            val len = math.min(maxWin.toLong, w.nSamples - start).toInt
+            var sum = 0L
+            var peak = 0
+            var i = 0
+            while (i < len) {
+              val off = (w.dataOff + (start + i) * w.blockAlign).toInt
+              // channel 0 is the frame's FIRST sample; LE16's low byte
+              // comes first, the high byte carries the sign
+              val amp =
+                if (w.bits == 16) ((payload(off + 1) << 8) | (payload(off) & 0xFF))
+                else (payload(off) & 0xFF) - 128
+              sum += amp
+              val a = if (amp < 0) -amp else amp
+              if (a > peak) peak = a
+              i += 1
+            }
+            AudioWindow(id, j, start, len, sum, peak)
+          }
+        }
+      })
+      .toDF()
+  }
+
   /** Synthesize a minimal VALID PCM WAV: RIFF header, `fmt ` (16-byte
     * PCM body), a `LIST` filler chunk of `listLen` zero bytes (odd
     * lengths exercise the word-alignment pad), then `data` holding the

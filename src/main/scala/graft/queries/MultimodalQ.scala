@@ -184,6 +184,37 @@ object MultimodalQ {
           sha2(expr("substring(payload, cast(sample_off + 1 as int), block_align)"),
             256).as("sample_sha"))
         .orderBy($"media_id", $"j")
+    },
+
+    // Audio FEATURE EXTRACTION, not just demuxing: uniform-4 windows of
+    // ≤16 sample frames, channel-0 amplitude decoded from the container
+    // bytes (signed LE16 / offset-binary u8 — the real PCM decode, pure
+    // integer arithmetic, no codec deps) into per-window sum and peak
+    // |amplitude| — the primitives every energy/VAD/loudness filter is
+    // built from. Geometry (1–3 channels, 8/16 bit, 40–129 frames so
+    // tail windows go short) and fill bytes are doc-derived; the oracle
+    // recomputes the amplitudes arithmetically (a constant-fill 16-bit
+    // frame v,v decodes to 257·v; an 8-bit frame to v−128), so a demux,
+    // addressing, sign-extension, or windowing regression breaks the
+    // values. Only sampled windows' bytes are read — 4·16·block_align
+    // per payload regardless of duration.
+    "q_audio_windows" -> { (s, dir) =>
+      import s.implicits._
+      val media = load(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val ch = (1 + id % 3).toInt
+          val rate = (8000 + (id % 3) * 8000).toInt
+          val bits = if (id % 2 == 0) 16 else 8
+          val n = (40 + id % 90).toInt
+          val payload = Multimodal.wavBytes(n, ch, rate, bits, (id % 9).toInt,
+            i => ((id * 53 + i * 17) % 96 + 32).toByte)
+          (id, payload)
+        }.toDF("media_id", "payload")
+      Multimodal.pcmWindows(media)
+        .select($"media_id", $"j".cast("long").as("j"), $"win_start",
+          $"win_len".cast("long").as("win_len"),
+          $"sum_amp", $"peak_abs".cast("long").as("peak_abs"))
+        .orderBy($"media_id", $"j")
     }
   )
 
@@ -280,6 +311,36 @@ object MultimodalQ {
         |  ba AS sample_len,
         |  sha256(repeat(chr(CAST((media_id * 41 + sample_idx * 13) % 96 + 32 AS INT)),
         |    CAST(ba AS INT))) AS sample_sha
-        |FROM s ORDER BY media_id, j""".stripMargin
+        |FROM s ORDER BY media_id, j""".stripMargin,
+
+    // Amplitudes are arithmetic: frame i's constant fill byte is
+    // v = (media_id·53 + i·17) % 96 + 32, so a 16-bit frame's channel-0
+    // LE16 sample (v, v) decodes to v·256 + v = 257·v and an 8-bit
+    // frame to v − 128. The Spark side must reproduce sums and peaks by
+    // actually decoding the sampled container bytes.
+    "q_audio_windows" ->
+      """WITH g AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS BIGINT) AS bits,
+        |    CAST(40 + doc_id % 90 AS BIGINT) AS n
+        |  FROM documents
+        |), w AS (
+        |  SELECT media_id, bits, n, j, (j * n) // 4 AS win_start,
+        |    CASE WHEN n - (j * n) // 4 > 16 THEN 16
+        |         ELSE n - (j * n) // 4 END AS win_len
+        |  FROM g, (SELECT unnest(generate_series(0, 3)) AS j)
+        |), a AS (
+        |  SELECT media_id, j, win_start, win_len,
+        |    CASE WHEN bits = 16
+        |      THEN ((media_id * 53 + (win_start + i) * 17) % 96 + 32) * 257
+        |      ELSE ((media_id * 53 + (win_start + i) * 17) % 96 + 32) - 128
+        |    END AS amp
+        |  FROM w, (SELECT unnest(generate_series(0, 15)) AS i) WHERE i < win_len
+        |)
+        |SELECT media_id, CAST(j AS BIGINT) AS j, win_start, win_len,
+        |  CAST(SUM(amp) AS BIGINT) AS sum_amp,
+        |  CAST(MAX(ABS(amp)) AS BIGINT) AS peak_abs
+        |FROM a GROUP BY media_id, j, win_start, win_len
+        |ORDER BY media_id, j""".stripMargin
   )
 }

@@ -229,6 +229,28 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(slice.length == 2 && slice.forall(_ == 65.toByte))
   }
 
+  test("pcmWindows decodes signed LE16 / offset-binary u8 amplitudes exactly") {
+    // 16-bit mono, 8 frames, fill v = i+1 → amplitude 257·(i+1); then
+    // frame 5's sample is patched to LE16(0x00, 0x80) = −32768, the
+    // sign-extension case the doc-derived gate fills (< 128) never reach
+    val w16 = Multimodal.wavBytes(8, 1, 8000, 16, 0, i => (i + 1).toByte)
+    val p = Multimodal.wavPcm(w16).get
+    val off5 = (p.dataOff + 5 * p.blockAlign).toInt
+    w16(off5) = 0x00.toByte; w16(off5 + 1) = 0x80.toByte
+    val rows = Multimodal.pcmWindows(Seq((1L, w16)).toDF("media_id", "payload"),
+      grid = 2, maxWin = 4).collect().sortBy(_.getInt(1))
+    assert(rows(0).getLong(2) == 0 && rows(0).getInt(3) == 4)
+    assert(rows(0).getLong(4) == 257L * (1 + 2 + 3 + 4) &&
+      rows(0).getInt(5) == 257 * 4)
+    assert(rows(1).getLong(4) == 257L * (5 + 7 + 8) - 32768 &&
+      rows(1).getInt(5) == 32768)
+    // 8-bit stereo: channel-0 amplitude = v − 128 (offset binary)
+    val w8 = Multimodal.wavBytes(4, 2, 8000, 8, 3, _ => 32.toByte)
+    val r8 = Multimodal.pcmWindows(Seq((2L, w8)).toDF("media_id", "payload"),
+      grid = 1, maxWin = 16).collect()(0)
+    assert(r8.getInt(3) == 4 && r8.getLong(4) == -384 && r8.getInt(5) == 96)
+  }
+
   test("decodeMp4 drops unparseable rows; sampled slice hashes match the fill") {
     val rows = Seq(
       (1L, Multimodal.mp4Bytes(Array(16, 20, 24, 28), i => (70 + i).toByte)),
