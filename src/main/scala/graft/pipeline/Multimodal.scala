@@ -665,6 +665,49 @@ object Multimodal {
       .toDF()
   }
 
+  /** One routed media row: sniffed kind + the metadata facts every
+    * downstream stage filters on first. Width/height for stills and
+    * video, sample geometry for audio, frame/sample counts for timed
+    * media — absent dimensions are -1 (a routed row always has a kind).
+    */
+  case class RoutedMedia(media_id: Long, kind: String, width: Int,
+                         height: Int, n_frames: Long, sample_rate: Int)
+
+  /** Validate-and-route: sniff each payload's container from its magic
+    * bytes and dispatch to the matching parser — the FIRST stage a
+    * mixed-media ingest runs on every payload at 100 TB (route, size-
+    * filter, and reject BEFORE any expensive decode touches the bytes).
+    * One narrow mapPartitions pass; each payload is parsed by exactly
+    * one parser (the sniff reads ≤12 header bytes to choose), and rows
+    * no parser accepts drop — corrupt media must not reach decoders.
+    * Kinds: png/jpeg/gif (stills), gftv/mp4 (video), wav (audio).
+    */
+  def routeMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        if (b.length < 12) None
+        else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P') // PNG signature
+          imageDims(b).map(m => RoutedMedia(id, m.fmt, m.width, m.height, -1L, -1))
+        else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) // JPEG SOI
+          imageDims(b).map(m => RoutedMedia(id, m.fmt, m.width, m.height, -1L, -1))
+        else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+          imageDims(b).map(m => RoutedMedia(id, m.fmt, m.width, m.height, -1L, -1))
+        else if (b(0) == 'G' && b(1) == 'F' && b(2) == 'T' && b(3) == 'V')
+          videoMeta(b).map(m => RoutedMedia(id, "gftv", -1, -1, m.n_frames.toLong, -1))
+        else if (fourcc(b, 4) == "ftyp") // ISO BMFF: size then 'ftyp'
+          mp4Track(b).map(t => RoutedMedia(id, "mp4", t.width, t.height,
+            t.sizes.length.toLong, -1))
+        else if (fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "WAVE")
+          wavPcm(b).map(w => RoutedMedia(id, "wav", -1, -1, w.nSamples,
+            w.sampleRate))
+        else None
+      })
+      .toDF()
+  }
+
   /** Synthesize a minimal VALID PCM WAV: RIFF header, `fmt ` (16-byte
     * PCM body), a `LIST` filler chunk of `listLen` zero bytes (odd
     * lengths exercise the word-alignment pad), then `data` holding the

@@ -215,6 +215,44 @@ object MultimodalQ {
           $"win_len".cast("long").as("win_len"),
           $"sum_amp", $"peak_abs".cast("long").as("peak_abs"))
         .orderBy($"media_id", $"j")
+    },
+
+    // Validate-and-route over a MIXED corpus — the stage every decoder
+    // above sits behind in production: doc_id picks one of six
+    // containers (png/jpeg/gif stills, GFTV/MP4 video, WAV audio) with
+    // doc-derived parameters, and the router must sniff each payload's
+    // magic bytes, dispatch to the right parser, and surface the
+    // type-appropriate metadata (dims / frame counts / sample geometry,
+    // -1 where the kind has none) from the BYTES alone. The oracle
+    // recomputes kind and every metadata field from the generation
+    // arithmetic — a sniff or dispatch regression (e.g. a WAV routed to
+    // the MP4 parser) drops or mangles rows and breaks the compare.
+    "q_multimodal_route" -> { (s, dir) =>
+      import s.implicits._
+      val media = load(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val payload = (id % 6) match {
+            case 0 => Multimodal.pngBytes((16 + id % 624).toInt, (16 + id % 464).toInt)
+            case 1 => Multimodal.jpegBytes((16 + id % 624).toInt, (16 + id % 464).toInt)
+            case 2 => Multimodal.gifBytes((16 + id % 624).toInt, (16 + id % 464).toInt)
+            case 3 => Multimodal.videoBytes((8 + id % 25).toInt, (64 + id % 17).toInt,
+              i => ((id * 31 + i * 7) % 96 + 32).toByte)
+            case 4 => Multimodal.mp4Bytes(
+              Array.tabulate((6 + id % 23).toInt)(k => (64 + id % 9).toInt + (k % 7) * 4),
+              i => ((id * 37 + i * 11) % 96 + 32).toByte, samplesPerChunk = 2,
+              w = (320 + (id % 5) * 64).toInt, h = (180 + (id % 5) * 36).toInt)
+            case _ => Multimodal.wavBytes((100 + id % 57).toInt, (1 + id % 2).toInt,
+              (8000 + (id % 5) * 4000).toInt, if (id % 3 == 0) 8 else 16,
+              (5 + id % 7).toInt, i => ((id * 41 + i * 13) % 96 + 32).toByte)
+          }
+          (id, payload)
+        }.toDF("media_id", "payload")
+      Multimodal.routeMedia(media)
+        .select($"media_id", $"kind",
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"n_frames", $"sample_rate".cast("long").as("sample_rate"))
+        .orderBy($"media_id")
     }
   )
 
@@ -341,6 +379,32 @@ object MultimodalQ {
         |  CAST(SUM(amp) AS BIGINT) AS sum_amp,
         |  CAST(MAX(ABS(amp)) AS BIGINT) AS peak_abs
         |FROM a GROUP BY media_id, j, win_start, win_len
-        |ORDER BY media_id, j""".stripMargin
+        |ORDER BY media_id, j""".stripMargin,
+
+    // Every routed field is doc_id arithmetic per container family;
+    // the Spark side must recover kind and metadata by sniffing and
+    // parsing the synthesized bytes.
+    "q_multimodal_route" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |    WHEN 3 THEN 'gftv' WHEN 4 THEN 'mp4' ELSE 'wav' END AS kind,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 3 THEN -1 WHEN 5 THEN -1
+        |    WHEN 4 THEN 320 + (doc_id % 5) * 64
+        |    ELSE 16 + doc_id % 624 END AS width,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 3 THEN -1 WHEN 5 THEN -1
+        |    WHEN 4 THEN 180 + (doc_id % 5) * 36
+        |    ELSE 16 + doc_id % 464 END AS height,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 3 THEN 8 + doc_id % 25
+        |    WHEN 4 THEN 6 + doc_id % 23
+        |    WHEN 5 THEN 100 + doc_id % 57
+        |    ELSE -1 END AS n_frames,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 5 THEN 8000 + (doc_id % 5) * 4000
+        |    ELSE -1 END AS sample_rate
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

@@ -251,6 +251,29 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(r8.getInt(3) == 4 && r8.getLong(4) == -384 && r8.getInt(5) == 96)
   }
 
+  test("routeMedia sniffs each container to its parser and drops garbage") {
+    val rows = Seq(
+      (1L, Multimodal.pngBytes(20, 30)),
+      (2L, Multimodal.jpegBytes(40, 50)),
+      (3L, Multimodal.gifBytes(60, 70)),
+      (4L, Multimodal.videoBytes(5, 8, _ => 1.toByte)),
+      (5L, Multimodal.mp4Bytes(Array(16, 20, 24), _ => 2.toByte, w = 320, h = 180)),
+      (6L, Multimodal.wavBytes(12, 2, 22050, 16, 3, _ => 3.toByte)),
+      (7L, "no container here, just prose".getBytes("UTF-8")),
+      // a RIFF that is not WAVE must not route (nor crash the wav parser)
+      (8L, "RIFF    AVI LIST".getBytes("ISO-8859-1")))
+    val routed = Multimodal.routeMedia(rows.toDF("media_id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getInt(5))).toMap
+    assert(routed == Map(
+      1L -> (("png", 20, 30, -1L, -1)),
+      2L -> (("jpeg", 40, 50, -1L, -1)),
+      3L -> (("gif", 60, 70, -1L, -1)),
+      4L -> (("gftv", -1, -1, 5L, -1)),
+      5L -> (("mp4", 320, 180, 3L, -1)),
+      6L -> (("wav", -1, -1, 12L, 22050))))
+  }
+
   test("decodeMp4 drops unparseable rows; sampled slice hashes match the fill") {
     val rows = Seq(
       (1L, Multimodal.mp4Bytes(Array(16, 20, 24, 28), i => (70 + i).toByte)),
