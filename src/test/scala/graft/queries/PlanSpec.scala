@@ -270,6 +270,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("multimodal decode/sample/route plans stay narrow: no hash shuffle") {
+    // Every multimodal stage is a per-partition parse or a byte-range
+    // slice of the row's own payload — at 100 TB the payload bytes must
+    // never cross the wire. The only exchange these plans are allowed is
+    // the final orderBy's range partitioning, which runs AFTER the
+    // select that drops the payload column (it moves projected metadata
+    // and hashes, never media bytes).
+    Seq("q_multimodal_decode", "q_multimodal_frames", "q_multimodal_mp4",
+      "q_multimodal_wav", "q_audio_windows", "q_multimodal_route").foreach { q =>
+      val p = plan(q)
+      val hash = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hash == 0,
+        s"$q gained a hash shuffle — payload bytes would cross the wire:\n${p.take(800)}")
+    }
+  }
+
   test("no query plans an unbounded quadratic join (cartesian or unlisted BNLJ)") {
     // BroadcastNestedLoopJoin is quadratic in general; it is legitimate
     // ONLY where one side is intentionally tiny/bounded. Anything not on
