@@ -208,6 +208,37 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val runsLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val loadProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Per-run diagnosis annotations (VERDICT r14 #2): the r13/r14
+    // artifacts carried 25-33× cold-run outliers (q_silver_parse rep
+    // 45.4 s vs 1.8 s min) with clean contention probes and no way to
+    // explain them from the artifact alone. Each run now records the
+    // machine/JVM state it started from — MemAvailable (page-cache
+    // pressure after a 161-query verify is the prime suspect), the
+    // run's own GC time delta (old-gen debt from earlier entries), and
+    // the dirty-page backlog — so a reviewer can attribute an outlier
+    // to its cause (mem_avail collapsed / gc_ms ≈ wall / dirty flush)
+    // without rerunning. Entries are pre-rendered JSON objects so the
+    // cross-run merge can carry old runs' annotations through verbatim.
+    val runsMeta = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
+    def gcMillis(): Long =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+      } catch { case _: Exception => -1L }
+    /** Time `f` and append a {sec, mem_avail_mb, gc_ms, dirty_mb}
+      * annotation for this run under `name`. mem/dirty are sampled at
+      * run START (the state the run walked into); gc_ms is the JVM's
+      * collection-time delta across the run (the bill it actually paid).
+      */
+    def annotated(name: String)(f: => Double): Double = {
+      val mem0 = memAvailMb(); val dirty0 = dirtyMb(); val gc0 = gcMillis()
+      val t = f
+      val gcD = if (gc0 < 0) -1L else gcMillis() - gc0
+      runsMeta(name) = runsMeta.getOrElse(name, Vector.empty) :+
+        f"""{"sec":$t%.3f,"mem_avail_mb":$mem0,"gc_ms":$gcD,"dirty_mb":$dirty0}"""
+      t
+    }
 
     def releaseAll(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
@@ -242,7 +273,7 @@ object Bench {
       val (g0, s0) = statJiffies()
       val (famP0, famK0, ext0) = censusJiffies()
       val w0 = System.nanoTime()
-      val t = f()
+      val t = annotated(name)(f())
       val wall = (System.nanoTime() - w0) / 1e9
       val (g1, s1) = statJiffies()
       val (famP1, famK1, ext1) = censusJiffies()
@@ -443,7 +474,8 @@ object Bench {
     // pays O(affected dates) — the medallion_tick vs
     // medallion_tick_rollup delta IS the maintenance increment).
     def medallionTick(redeliveredHalf: Boolean, rollup: Boolean = false,
-                      dir: String = sfDir, splitName: String = null): Double = {
+                      dir: String = sfDir, splitName: String = null,
+                      mediaPerTick: Int = 0): Double = {
       import org.apache.spark.sql.functions._
       val staging = java.nio.file.Files.createTempDirectory("graft_bench_stg").toString
       val wh = java.nio.file.Files.createTempDirectory("graft_bench_tick_wh").toString
@@ -458,9 +490,42 @@ object Bench {
       stageInterval(staging, graft.pipeline.RefEventsAdapter.toRawJson(
         day.where(col("rep") >= tick2Lo && col("rep") < tick2Lo + 8).drop("rep")),
         t0.plusMinutes(15))
+      // Route-aware ingest (VERDICT r14 #8): stage a mixed-media object
+      // set alongside each interval's events — six container kinds plus
+      // deliberate garbage — so the timed tick includes the media_route
+      // stage (binaryFile scan → magic-sniff route → metadata catalog).
+      val mediaBase: Option[String] =
+        if (mediaPerTick > 0)
+          Some(java.nio.file.Files.createTempDirectory("graft_bench_med").toString)
+        else None
+      def stageMedia(t: java.time.LocalDateTime, lo: Int): Unit =
+        mediaBase.foreach { mbase =>
+          import graft.pipeline.Multimodal
+          val d = graft.pipeline.StagingToBronze.stagingPathFor(mbase, t)
+            .stripSuffix("/*.json")
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+          (lo until lo + mediaPerTick).foreach { i =>
+            val payload = (i % 7) match {
+              case 0 => Multimodal.pngBytes(16 + i % 64, 32)
+              case 1 => Multimodal.jpegBytes(20, 40 + i % 32)
+              case 2 => Multimodal.gifBytes(8 + i % 16, 8)
+              case 3 => Multimodal.videoBytes(4 + i % 8, 8, j => (i + j).toByte)
+              case 4 => Multimodal.mp4Bytes(Array(16, 20, 24),
+                j => (i + j).toByte, w = 320, h = 180)
+              case 5 => Multimodal.wavBytes(16 + i % 32, 1 + i % 2, 8000, 16,
+                i % 3, j => (i + j).toByte)
+              case _ => s"garbage payload $i no parser accepts".getBytes("UTF-8")
+            }
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$d/$i.bin"), payload)
+          }
+        }
+      stageMedia(t0, 0)
+      stageMedia(t0.plusMinutes(15), mediaPerTick)
       val stages = scala.collection.mutable.ArrayBuffer[(String, Double)]()
       val mb = new graft.runner.MicroBatch(spark, staging, wh,
-        maintainRollup = rollup, stageSink = Some(stages))
+        maintainRollup = rollup, stageSink = Some(stages),
+        mediaStagingBase = mediaBase)
       mb.runInterval(t0) // untimed: seeds warehouse + sidecar coverage
       stages.clear() // attribute only the timed tick
       var factAfter = 0L
@@ -472,6 +537,14 @@ object Bench {
       if (rollup)
         require(spark.read.parquet(mb.rollupDailyPath).count() > 0,
           "bench rollup tick maintained nothing")
+      if (mediaPerTick > 0) {
+        // 6 of every 7 staged objects parse; both ticks' partitions exist
+        val catalog = spark.read.parquet(mb.mediaCatalogPath)
+        require(catalog.count() == 2L * (mediaPerTick - mediaPerTick / 7),
+          "bench media tick routed an unexpected catalog row count")
+        mediaBase.foreach(d =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      }
       Seq(staging, wh).foreach(d =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
       releaseAll()
@@ -490,7 +563,8 @@ object Bench {
     // cold-machine property (r8 #1) for the timed numbers.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
     val heavyRequested = only.forall(o => Seq("medallion_e2e", "medallion_e2e_1m",
-      "medallion_tick", "medallion_tick_redelivered", "medallion_tick_rollup")
+      "medallion_tick", "medallion_tick_redelivered", "medallion_tick_rollup",
+      "medallion_tick_media")
       .exists(o.contains))
     if (heavyRequested && new java.io.File(warmDir).isDirectory) {
       medallion(1, warmDir)
@@ -520,6 +594,16 @@ object Bench {
     single("medallion_tick_rollup") {
       medallionTick(redeliveredHalf = false, rollup = true,
         splitName = "medallion_tick_rollup")
+    }
+    // Tick + mixed-media route-and-catalog (VERDICT r14 #8): identical to
+    // medallion_tick plus 224 staged media objects per interval (six
+    // container kinds + 1-in-7 garbage) drained through the media_route
+    // stage — the delta vs medallion_tick IS the per-tick routing cost,
+    // and the stage split names it explicitly. 224 is 7×32: every kind
+    // appears 32× and the catalog row count is exactly predictable.
+    single("medallion_tick_media") {
+      medallionTick(redeliveredHalf = false,
+        splitName = "medallion_tick_media", mediaPerTick = 224)
     }
 
     // Structured-Streaming twin of the tick: AvailableNow drain of one
@@ -825,7 +909,7 @@ object Bench {
       .filter { case (name, _) => !skip(name) && only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         def attempt(): Option[Double] =
-          try Some(time(exec(fn(spark, sfDir))))
+          try Some(annotated(name)(time(exec(fn(spark, sfDir)))))
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name: ${e.getMessage}"); None
@@ -887,7 +971,7 @@ object Bench {
       releaseAll()
       cooldownRetried.foreach { name =>
         try {
-          val t = time(exec(SparkEntry.queries(name)(spark, sfDir)))
+          val t = annotated(name)(time(exec(SparkEntry.queries(name)(spark, sfDir))))
           runsLog(name) = runsLog(name) :+ t
           results(name) = math.min(results(name), t)
         } catch {
@@ -1012,6 +1096,8 @@ object Bench {
           // artifact written before they joined the skip set — merging
           // them back would re-report exactly the misleading numbers the
           // skip exists to suppress.
+          val oldSplits = old.path("stage_splits")
+          val oldMeta = old.path("run_annotations")
           old.path("queries").fieldNames().asScala.filterNot(skip).foreach { n =>
             val oldV = old.path("queries").get(n).asDouble()
             val oldRuns = Option(oldR.get(n)).toSeq
@@ -1026,8 +1112,26 @@ object Bench {
                 if (oldM.has(n)) m(n) = oldM.get(n).asDouble()
                 else m.remove(n)
               }
+              // VERDICT r14 #1: the stage split must describe the run
+              // whose time is being reported. Before this branch existed,
+              // the LAST process to run always overwrote the split even
+              // when an earlier run's time won the merge — the committed
+              // e2e_1m split summed to 22 s under an 11.89 s headline.
+              // Restore the winning (old) run's split exactly as probes
+              // are restored; an old artifact with no split for the entry
+              // drops the split rather than keep a lying one.
+              if (oldSplits.has(n)) {
+                val node = oldSplits.get(n)
+                stageSplits(n) = node.fieldNames().asScala.toSeq
+                  .map(k => k -> node.get(k).asDouble())
+              } else stageSplits.remove(n)
             } else if (!results.contains(n)) results(n) = newV
             runsLog(n) = oldRuns ++ runsLog.getOrElse(n, Seq.empty)
+            // run annotations concatenate like the runs log (provenance
+            // for every rep across the round, whichever run won)
+            val oldAnn = Option(oldMeta.get(n)).toVector
+              .flatMap(_.elements().asScala.map(_.toString))
+            runsMeta(n) = oldAnn ++ runsMeta.getOrElse(n, Vector.empty)
           }
           System.err.println(
             s"[bench] merged per-entry with existing $artifactName (run $mergeCount of the round)")
@@ -1076,6 +1180,8 @@ object Bench {
       s""""stage_splits":${fmtMap(stageSplits.map { case (k, v) =>
         k -> v.map { case (s2, t2) => "\"" + s2 + "\":" + f"$t2%.2f" }
           .mkString("{", ",", "}") })},""" +
+      s""""run_annotations":${fmtMap(runsMeta.map { case (k, v) =>
+        k -> v.mkString("[", ",", "]") })},""" +
       s""""mem_avail_start_mb":$memStart,"mem_avail_end_mb":$memEnd,""" +
       s""""cooldown_retried":${cooldownRetried.map("\"" + _ + "\"")
         .mkString("[", ",", "]")},""" +

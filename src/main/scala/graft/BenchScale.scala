@@ -80,6 +80,27 @@ object BenchScale {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
+  /** 10× events for the GOLD-DASHBOARD tier (VERDICT r14 #4): fresh
+    * event_ids but the ORIGINAL timestamps — the gold warehouse's time
+    * spine (Jan–Feb 2024, GoldE2E.gold) must keep covering every row,
+    * so the dashboard's star join drops nothing and the ×10 ratio
+    * honestly measures 10× fact rows through the same plan. (The
+    * 40-day-strided replica set below exists for the range/as-of
+    * temporal joins, whose pair counts would otherwise grow ×rep²;
+    * the star-join + rollup shape has no such fan-out — duplicate
+    * timestamps are exactly what 10× more traffic on the same days
+    * looks like.)
+    */
+  private def replicateEventsSameDates(spark: SparkSession, srcDir: String,
+                                       outDir: String): Unit = {
+    val base = Tables.load(spark, srcDir, "events")
+    val nBase = base.count()
+    base.withColumn("r", explode(sequence(lit(0), lit(Rep - 1))))
+      .withColumn("event_id", col("r") * nBase + col("event_id"))
+      .drop("r")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
   /** 10× events: fresh event_ids and each replica shifted r × 40 DAYS
     * later — byte-identical timestamps would inflate the range/as-of
     * join fan-out ×rep² (10 clicks × 10 purchases per original pair), a
@@ -257,6 +278,28 @@ object BenchScale {
       (q, tBase, t10x, ratio, nBase, n10x)
     }
 
+    // Gold-dashboard tier (VERDICT r14 #4): DAU.sql's star-join +
+    // 4-level COUNT(DISTINCT) rollup — the reference's flagship query
+    // shape — over a bulk-built warehouse at 1× and 10× fact rows.
+    // GoldE2E memoizes the warehouse per (session, dir), so of the two
+    // timed runs the first pays build + dashboard and the second
+    // dashboard-only; the reported MIN therefore isolates the DASHBOARD
+    // ratio (the build's own scale story is already measured as
+    // medallion_e2e vs medallion_e2e_1m in the per-round Bench).
+    val goldRows = (if (sectionOn("queries") &&
+        onlyQueries.forall(_.contains("q_gold_dau"))) {
+      val sfG = java.nio.file.Files.createTempDirectory("graft_sfg").toString
+      replicateEventsSameDates(spark, sfDir, sfG)
+      val (tb, nb) = timeQuery("q_gold_dau", sfDir)
+      val (tx, nx) = timeQuery("q_gold_dau", sfG)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sfG))
+      Seq(("q_gold_dau", tb, tx, tx / tb, nb, nx))
+    } else Seq.empty)
+    goldRows.foreach { case (q, a, b, r, na, nb2) =>
+      System.err.println(f"[scale] $q%-24s sf0.1=$a%7.2fs sf1=$b%7.2fs " +
+        f"ratio=$r%5.2f out=$na%d->$nb2%d")
+    }
+
     // Streaming ticks at both tiers (VERDICT r10 #4): stream_join over
     // the replicated events table (10× batch through the watermarked
     // interval join), streaming_gold at a 10× tick size (160 vs the
@@ -297,15 +340,20 @@ object BenchScale {
       else Seq(("ann_tier_100k", 50, 256), ("ann_tier_1m", 500, 1024),
         ("ann_tier_10m", 5000, 2048)))
       .map { case (name, rep, cells) =>
-        val (n, b, q, rf, sf, split) = graft.queries.VectorOps
+        val st = graft.queries.VectorOps
           .annIvfPqScaleTier(spark, sfDir, rep, cells, nprobe = 8)
-        require(rf == 0, s"$name: $rf queries below the recall floor")
-        require(sf == 0, s"$name: $sf queries exceed the scanned-fraction bound")
+        require(st.recallFailures == 0,
+          s"$name: ${st.recallFailures} queries below the recall floor")
+        require(st.scanFailures == 0,
+          s"$name: ${st.scanFailures} queries exceed the scanned-fraction bound")
         releaseAll()
         System.err.println(
-          f"[scale] $name%-24s n=$n build=$b%7.2fs query=$q%7.2fs split=" +
-            split.map { case (s, v) => f"$s=$v%.1f" }.mkString(","))
-        (name, n, cells, b, q, split)
+          f"[scale] $name%-24s n=${st.n} build=${st.buildSec}%7.2fs " +
+            f"query=${st.querySec}%7.2fs recall@k=${st.recallAtK}%.3f " +
+            f"scanned=${st.scannedFrac}%.4f agree=${st.assignAgreement}%.3f split=" +
+            st.split.map { case (s, v) => f"$s=$v%.1f" }.mkString(","))
+        (name, st.n, cells, st.buildSec, st.querySec, st.split,
+          st.recallAtK, st.scannedFrac, st.assignAgreement)
       }
 
     // BPE production-vocab tier (VERDICT r10 #3 stretch): the same
@@ -346,7 +394,7 @@ object BenchScale {
     // via SPARK_GRAFT_NO_MERGE=1 after a code change that legitimately
     // slows an operator (stale faster numbers would lie).
     // ------------------------------------------------------------------
-    var mergedRows = rows ++ streamRows
+    var mergedRows = rows ++ goldRows ++ streamRows
     var mergedAnn = annTiers
     var mergedBpe = bpeTiers
     var mergeCount = 1
@@ -372,7 +420,8 @@ object BenchScale {
           } else (q, a, b, r, na, nb)
         }
         val oa = old.path("ann_tiers")
-        mergedAnn = mergedAnn.map { case (name, n, cells, b, q, split) =>
+        mergedAnn = mergedAnn.map {
+          case (name, n, cells, b, q, split, rk, scf, agr) =>
           if (oa.has(name) && oa.get(name).path("cells").asInt() == cells) {
             val ob2 = oa.get(name).path("build_sec").asDouble(b)
             // the split rides with whichever run supplied the winning
@@ -383,9 +432,12 @@ object BenchScale {
                 val bs = oa.get(name).path("build_split")
                 bs.fieldNames().asScala.map(f => f -> bs.get(f).asDouble()).toSeq
               } else split
+            // recall/scanned/agreement are deterministic under a fixed
+            // fingerprint — this run's measurements stand as-is
             (name, n, cells, math.min(b, ob2),
-              math.min(q, oa.get(name).path("query_sec").asDouble(q)), split2)
-          } else (name, n, cells, b, q, split)
+              math.min(q, oa.get(name).path("query_sec").asDouble(q)), split2,
+              rk, scf, agr)
+          } else (name, n, cells, b, q, split, rk, scf, agr)
         }
         val ob = old.path("bpe_tiers")
         mergedBpe = mergedBpe.map { case (name, rounds, m, sec, pm) =>
@@ -411,11 +463,41 @@ object BenchScale {
         s""""$q":{"base_sec":$a,"x10_sec":$b,"ratio":$r,""" +
           s""""out_base":$na,"out_x10":$nb}"""
       }.mkString(",") + "}," +
-      "\"ann_tiers\":{" + mergedAnn.map { case (name, n, cells, b, q, split) =>
+      "\"ann_tiers\":{" + mergedAnn.map {
+        case (name, n, cells, b, q, split, rk, scf, agr) =>
         s""""$name":{"n":$n,"cells":$cells,"nprobe":8,""" +
           s""""build_sec":$b,"query_sec":$q,"build_split":{""" +
           split.map { case (s, v) => s""""$s":$v""" }.mkString(",") +
-          s"""},"contracts":"pass"}"""
+          s"""},"recall_at_k":${f"$rk%.4f"},"scanned_frac":${f"$scf%.5f"},""" +
+          s""""assign_agreement":${f"$agr%.4f"},"contracts":"pass"}"""
+      }.mkString(",") + "}," +
+      // Cross-tier per-stage growth (VERDICT r14 #3): for each adjacent
+      // tier pair, the build-stage time ratios next to the corpus-size
+      // ratio — the field that makes a super-linear stage (r14's
+      // residual_explode at 23× for 10× rows) a tracked number instead
+      // of an archaeology exercise. Stages ≥5 s at the bigger tier must
+      // not grow faster than ~n × cells-growth (assignment work is
+      // n·cells-shaped by design and the ladder raises cells with √n;
+      // 3× slack absorbs IO/JIT texture) — n² growth (ratio ≈ 100 for
+      // 10× rows) always trips it. Sub-5 s stages are noise-dominated
+      // and only reported.
+      "\"ann_stage_ratios\":{" + mergedAnn.sliding(2).collect {
+        case Seq((smName, smCount, smCells, _, _, smSplit, _, _, _),
+                 (bgName, bgCount, bgCells, _, _, bgSplit, _, _, _)) =>
+          val smM = smSplit.toMap
+          val nRatio = bgCount.toDouble / smCount
+          val cellsRatio = bgCells.toDouble / smCells
+          val stages = bgSplit.collect {
+            case (st, bv) if smM.getOrElse(st, 0.0) > 0 =>
+              val r = bv / smM(st)
+              require(bv < 5.0 || r <= 3.0 * nRatio * cellsRatio,
+                f"stage $st grows super-linearly $bgName/$smName: " +
+                  f"$r%.1fx for $nRatio%.1fx rows (${smM(st)}%.2fs -> $bv%.2fs)")
+              (st, r)
+          }
+          s""""${bgName}_over_$smName":{"n_ratio":${f"$nRatio%.2f"},""" +
+            stages.map { case (st, r) => s""""$st":${f"$r%.2f"}""" }
+              .mkString("\"stages\":{", ",", "}") + "}"
       }.mkString(",") + "}," +
       "\"bpe_tiers\":{" + mergedBpe.map { case (name, rounds, m, sec, pm) =>
         s""""$name":{"rounds":$rounds,"merges":$m,"sec":$sec,""" +

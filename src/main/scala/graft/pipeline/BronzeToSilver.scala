@@ -95,6 +95,12 @@ object BronzeToSilver {
       col("parsed_properties.selected_filters").as("prop_selected_filters"),
       col("parsed_properties.displayed_recipe_ids").as("prop_displayed_recipe_ids"),
       col("parsed_properties.targeting_tags").as("prop_targeting_tags"),
+      // ads-serving properties (create_event_logs.py:865-874, :307-312):
+      // position is categorical, personalization_score the generator's
+      // one numeric DOUBLE property — both null for non-ad events
+      col("parsed_properties.position").as("prop_ad_position"),
+      col("parsed_properties.personalization_score")
+        .as("prop_personalization_score"),
       col("source_file").as("data_source"))
       .withColumn("processed_at", current_timestamp())
       .withColumn("pipeline_version", lit(PipelineVersion))

@@ -534,7 +534,10 @@ object Multimodal {
   // `fmt ` yields the PCM geometry (channels, rate, bits, block align);
   // `data` yields the sample region; unknown chunks (LIST, fact, cue…)
   // are skipped by size, never interpreted. Same Option-returning
-  // rejection edges as mp4Track: truncation, declared-size mismatch,
+  // rejection edges as mp4Track: truncation, a declared size claiming
+  // more bytes than the payload carries (placeholder 0/0xFFFFFFFF
+  // sizes from streaming writers are tolerated), unsupported bit
+  // depths (only 8/16-bit PCM — the depths pcmWindows can decode),
   // non-PCM format tags, inconsistent block align / byte rate, and a
   // data region escaping the payload all yield None — a corrupt
   // container must not slice garbage. Audio sampling downstream is
@@ -558,8 +561,14 @@ object Multimodal {
     val b = payload
     if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
       return None
-    // RIFF size covers everything after the (fourcc, size) pair
-    if (leU32(b, 4) != b.length - 8L) return None
+    // RIFF size covers everything after the (fourcc, size) pair.
+    // Streaming writers commonly leave a placeholder (0 or 0xFFFFFFFF)
+    // or under-declare an unflushed tail, so declared ≤ actual and the
+    // all-ones placeholder are tolerated; only a size claiming MORE
+    // bytes than the payload carries is refused (the chunk walk below
+    // bounds-checks every chunk against the actual length regardless).
+    val declared = leU32(b, 4)
+    if (declared != 0xFFFFFFFFL && declared > b.length - 8L) return None
     var pos = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, bits, blockAlign
     var data: Option[(Long, Long)] = None // off, len
@@ -581,8 +590,11 @@ object Multimodal {
           // PCM only, and the derived fields must be self-consistent —
           // real parsers trust blockAlign for addressing, so a value
           // that disagrees with ch·bits/8 would slice garbage
+          // depths are restricted to the two pcmWindows can decode —
+          // admitting 24/32-bit here would let the window sampler
+          // mis-read them as offset-binary u8 instead of rejecting
           if (audioFormat != 1 || ch <= 0 || rate <= 0 ||
-              bits % 8 != 0 || bits == 0 ||
+              (bits != 8 && bits != 16) ||
               blockAlign != ch * (bits / 8) ||
               byteRate != rate * blockAlign) return None
           fmt = Some((ch, rate, bits, blockAlign))

@@ -95,6 +95,24 @@ object RefEventsAdapter {
         concat(lit("v"), ((col("user_id") + k) % 7).cast("string"))))
       .otherwise(lit(null).cast("array<string>"))
 
+    // Ads-serving texture (create_event_logs.py:865-874, :307-312):
+    // views act as ad impressions and clicks as ad clicks, carrying a
+    // categorical slot position and the AB-driven personalization score —
+    // treatment users score high (0.70–0.95), control low (0.10–0.30),
+    // exactly the generator's two uniform bands but deterministic in
+    // (user_id, k). The score is the envelope's one numeric DOUBLE
+    // property; (n)/100.0 is IEEE-exact-roundable on both engines, so the
+    // DuckDB oracle recomputes bit-identical doubles arithmetically.
+    val adPosition = when(et.isin("view", "click"),
+      element_at(array(lit("top"), lit("middle"), lit("bottom"),
+        lit("sidebar"), lit("recipe_detail")),
+        ((k + col("user_id")) % 5).cast("int") + 1))
+      .otherwise(lit(null).cast("string"))
+    val personalizationScore = when(et.isin("view", "click"),
+      when(col("user_id") % 2 === 0, (lit(70) + k % 26) / lit(100.0))
+        .otherwise((lit(10) + k % 21) / lit(100.0)))
+      .otherwise(lit(null).cast("double"))
+
     val properties = to_json(struct(
       pageName.as("page_name"),
       when(et.isin("click", "view", "purchase"), (lit(1000) + k).cast("string"))
@@ -108,7 +126,9 @@ object RefEventsAdapter {
       when(et === "view", k).otherwise(lit(null).cast("int")).as("result_count"),
       selectedFilters.as("selected_filters"),
       displayedRecipeIds.as("displayed_recipe_ids"),
-      targetingTags.as("targeting_tags")))
+      targetingTags.as("targeting_tags"),
+      adPosition.as("position"),
+      personalizationScore.as("personalization_score")))
 
     fanned.select(to_json(struct(
       concat(lit("anon-"), col("user_id")).as("anonymous_id"),

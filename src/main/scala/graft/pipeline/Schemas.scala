@@ -68,7 +68,14 @@ object Schemas {
     // keys parse to null, present ones to typed arrays.
     StructField("selected_filters", ArrayType(StringType)),
     StructField("displayed_recipe_ids", ArrayType(StringType)),
-    StructField("targeting_tags", ArrayType(StringType))
+    StructField("targeting_tags", ArrayType(StringType)),
+    // Ads-serving properties (create_event_logs.py:865-874 position on
+    // view_ads/click_ads, :307-312 personalization_score from the AB
+    // targeting logic): the one NUMERIC double event-property in the
+    // generator's surface — parsing it exercises JSON double round-trip
+    // through the doubly-encoded envelope, not just strings/ints/arrays.
+    StructField("position", StringType),
+    StructField("personalization_score", DoubleType)
   ))
 
   /** Bronze: raw string preservation + ingestion metadata, partitioned by
@@ -88,5 +95,6 @@ object Schemas {
     "year", "month", "day", "hour", "day_of_week",
     "page_name", "page_url", "user_segment", "cooking_style", "ab_test_group",
     "prop_recipe_id", "prop_list_type", "prop_action", "prop_search_keyword",
-    "prop_result_count", "processed_at", "data_source", "pipeline_version")
+    "prop_result_count", "prop_ad_position", "prop_personalization_score",
+    "processed_at", "data_source", "pipeline_version")
 }

@@ -56,7 +56,14 @@ object Medallion {
       |      WHEN event_type = 'click' THEN 'cl' END AS prop_action,
       |    CASE WHEN event_type = 'view' THEN 'kw' || CAST(k % 10 AS VARCHAR)
       |      END AS prop_search_keyword,
-      |    CASE WHEN event_type = 'view' THEN k END AS prop_result_count
+      |    CASE WHEN event_type = 'view' THEN k END AS prop_result_count,
+      |    CASE WHEN event_type IN ('view','click') THEN
+      |      ['top','middle','bottom','sidebar','recipe_detail'][CAST((k + user_id) % 5 AS INTEGER) + 1]
+      |      END AS prop_ad_position,
+      |    CASE WHEN event_type IN ('view','click') THEN
+      |      CASE WHEN user_id % 2 = 0 THEN (70 + k % 26) / 100.0
+      |           ELSE (10 + k % 21) / 100.0 END
+      |      END AS prop_personalization_score
       |  FROM e
       |)""".stripMargin
 
@@ -108,6 +115,36 @@ object Medallion {
         .join(rejoin("prop_displayed_recipe_ids", "n_recipes", "recipes_csv"), "event_id")
         .join(rejoin("prop_targeting_tags", "n_tags", "tags_csv"), "event_id")
         .orderBy($"event_id")
+    },
+
+    // §2.8 numeric event-property (VERDICT r14 #5): the generator's ads
+    // surface carries `position` (categorical slot) and
+    // `personalization_score` (the envelope's one DOUBLE property,
+    // create_event_logs.py:865-874 / :307-312). This gate drives both
+    // through the REAL double-from_json silver parse — the score must
+    // survive double → JSON string → double bit-exactly — then computes
+    // score-bucketed CTR by ad position (views as impressions, clicks as
+    // clicks). Doubles are never SUMMED raw (partial-aggregation order
+    // would make the hash nondeterministic): the score aggregates as a
+    // round(×100) integer, and CTR is a single deterministic IEEE
+    // division of exact counts. Scale: one hash aggregate on a
+    // bounded-cardinality (position × bucket) key — no skew, no window.
+    "q_ads_ctr" -> { (s, dir) =>
+      import s.implicits._
+      val silver = RefEventsAdapter.toSilver(load(s, dir, "events"), duplicate = true)
+      silver.where($"prop_ad_position".isNotNull)
+        .groupBy($"prop_ad_position".as("ad_position"),
+          floor($"prop_personalization_score" * 10).as("score_bucket"))
+        .agg(
+          sum(when($"event_name" === "view_recipe", 1L).otherwise(0L))
+            .as("impressions"),
+          sum(when($"event_name" === "click_recipe", 1L).otherwise(0L))
+            .as("clicks"),
+          sum(round($"prop_personalization_score" * 100).cast("long"))
+            .as("score_pct_sum"))
+        .withColumn("ctr",
+          when($"impressions" > 0, $"clicks".cast("double") / $"impressions"))
+        .orderBy($"ad_position", $"score_bucket")
     },
 
     // W1 — SCD-1 latest-per-user with row-dependent columns proving the
@@ -265,6 +302,21 @@ object Medallion {
          |  CAST(floor(epoch(date_trunc('second', kst - INTERVAL 9 HOUR))) AS BIGINT) AS utc_unix
          |FROM s
          |ORDER BY event_id""".stripMargin,
+
+    "q_ads_ctr" ->
+      s"""$silverCte
+         |SELECT prop_ad_position AS ad_position,
+         |  CAST(floor(prop_personalization_score * 10) AS BIGINT) AS score_bucket,
+         |  CAST(SUM(CASE WHEN event_name = 'view_recipe' THEN 1 ELSE 0 END) AS BIGINT) AS impressions,
+         |  CAST(SUM(CASE WHEN event_name = 'click_recipe' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+         |  CAST(SUM(CAST(round(prop_personalization_score * 100) AS BIGINT)) AS BIGINT) AS score_pct_sum,
+         |  CASE WHEN SUM(CASE WHEN event_name = 'view_recipe' THEN 1 ELSE 0 END) > 0
+         |    THEN CAST(SUM(CASE WHEN event_name = 'click_recipe' THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / SUM(CASE WHEN event_name = 'view_recipe' THEN 1 ELSE 0 END)
+         |  END AS ctr
+         |FROM s WHERE prop_ad_position IS NOT NULL
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
 
     "q_scd1_dim_user" ->
       s"""$silverCte, latest AS (

@@ -573,21 +573,32 @@ object VectorOps {
     val resid = assigned.join(cents, Seq("cell"))
       .select(col("vec_id"), col("cell").as("ivf_cell"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
-    val subR = stage("residual_explode") {
-      val s = resid.select(col("vec_id"), col("ivf_cell"),
-          explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
-        .select(col("vec_id"), col("ivf_cell"), col("m"),
-          slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
-      // narrow explode keeps the corpus partitioning; the parquet pin
-      // streams, so no repartition needed here either
-      pin(s)
-    }
+    // Exploded residual sub-vectors stay LAZY (VERDICT r14 #6): pinning
+    // the full ×PqM exploded table was the largest 10M build stage
+    // (16.6 s — an O(n·PqM) parquet round-trip of sub-vector arrays
+    // written once and read once). Both consumers do better without it:
+    // codebook training only ever reads the SAMPLE's residuals (pinned
+    // below, so the two Lloyd passes don't recompute it), and the final
+    // encode fuses residual-subtract → slice → NearestCell argmin into
+    // ONE narrow streamed pass over the already-pinned `assigned` —
+    // recomputing the subtraction per row is pure codegen'd arithmetic,
+    // strictly cheaper than materializing it through scratch parquet.
+    // Determinism holds because both reads derive from the SAME pinned
+    // frames (assigned + localCheckpointed cents).
+    val subR = resid.select(col("vec_id"), col("ivf_cell"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
+      .select(col("vec_id"), col("ivf_cell"), col("m"),
+        slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
     // codebooks train on the SAMPLE's residuals only (trainPred rides on
     // vec_id, which subR retains) — at the 1M tier this removes three
-    // corpus-wide pqAssign/mean passes, leaving the single final encode
+    // corpus-wide pqAssign/mean passes, leaving the single final encode.
+    // The stage pins sample-sized data, so its cost is bounded by the
+    // training-sample budget, not the corpus.
+    val subRTrain = stage("residual_explode") {
+      pin(trainPred.map(subR.where).getOrElse(subR))
+    }
     val books = stage("books_train") {
-      pqCodebooks(trainPred.map(subR.where).getOrElse(subR)
-        .select(col("vec_id"), col("m"), col("sv")))
+      pqCodebooks(subRTrain.select(col("vec_id"), col("m"), col("sv")))
     }
     // (vec_id, ivf_cell, m, code): the complete on-disk representation —
     // PqM small ints + one cell id per vector
@@ -675,11 +686,26 @@ object VectorOps {
     * caller treats any failure as a bench error — a fast broken index
     * measures nothing.
     */
+  /** Measured per-tier evidence beyond the pass/fail contracts (VERDICT
+    * r14 #3): the numbers a reviewer needs to judge the approximation,
+    * not just trust it. `recallAtK` is the measured mean fraction of
+    * each query's true top-k the index returned (vs the in-run
+    * brute-force baseline); `scannedFrac` the mean fraction of corpus
+    * codes a query's probes actually read; `assignAgreement` the
+    * fraction of a ~20k-vector corpus sample whose hierarchical
+    * two-level coarse assignment lands in the SAME cell as the exact
+    * full argmax (the 10M tier's one approximation).
+    */
+  case class AnnTierStats(n: Long, buildSec: Double, querySec: Double,
+                          recallFailures: Long, scanFailures: Long,
+                          split: Seq[(String, Double)],
+                          recallAtK: Double, scannedFrac: Double,
+                          assignAgreement: Double)
+
   def annIvfPqScaleTier(s: SparkSession, dir: String, rep: Int,
                         cells: Int, nprobe: Int,
                         nQueries: Int = AnnScaleQueries, k: Int = 5,
-                        minHits: Int = 3)
-      : (Long, Double, Double, Long, Long, Seq[(String, Double)]) = {
+                        minHits: Int = 3): AnnTierStats = {
     // Storage level scales with the tier: the deserialized columnar
     // cache is right up to ~1M vectors, but a 10M × 64-double corpus is
     // ~5 GB raw — at that size BOTH in-memory levels OOM'd the 8 GB
@@ -737,10 +763,37 @@ object VectorOps {
     val scanFailures = scan
       .where(col("n_scanned") * cells.toLong > lit(2L) * nprobe.toLong * n)
       .count()
+    // Measured tier texture (untimed — evidence, not cost). recall@k:
+    // mean fraction of the true top-k retrieved across queries.
+    val bfPairs = bf.select(col("query_id"), col("neighbor_id"))
+    val nq = ann.select(col("query_id")).distinct().count()
+    val hitTotal = ann.join(bfPairs, Seq("query_id", "neighbor_id"),
+      "left_semi").count()
+    val recallAtK = if (nq == 0) 0.0 else hitTotal.toDouble / (nq * k)
+    val scannedFrac =
+      scan.agg(avg(col("n_scanned"))).head().getDouble(0) / n
+    // hierarchical-vs-exact coarse-assignment agreement over a ~20k
+    // corpus sample (the full exact argmax at 10M is the n × cells wall
+    // the hierarchy exists to avoid — a spread sample measures the
+    // approximation at bounded cost). Both paths read the SAME pinned
+    // centroids, so disagreement isolates the routing approximation.
+    val step = math.max(1L, n / 20000L)
+    val sample = emb.where(pmod(col("vec_id"), lit(step)) === lit(0L))
+    val exactA = assignCells(sample, idx.cents)
+      .select(col("vec_id"), col("cell").as("c_exact"))
+    val hierA = assignCellsHierarchical(sample, idx.cents)
+      .select(col("vec_id"), col("cell").as("c_hier"))
+    val agreeRow = exactA.join(hierA, Seq("vec_id"))
+      .agg(sum(when(col("c_exact") === col("c_hier"), 1L).otherwise(0L))
+        .as("agree"), count(lit(1)).as("total")).head()
+    val assignAgreement =
+      if (agreeRow.getLong(1) == 0) 0.0
+      else agreeRow.getLong(0).toDouble / agreeRow.getLong(1)
     emb.unpersist()
     idx.scratchDir.foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
-    (n, buildSec, querySec, recallFailures, scanFailures, idx.stageSec)
+    AnnTierStats(n, buildSec, querySec, recallFailures, scanFailures,
+      idx.stageSec, recallAtK, scannedFrac, assignAgreement)
   }
 
   /** Production SemDeDup path (Abbas et al. 2023): Lloyd cells → the

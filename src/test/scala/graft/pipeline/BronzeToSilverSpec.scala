@@ -37,6 +37,21 @@ class BronzeToSilverSpec extends SparkSpec {
     assert(silver.getAs[Int]("prop_result_count") == 7)
   }
 
+  test("ads numeric properties round-trip the double-from_json parse") {
+    // personalization_score is the envelope's one DOUBLE property
+    // (create_event_logs.py:307-312) — it must survive double → JSON
+    // string → double bit-exactly, and absent keys must parse to null
+    val withAds = rawEvent("a1", props =
+      """{\"position\":\"sidebar\",\"personalization_score\":0.73}""")
+    val withoutAds = rawEvent("a2")
+    val silver = BronzeToSilver.transform(toBronze(Seq(withAds, withoutAds)))
+      .select("event_id", "prop_ad_position", "prop_personalization_score")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(silver("a1").getString(1) == "sidebar")
+    assert(silver("a1").getDouble(2) == 0.73)
+    assert(silver("a2").isNullAt(1) && silver("a2").isNullAt(2))
+  }
+
   test("KST wall-clock semantics under a UTC session") {
     // 14:30 KST on 2025-09-15 = 05:30 UTC; all derived components must be KST
     val silver = BronzeToSilver.transform(toBronze(Seq(rawEvent("e1")))).collect()(0)

@@ -211,6 +211,29 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(Multimodal.wavPcm(overrun).isEmpty)
   }
 
+  test("wav tolerates placeholder RIFF sizes but rejects over-claims and deep PCM") {
+    val wav = Multimodal.wavBytes(10, 2, 16000, 16, 5, _ => 7.toByte)
+    // streaming-writer placeholders: declared 0 and 0xFFFFFFFF both parse
+    val zeroSize = wav.clone()
+    (4 to 7).foreach(zeroSize(_) = 0.toByte)
+    assert(Multimodal.wavPcm(zeroSize).exists(_.nSamples == 10))
+    val onesSize = wav.clone()
+    (4 to 7).foreach(onesSize(_) = 0xFF.toByte)
+    assert(Multimodal.wavPcm(onesSize).exists(_.nSamples == 10))
+    // an under-declared (unflushed-tail) size also parses…
+    val under = wav.clone(); under(4) = (wav(4) - 4).toByte
+    assert(Multimodal.wavPcm(under).isDefined)
+    // …but any non-placeholder size claiming MORE bytes than carried is refused
+    val over = wav.clone(); over(4) = (wav(4) + 1).toByte
+    assert(Multimodal.wavPcm(over).isEmpty)
+    // 24/32-bit PCM is structurally valid RIFF but pcmWindows can't decode
+    // it — wavPcm must reject the depth rather than let it mis-read as u8
+    assert(Multimodal.wavPcm(
+      Multimodal.wavBytes(10, 1, 8000, 24, 0, _ => 1.toByte)).isEmpty)
+    assert(Multimodal.wavPcm(
+      Multimodal.wavBytes(10, 1, 8000, 32, 0, _ => 1.toByte)).isEmpty)
+  }
+
   test("decodeWav drops unparseable rows; sampled slice matches the fill") {
     val rows = Seq(
       (1L, Multimodal.wavBytes(8, 1, 8000, 16, 3, i => (60 + i).toByte)),

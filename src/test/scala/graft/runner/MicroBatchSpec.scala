@@ -710,4 +710,64 @@ class MicroBatchSpec extends SparkSpec {
     StreamingIngest.runSilver(spark, s"$wh/bronze", s"$wh/silver", s"$wh/ckpt_silver")
     assert(spark.read.parquet(s"$wh/silver").count() == 3)
   }
+
+  test("route-aware tick drains mixed media to the catalog, idempotently") {
+    import graft.pipeline.Multimodal
+    val staging = tmpDir("stagingmr")
+    val mediaStaging = tmpDir("mediastg")
+    val wh = tmpDir("whmr")
+    writeStagingFile(staging, 2025, 9, 15, 10, 0, Seq(
+      raw("m1", "u1", "2025-09-15T10:01:00.000+09:00")))
+    // the same interval's media objects: one per container kind + garbage
+    val mdir = Paths.get(
+      s"$mediaStaging/year=2025/month=09/day=15/hour=10/minute=00")
+    Files.createDirectories(mdir)
+    Files.write(mdir.resolve("1.bin"), Multimodal.pngBytes(20, 30))
+    Files.write(mdir.resolve("2.bin"), Multimodal.jpegBytes(40, 50))
+    Files.write(mdir.resolve("3.bin"), Multimodal.gifBytes(60, 70))
+    Files.write(mdir.resolve("4.bin"), Multimodal.videoBytes(5, 8, _ => 1.toByte))
+    Files.write(mdir.resolve("5.bin"),
+      Multimodal.mp4Bytes(Array(16, 20, 24), _ => 2.toByte, w = 320, h = 180))
+    Files.write(mdir.resolve("6.bin"),
+      Multimodal.wavBytes(10, 2, 16000, 16, 5, _ => 7.toByte))
+    Files.write(mdir.resolve("7.bin"), "not media at all".getBytes("UTF-8"))
+
+    val stages = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val mb = new MicroBatch(spark, staging, wh, stageSink = Some(stages),
+      mediaStagingBase = Some(mediaStaging))
+    val t1 = mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+    assert(t1._3 == 1L) // the events side of the tick is unaffected
+    // the tick's stage split names the route stage explicitly
+    assert(stages.exists(_._1 == "media_route"))
+
+    val catalog = spark.read.parquet(mb.mediaCatalogPath)
+    val byId = catalog
+      .select("media_id", "kind", "width", "height", "n_frames", "sample_rate")
+      .as[(Long, String, Int, Int, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(byId.size == 6) // garbage dropped before any decoder ran
+    assert(byId(1L) == ((1L, "png", 20, 30, -1L, -1)))
+    assert(byId(2L) == ((2L, "jpeg", 40, 50, -1L, -1)))
+    assert(byId(3L) == ((3L, "gif", 60, 70, -1L, -1)))
+    assert(byId(4L) == ((4L, "gftv", -1, -1, 5L, -1)))
+    assert(byId(5L) == ((5L, "mp4", 320, 180, 3L, -1)))
+    assert(byId(6L) == ((6L, "wav", -1, -1, 10L, 16000)))
+    // the catalog carries metadata only — payload bytes never land in it
+    assert(!catalog.columns.contains("payload"))
+
+    // re-run: the dynamic partition overwrite replaces the batch's own
+    // partition, so the catalog converges instead of duplicating
+    mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 0))
+    assert(spark.read.parquet(mb.mediaCatalogPath).count() == 6)
+
+    // a media-only interval (no events staged) still publishes its
+    // catalog partition — the events short-circuit must not starve it
+    val mdir2 = Paths.get(
+      s"$mediaStaging/year=2025/month=09/day=15/hour=10/minute=15")
+    Files.createDirectories(mdir2)
+    Files.write(mdir2.resolve("8.bin"), Multimodal.pngBytes(11, 12))
+    val t2 = mb.runInterval(LocalDateTime.of(2025, 9, 15, 10, 15))
+    assert(t2 == ((0L, 0L, 0L)))
+    assert(spark.read.parquet(mb.mediaCatalogPath).count() == 7)
+  }
 }
