@@ -108,6 +108,48 @@ object Warehouse {
     }
   }
 
+  /** [[writeSilverClustered]] with the event_id dedup FUSED into the
+    * clustering exchange: rows are hash-repartitioned by
+    * (year, month, day, salt(event_id)) — duplicates of an event_id are
+    * byte-identical redeliveries, so they share (year, month, day) AND
+    * the salt, i.e. they co-locate in one partition — and the dedup then
+    * runs as a groupBy whose required clustering is already satisfied by
+    * that exchange (HashPartitioning on a subset of the grouping keys),
+    * so Catalyst plans ZERO additional Exchange. The previous
+    * transform-then-cluster pipeline shuffled the full parsed silver
+    * TWICE (once on event_id for dropDuplicates, once on the partition
+    * key for the clustered write); at 100 TB that second exchange is a
+    * whole extra pass of the silver over the network (guide §2.4).
+    *
+    * Semantics are identical to `dropDuplicates("event_id")` + clustered
+    * write: dropDuplicates IS an aggregate keyed on event_id taking
+    * first() of every other column (Catalyst's
+    * ReplaceDeduplicateWithAggregate), and all first() aggregates in one
+    * hash aggregate observe rows in the same order, so the surviving row
+    * is one consistent input row — WarehouseDedupSpec pins equality on a
+    * redelivered corpus. Input must be the PARSED (pre-dedup) silver.
+    */
+  def writeSilverDedupClustered(parsed: DataFrame, path: String,
+                                filesPerPartition: Int = 2): Unit = {
+    dropBloomSidecar(parsed, path)
+    val salt = pmod(xxhash64(col("event_id")), lit(filesPerPartition))
+    val keyCols = Set("event_id", "year", "month", "day")
+    val firsts = parsed.columns.filterNot(keyCols)
+      .map(c => first(col(c)).as(c))
+    withDynamicPartitionOverwrite(parsed.sparkSession) {
+      parsed
+        .repartition(col("year"), col("month"), col("day"), salt)
+        .groupBy(col("year"), col("month"), col("day"), salt.as("__salt"),
+          col("event_id"))
+        .agg(firsts.head, firsts.tail: _*)
+        .drop("__salt")
+        // restore the original column order so the written schema is
+        // byte-identical to the unfused path's
+        .select(parsed.columns.map(col): _*)
+        .write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
+    }
+  }
+
   /** Bulk-rebuild variant of [[writeFact]] — same clustering rationale. */
   def writeFactClustered(df: DataFrame, path: String,
                          filesPerPartition: Int = 2): Unit = {

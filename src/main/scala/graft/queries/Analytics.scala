@@ -507,9 +507,15 @@ object Analytics {
       val tickFrame = s.createDataFrame(
         dates.zipWithIndex.map { case (d, i) => (d, i * 3 / dates.length) }.toSeq
       ).toDF("event_date", "base_tick")
+      // pinned once: each of the three ticks runs TWO actions over this
+      // frame (the batch append write + the affected-dates collect) — six
+      // full events-scan + broadcast-join re-runs without the checkpoint
+      // (guide §1.2). Cardinality = events rows × 5 narrow columns.
       val ticked = ev.join(broadcast(tickFrame), Seq("event_date"))
         .withColumn("tick", least(
           $"base_tick" + when($"event_id" % 10 === 0, 1).otherwise(0), lit(2)))
+        .select($"event_date", $"event_type", $"user_id", $"value", $"tick")
+        .localCheckpoint(true)
       def agg(fact: DataFrame): DataFrame = fact
         .groupBy($"event_date", $"event_type")
         .agg(count(lit(1)).as("n_events"),

@@ -49,9 +49,14 @@ object Bulk {
     }
 
     stage("silver") {
-      val silver = BronzeToSilver.transform(
+      // dedup FUSED into the clustering exchange: the parsed silver is
+      // shuffled ONCE by (year, month, day, salt(event_id)) — byte-
+      // identical redeliveries co-locate there — instead of once for
+      // dropDuplicates(event_id) and again for the clustered write
+      // (guide §2.4; plan went 2 Exchange → 1 over the full silver).
+      val parsed = BronzeToSilver.parse(
         Warehouse.read(spark, s"$warehouse/bronze_events$sfx"))
-      Warehouse.writeSilverClustered(silver, s"$warehouse/user_events_silver$sfx")
+      Warehouse.writeSilverDedupClustered(parsed, s"$warehouse/user_events_silver$sfx")
     }
 
     // NOT cached: this is a parquet read-back, and the five consumers
@@ -63,24 +68,36 @@ object Bulk {
     // pruned columnar re-scans are cheaper than the cache at every scale.
     val silverAll = Warehouse.read(spark, s"$warehouse/user_events_silver$sfx")
     stage("dims") {
-      // dim_user on the scalable SK path: same (user_sk, user_id) mapping as
-      // the window variant, but per-partition-offset assignment — a bulk
-      // user dim is the one dim that can reach 10⁸ rows at 100 TB
-      val dimUser = Dims.dimUserScalable(silverAll)
-      // bulk rebuild: the W3 fast path (monotonically_increasing_id) — no
-      // global window; downstream joins only by natural key
-      val dimEvent = Dims.dimFromColumnsFast(silverAll, Seq("event_name"), "event_sk")
-      val dimPage = Dims.dimPage(silverAll)
-      val masterPath = recipeMasterPath.getOrElse {
-        val p = s"$warehouse/recipe_master$sfx.parquet"
-        Dims.writeRecipeMasterFixture(
-          silverAll.select(col("prop_recipe_id").as("recipe_id")), p)
-        p
-      }
-      val dimRecipe = Dims.dimRecipeFromMaster(spark.read.parquet(masterPath))
-      Seq("dim_user" -> dimUser, "dim_event" -> dimEvent, "dim_page" -> dimPage,
-        "dim_recipe" -> dimRecipe)
-        .foreach { case (n, df) => Warehouse.writeDim(df, s"$warehouse/$n$sfx") }
+      // The four dim builds are independent multi-action chains (scans of
+      // pruned silver columns, window/zipWithIndex passes, a master-
+      // fixture write + read-back, four dim writes); build AND write them
+      // concurrently so one build's task tail back-fills cores another
+      // leaves idle (guide §2.6) — serially this stage was pure
+      // round-trip latency stacked end to end.
+      Par.par4(
+        // dim_user on the scalable SK path: same (user_sk, user_id)
+        // mapping as the window variant, but per-partition-offset
+        // assignment — a bulk user dim is the one dim that can reach
+        // 10⁸ rows at 100 TB
+        Warehouse.writeDim(Dims.dimUserScalable(silverAll),
+          s"$warehouse/dim_user$sfx"),
+        // bulk rebuild: the W3 fast path (monotonically_increasing_id) —
+        // no global window; downstream joins only by natural key
+        Warehouse.writeDim(
+          Dims.dimFromColumnsFast(silverAll, Seq("event_name"), "event_sk"),
+          s"$warehouse/dim_event$sfx"),
+        Warehouse.writeDim(Dims.dimPage(silverAll), s"$warehouse/dim_page$sfx"),
+        {
+          val masterPath = recipeMasterPath.getOrElse {
+            val p = s"$warehouse/recipe_master$sfx.parquet"
+            Dims.writeRecipeMasterFixture(
+              silverAll.select(col("prop_recipe_id").as("recipe_id")), p)
+            p
+          }
+          Warehouse.writeDim(
+            Dims.dimRecipeFromMaster(spark.read.parquet(masterPath)),
+            s"$warehouse/dim_recipe$sfx")
+        })
     }
 
     stage("fact") {

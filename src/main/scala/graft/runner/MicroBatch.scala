@@ -276,15 +276,23 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     // --- bronze → silver: read back only this batch's partition (P3)
     val bronzeBatch = spark.read.parquet(bronzePath)
       .where(col("ingestion_date") === lit(ingestionDate) && col("batch_id") === lit(batchId))
-    val silverNew = BronzeToSilver.transform(bronzeBatch)
 
     // merge with affected event-date partitions, dedup by event_id.
     // The affected set is tiny (a 15-min batch touches 1-2 event dates),
     // so collect it and filter STATICALLY — the existing-silver scan then
     // carries PartitionFilters instead of relying on runtime DPP.
-    val affectedKeys = stage("silver_parse") {
-      silverNew.select("year", "month", "day").distinct()
+    // The parsed batch is pinned ONCE (localCheckpoint): downstream the
+    // affected-keys collect, the bloom probe split, the positive-set
+    // emptiness check and the append checkpoint each run an action over
+    // it — unpinned, every one of those re-ran the triple from_json
+    // parse + dedup shuffle of the whole batch (3-4 redundant parse
+    // passes per tick; optimization guide §1.2 "don't compute things you
+    // throw away"). Per-tick cardinality, same bound as silverTodo below.
+    val (silverNew, affectedKeys) = stage("silver_parse") {
+      val pinned = BronzeToSilver.transform(bronzeBatch).localCheckpoint(true)
+      val keys = pinned.select("year", "month", "day").distinct()
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+      (pinned, keys)
     }
     val affectedFilter = affectedFilterOf(affectedKeys)
     // Anti-join APPEND, not merge-overwrite: the batch (already deduped by
@@ -362,25 +370,34 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
     // dim_user keys on (user_id, anonymous_id) alone — attributes ride
     // along and must not fork a new SK when they change — so it keeps its
     // dedicated upsert (J5 + A4 + W2).
+    // The four dim upserts are independent (distinct sinks, distinct
+    // candidate columns) but each one is a CHAIN of small driver actions
+    // (high-water agg, anti-join checkpoint, emptiness probe, append) —
+    // run serially the tick pays every action's scheduler latency
+    // end-to-end while the executors idle. Submit them concurrently
+    // (guide §2.6 "overlap independent jobs"); the fact build below
+    // still waits for all four (facts are written after dims).
     val (dimUser, dimEvent, dimPage, dimRecipe) = stage("gold_dims") {
-      val existingUser = readOrEmpty(dimUserPath, dimUserSchema)
-      val dimUser = appendOnly(dimUserPath,
-        existingUser.limit(0)
-          .unionByName(Dims.dimUserUpsert(silverTodo, existingUser),
-            allowMissingColumns = true)
-          .localCheckpoint(true))
-      val dimEvent = upsertDim(dimEventPath, dimEventSchema,
-        Seq("event_name"), "event_sk",
-        silverTodo.where(col("event_name").isNotNull).select("event_name"))
-      val dimPage = upsertDim(dimPagePath, dimPageSchema,
-        Seq("page_name", "page_url"), "page_sk",
-        silverTodo.where(col("page_name").isNotNull || col("page_url").isNotNull)
-          .select("page_name", "page_url"))
-      val dimRecipe = upsertDim(dimRecipePath, dimRecipeSchema,
-        Seq("recipe_id"), "recipe_sk",
-        silverTodo.where(col("prop_recipe_id").isNotNull)
-          .select(col("prop_recipe_id").cast("string").as("recipe_id")))
-      (dimUser, dimEvent, dimPage, dimRecipe)
+      Par.par4(
+        {
+          val existingUser = readOrEmpty(dimUserPath, dimUserSchema)
+          appendOnly(dimUserPath,
+            existingUser.limit(0)
+              .unionByName(Dims.dimUserUpsert(silverTodo, existingUser),
+                allowMissingColumns = true)
+              .localCheckpoint(true))
+        },
+        upsertDim(dimEventPath, dimEventSchema,
+          Seq("event_name"), "event_sk",
+          silverTodo.where(col("event_name").isNotNull).select("event_name")),
+        upsertDim(dimPagePath, dimPageSchema,
+          Seq("page_name", "page_url"), "page_sk",
+          silverTodo.where(col("page_name").isNotNull || col("page_url").isNotNull)
+            .select("page_name", "page_url")),
+        upsertDim(dimRecipePath, dimRecipeSchema,
+          Seq("recipe_id"), "recipe_sk",
+          silverTodo.where(col("prop_recipe_id").isNotNull)
+            .select(col("prop_recipe_id").cast("string").as("recipe_id"))))
     }
 
     // silver → gold, append-only: every todo row lacks a fact row by
