@@ -511,10 +511,16 @@ object Analytics {
       // frame (the batch append write + the affected-dates collect) — six
       // full events-scan + broadcast-join re-runs without the checkpoint
       // (guide §1.2). Cardinality = events rows × 5 narrow columns.
+      // The repartition matters twice: the events fixture is ONE row
+      // group, so the unrepartitioned lineage ran every batch write on a
+      // single core (guide §2.5 input skew — repartition right after the
+      // read), and clustering by event_date makes each partitioned
+      // append write one file per date instead of tasks × dates.
       val ticked = ev.join(broadcast(tickFrame), Seq("event_date"))
         .withColumn("tick", least(
           $"base_tick" + when($"event_id" % 10 === 0, 1).otherwise(0), lit(2)))
         .select($"event_date", $"event_type", $"user_id", $"value", $"tick")
+        .repartition($"event_date")
         .localCheckpoint(true)
       def agg(fact: DataFrame): DataFrame = fact
         .groupBy($"event_date", $"event_type")

@@ -128,7 +128,9 @@ object Bulk {
         trusted = true)
     }
 
-    stage("counts") {(
+    // three independent metadata-cheap count read-backs — concurrent for
+    // the same serial-latency reason as the dims stage
+    stage("counts") { Par.par3(
       Warehouse.read(spark, s"$warehouse/bronze_events$sfx").count(),
       silverAll.count(),
       Warehouse.read(spark, s"$warehouse/fact_user_events$sfx").count())}

@@ -170,14 +170,21 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
       // the exact verify of positives already tolerates.
       val probe = graft.functions.BloomMightContain.any(
         col("event_id"), sidecar.loadMerged(partDirs))
-      val pos = batch.where(probe)
+      // Evaluate the probe ONCE: the flag column is pinned with the
+      // batch, and the positive/negative splits plus the emptiness check
+      // below are memory filters over the pinned frame. The unflagged
+      // form ran the probe three times (the emptiness action, then both
+      // union branches), each run paying the multi-MB serialized-bloom
+      // task binary on top of the scan (guide §1.2).
+      val flagged = batch.withColumn("__bloom_pos", probe).localCheckpoint(true)
+      val pos = flagged.where(col("__bloom_pos")).drop("__bloom_pos")
       // the ids among the positives that are REALLY present — ⊆ pos, so
       // bounded by redeliveries + false positives; checkpointed so the
       // append and emptiness probes downstream don't re-run the scan.
-      // The empty-positives short-circuit is explicit (one narrow probe
-      // pass over the batch), not left to AQE's empty-broadcast collapse:
-      // on a clean tick the existing partitions are DETERMINISTICALLY
-      // never read — BloomSidecarSpec pins that with an instrumented scan.
+      // The empty-positives short-circuit is explicit, not left to AQE's
+      // empty-broadcast collapse: on a clean tick the existing
+      // partitions are DETERMINISTICALLY never read — BloomSidecarSpec
+      // pins that with an instrumented scan.
       val present =
         if (pos.isEmpty)
           spark.createDataFrame(
@@ -186,7 +193,7 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
         else existingIds
           .join(broadcast(pos.select("event_id").distinct()), Seq("event_id"), "left_semi")
           .distinct().localCheckpoint(true)
-      batch.where(!probe)
+      flagged.where(!col("__bloom_pos")).drop("__bloom_pos")
         .unionByName(pos.join(broadcast(present), Seq("event_id"), "left_anti"))
     } else batch.join(existingIds, Seq("event_id"), "left_anti")
 
@@ -324,8 +331,9 @@ class MicroBatch(spark: SparkSession, stagingBase: String, warehouse: String,
 
     val factTotal = goldFromSilverBatch(silverBatch, affectedKeys)
 
-    // bronzeBatch reads the partition just written — no staging re-read
-    stage("counts") { (bronzeBatch.count(), silverBatch.count(), factTotal) }
+    // bronzeBatch reads the partition just written — no staging re-read;
+    // the two counts are independent read-backs, submitted concurrently
+    stage("counts") { Par.par3(bronzeBatch.count(), silverBatch.count(), factTotal) }
   }
 
   /** The gold stage for one batch of silver rows: incremental dim

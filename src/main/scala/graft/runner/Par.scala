@@ -37,4 +37,12 @@ object Par {
     (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf),
       Await.result(fc, Duration.Inf), Await.result(fd, Duration.Inf))
   }
+
+  /** Three-way [[par4]]. */
+  def par3[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
+    implicit val e: ExecutionContext = ec
+    val (fa, fb, fc) = (Future(a), Future(b), Future(c))
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf),
+      Await.result(fc, Duration.Inf))
+  }
 }
