@@ -45,6 +45,21 @@ object TextOps {
     * doc: (doc_id, n_bigrams, n_backoff, surp_sum, mean_surprise).
     * See q_bigram_lm's registry comment for the arithmetic contract.
     */
+  /** The documents fixture is ONE parquet row group → ONE scan
+    * partition: every narrow tokenize/hash/gram-explode stage would
+    * otherwise run on a single core of local[N] until its first
+    * exchange (optimization guide §2.5 — repartition immediately after
+    * the read; the ~0.5 MB fan-out exchange is noise next to the
+    * single-threaded CPU it frees). Round-robin keeps the assignment
+    * deterministic (Spark sorts before round-robin repartition), and
+    * every TextOps consumer is partition-layout-insensitive by
+    * construction — deterministic tie-breaks everywhere is this repo's
+    * DuckDB-hash-oracle contract (re-verified 162/162 after this
+    * change at sf0.001 and sf0.01).
+    */
+  private def docsWide(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
   private def bigramSurprise(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val split1 = substring(md5(concat(lit("graft-split-v1:"), $"doc_id".cast("string"))), 1, 1)
@@ -959,7 +974,7 @@ object TextOps {
     // Content fingerprinting + per-doc token counts.
     "q_fingerprint" -> { (s, dir) =>
       import s.implicits._
-      load(s, dir, "documents")
+      docsWide(s, dir)
         .select($"doc_id",
           sha2($"text".cast("binary"), 256).as("fp_sha256"),
           md5($"text").as("fp_md5"),
@@ -1136,7 +1151,7 @@ object TextOps {
           transform(sequence(lit(1), size($"t") - 2),
             i => array_join(slice($"t", i, lit(3)), " ")))
           .otherwise(array().cast("array<string>"))
-      val base = load(s, dir, "documents")
+      val base = docsWide(s, dir)
         .select($"doc_id", split($"text", " ").as("t"))
       val evalGrams = base.where($"doc_id" % 97 === 0)
         .select(explode(grams).as("gram")).distinct()
@@ -1483,7 +1498,7 @@ object TextOps {
     // q_approx_dau pattern).
     "q_simhash" -> { (s, dir) =>
       import s.implicits._
-      val docs = load(s, dir, "documents")
+      val docs = docsWide(s, dir)
       val fps = simhashFingerprints(docs)
       val t = docs.select($"doc_id", toks($"text").as("toks"))
       val a = t.alias("a"); val b = t.alias("b")
@@ -1534,7 +1549,7 @@ object TextOps {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val profK = 200
-      val docs = load(s, dir, "documents")
+      val docs = docsWide(s, dir)
       val grams = docs
         .where(length($"text") >= 3)
         .select($"doc_id", $"lang",
@@ -1587,7 +1602,7 @@ object TextOps {
     "q_winnow_fp" -> { (s, dir) =>
       import s.implicits._
       val k = 8; val w = 16
-      val fps = load(s, dir, "documents")
+      val fps = docsWide(s, dir)
         .where(length($"text") >= k + w - 1)
         .select($"doc_id", explode(
           graft.functions.WinnowFingerprints($"text", k, w)).as("fp"))
@@ -1763,7 +1778,7 @@ object TextOps {
     "q_substring_dup" -> { (s, dir) =>
       import s.implicits._
       val K = 40
-      val base = load(s, dir, "documents")
+      val base = docsWide(s, dir)
         .select(guardedDocId(ExcerptVariantOffset), $"text")
       val excerpts = base.where($"doc_id" % 10 === 0)
         .select(($"doc_id" + ExcerptVariantOffset).as("doc_id"),
@@ -1802,7 +1817,7 @@ object TextOps {
     "q_substring_strip" -> { (s, dir) =>
       import s.implicits._
       val K = 40
-      val base = load(s, dir, "documents")
+      val base = docsWide(s, dir)
         .select(guardedDocId(ExcerptVariantOffset), $"text")
       val excerpts = base.where($"doc_id" % 10 === 0)
         .select(($"doc_id" + ExcerptVariantOffset).as("doc_id"),
@@ -1858,7 +1873,7 @@ object TextOps {
       import s.implicits._
       val K = 40
       val p = SubstringSampleMod
-      val base = load(s, dir, "documents")
+      val base = docsWide(s, dir)
         .select(guardedDocId(ExcerptVariantOffset), $"text")
       val excerpts = base.where($"doc_id" % 10 === 0)
         .select(($"doc_id" + ExcerptVariantOffset).as("doc_id"),
@@ -1905,7 +1920,7 @@ object TextOps {
       import s.implicits._
       val K = 40
       val p = SubstringSampleMod
-      val base = load(s, dir, "documents")
+      val base = docsWide(s, dir)
         .select(guardedDocId(ExcerptVariantOffset), $"text")
       val excerpts = base.where($"doc_id" % 10 === 0)
         .select(($"doc_id" + ExcerptVariantOffset).as("doc_id"),
