@@ -226,17 +226,32 @@ object Bench {
         java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
           .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
       } catch { case _: Exception => -1L }
-    /** Time `f` and append a {sec, mem_avail_mb, gc_ms, dirty_mb}
-      * annotation for this run under `name`. mem/dirty are sampled at
-      * run START (the state the run walked into); gc_ms is the JVM's
-      * collection-time delta across the run (the bill it actually paid).
+    // Per-rep process identity (VERDICT r16 #8, r15 carry-over): an
+    // outlier rep is only attributable if the annotation says WHICH kind
+    // of JVM it ran in and under what heap — a driver harness run and a
+    // builder's sbt runMain are different processes with different
+    // memory configs, merged into one runs log. Constant per process,
+    // but the merged artifact carries reps from several processes.
+    val procRole: String = sys.env.getOrElse("SPARK_GRAFT_ROLE", {
+      val cmd = try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/cmdline"))).replace('\u0000', ' ')
+      catch { case _: Exception => "" }
+      if (cmd.contains("sbt-launch")) "sbt" else "jvm"
+    })
+    val heapMaxMb: Long = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+    /** Time `f` and append a {sec, mem_avail_mb, gc_ms, dirty_mb, role,
+      * heap_max_mb} annotation for this run under `name`. mem/dirty are
+      * sampled at run START (the state the run walked into); gc_ms is the
+      * JVM's collection-time delta across the run (the bill it actually
+      * paid); role/heap identify the process the rep ran in.
       */
     def annotated(name: String)(f: => Double): Double = {
       val mem0 = memAvailMb(); val dirty0 = dirtyMb(); val gc0 = gcMillis()
       val t = f
       val gcD = if (gc0 < 0) -1L else gcMillis() - gc0
       runsMeta(name) = runsMeta.getOrElse(name, Vector.empty) :+
-        f"""{"sec":$t%.3f,"mem_avail_mb":$mem0,"gc_ms":$gcD,"dirty_mb":$dirty0}"""
+        f"""{"sec":$t%.3f,"mem_avail_mb":$mem0,"gc_ms":$gcD,"dirty_mb":$dirty0,""" +
+        f""""role":"$procRole","heap_max_mb":$heapMaxMb}"""
       t
     }
 
@@ -1063,7 +1078,7 @@ object Bench {
           case re(n) => n.toInt }
         if (judged.isEmpty) 0 else judged.max + 1
       }
-    val artifactName =
+    var artifactName =
       if (only.isEmpty) f"BENCH_local_r$round%02d.json"
       else f"BENCH_local_r$round%02d.partial.json"
     var mergeCount = 1
@@ -1071,6 +1086,28 @@ object Bench {
     // taken under different sources is not the same measurement, and the
     // min of two different programs is a number neither can reproduce.
     val srcFp = SrcFingerprint.current()
+    // CPU-count guard (VERDICT r16 #1): the min-merge used to be
+    // CPU-blind — the driver's 8-core scaling run merged with (and
+    // reported back) the round's 32-core minima, gutting the low-core
+    // scaling probe and stamping the mixed artifact "cpus": 8. A run
+    // whose $SPARK_GRAFT_CPUS differs from the existing artifact's
+    // recorded cpus now writes (and merges with) a per-cpus artifact
+    // (BENCH_local_rNN_c8.json), so every artifact's minima were all
+    // measured at the cpu count it is stamped with. The one-line stdout
+    // JSON contract is unchanged — only the sidecar file name moves.
+    if (only.isEmpty) {
+      val basePath = java.nio.file.Paths.get(artifactName)
+      if (java.nio.file.Files.exists(basePath)) try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val baseCpus = om.readTree(java.nio.file.Files.readAllBytes(basePath))
+          .path("cpus").asText("")
+        if (baseCpus.nonEmpty && baseCpus != cpus) {
+          artifactName = artifactName.stripSuffix(".json") + s"_c$cpus.json"
+          System.err.println(s"[bench] existing ${basePath.getFileName} was " +
+            s"measured at $baseCpus cpus; this $cpus-cpu run uses $artifactName")
+        }
+      } catch { case _: Exception => () }
+    }
     if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_MERGE")) {
       val p = java.nio.file.Paths.get(artifactName)
       if (java.nio.file.Files.exists(p)) try {
@@ -1080,6 +1117,12 @@ object Bench {
         if (oldFp != srcFp) System.err.println(
           s"[bench] NOT merging $artifactName: src fingerprint changed/absent " +
             s"($oldFp -> $srcFp) - this run replaces the artifact")
+        // belt-and-braces: the redirect above already routes a
+        // different-cpus run to its own artifact, but a per-cpus file
+        // hand-copied or edited to another count must still refuse
+        else if (old.path("cpus").asText("") != cpus) System.err.println(
+          s"[bench] NOT merging $artifactName: cpus mismatch " +
+            s"(${old.path("cpus").asText("")} vs $cpus) - this run replaces the artifact")
         else if (old.path("sf").asText() == sfDir) {
           import scala.jdk.CollectionConverters._
           mergeCount = old.path("merge_count").asInt(1) + 1
