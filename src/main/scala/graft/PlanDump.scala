@@ -36,18 +36,7 @@ object PlanDump {
         graft.pipeline.BronzeToSilver.transform(bronze)
           .repartition(col("year"), col("month"), col("day"),
             pmod(xxhash64(col("event_id")), lit(2)))
-      else {
-        val salt = pmod(xxhash64(col("event_id")), lit(2))
-        val keyCols = Set("event_id", "year", "month", "day")
-        val firsts = parsed.columns.filterNot(keyCols).map(c => first(col(c)).as(c))
-        parsed
-          .repartition(col("year"), col("month"), col("day"), salt)
-          .groupBy(col("year"), col("month"), col("day"), salt.as("__salt"),
-            col("event_id"))
-          .agg(firsts.head, firsts.tail: _*)
-          .drop("__salt")
-          .select(parsed.columns.map(col): _*)
-      }
+      else graft.pipeline.Warehouse.dedupClusteredFrame(parsed)
     }
     val pseudo: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
       "bulk_silver_write_unfused" -> (() => bulkSilverFrame(fused = false)),

@@ -510,17 +510,22 @@ object Analytics {
       // pinned once: each of the three ticks runs TWO actions over this
       // frame (the batch append write + the affected-dates collect) — six
       // full events-scan + broadcast-join re-runs without the checkpoint
-      // (guide §1.2). Cardinality = events rows × 5 narrow columns.
+      // (guide §1.2). The pin holds events-cardinality × 5 narrow columns
+      // on executor storage (MEMORY_AND_DISK, spillable): ~50 B/row, so
+      // ~5 GB per 10⁸ events — bounded, but size it consciously at scale.
       // The repartition matters twice: the events fixture is ONE row
       // group, so the unrepartitioned lineage ran every batch write on a
       // single core (guide §2.5 input skew — repartition right after the
       // read), and clustering by event_date makes each partitioned
-      // append write one file per date instead of tasks × dates.
+      // append write few files per date instead of tasks × dates. The
+      // user_id salt term (VERDICT r16 #4) caps files per date per append
+      // at 2 while keeping a hot date off a single task at scale —
+      // date-only clustering serialized each date through one task.
       val ticked = ev.join(broadcast(tickFrame), Seq("event_date"))
         .withColumn("tick", least(
           $"base_tick" + when($"event_id" % 10 === 0, 1).otherwise(0), lit(2)))
         .select($"event_date", $"event_type", $"user_id", $"value", $"tick")
-        .repartition($"event_date")
+        .repartition($"event_date", pmod(xxhash64($"user_id"), lit(2)))
         .localCheckpoint(true)
       def agg(fact: DataFrame): DataFrame = fact
         .groupBy($"event_date", $"event_type")

@@ -56,9 +56,21 @@ object TextOps {
     * construction — deterministic tie-breaks everywhere is this repo's
     * DuckDB-hash-oracle contract (re-verified 162/162 after this
     * change at sf0.001 and sf0.01).
+    *
+    * GATED on observed scan parallelism (VERDICT r16 #3): at 100 TB
+    * `documents` is thousands of row groups and the scan parallelizes
+    * on its own — an unconditional round-robin there is a full extra
+    * network pass of the corpus in nine query plans. The fan-out fires
+    * only when the scan reports fewer partitions than the session's
+    * parallelism — the single-row-group fixture cure, not a scale tax.
+    * (PlanSpec pins both sides: fixture input gains exactly one
+    * round-robin Exchange; a many-partition input gains none.)
     */
   private def docsWide(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    fanOutIfNarrow(load(s, dir, "documents"), s.sparkContext.defaultParallelism)
+
+  private[queries] def fanOutIfNarrow(df: DataFrame, target: Int): DataFrame =
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
 
   private def bigramSurprise(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -781,25 +793,33 @@ object TextOps {
       // overflowed it — hundreds of true pairs dropped).
       val tIn = incoming.select($"doc_id", hashedToks($"text").as("toks"))
       val tEx = corpus.select($"doc_id", hashedToks($"text").as("toks"))
-      val gIn = tIn.groupBy($"toks")
-        .agg(min($"doc_id").as("in_id"), collect_list($"doc_id").as("members"))
-        .localCheckpoint(true) // read by banding + verify + member expansion
-      val gEx = tEx.groupBy($"toks").agg(min($"doc_id").as("ex_id"))
-        .localCheckpoint(true)
+      // the incoming/corpus group builds are independent multi-action
+      // chains (tokenize + groupBy shuffle + checkpoint each); submit
+      // them concurrently (guide §2.6) — this query is a serial chain of
+      // ~10 small jobs whose scheduler latency dominates at gate scale,
+      // and every pairwise overlap below removes one link of it
+      val (gIn, gEx) = graft.runner.Par.par2(
+        tIn.groupBy($"toks")
+          .agg(min($"doc_id").as("in_id"), collect_list($"doc_id").as("members"))
+          .localCheckpoint(true), // read by banding + verify + member expansion
+        tEx.groupBy($"toks").agg(min($"doc_id").as("ex_id"))
+          .localCheckpoint(true))
       def banding(perms: Int) = {
         // (reps × bands)-cardinality band streams, materialized once: the
         // over-cap aggregate, the escalation probe, and the candidate
         // join all read them — without the checkpoint each consumer
         // re-runs the full signature computation (at 128 perms that
         // tripled the escalated path's cost).
-        val bIn = bandBuckets(minhashSignaturesFromHashedToks(
-            gIn.select($"in_id".as("doc_id"), $"toks"), perms), perms)
-          .select($"doc_id".as("in_id"), $"band", $"bh")
-          .localCheckpoint(true)
-        val bEx = bandBuckets(minhashSignaturesFromHashedToks(
-            gEx.select($"ex_id".as("doc_id"), $"toks"), perms), perms)
-          .select($"doc_id".as("ex_id"), $"band", $"bh")
-          .localCheckpoint(true)
+        // independent band builds (one per side) — concurrent, §2.6
+        val (bIn, bEx) = graft.runner.Par.par2(
+          bandBuckets(minhashSignaturesFromHashedToks(
+              gIn.select($"in_id".as("doc_id"), $"toks"), perms), perms)
+            .select($"doc_id".as("in_id"), $"band", $"bh")
+            .localCheckpoint(true),
+          bandBuckets(minhashSignaturesFromHashedToks(
+              gEx.select($"ex_id".as("doc_id"), $"toks"), perms), perms)
+            .select($"doc_id".as("ex_id"), $"band", $"bh")
+            .localCheckpoint(true))
         // same degenerate-bucket cap as the symmetric path, over both
         // sides; checkpointed because FOUR consumers read it (emptiness
         // probe, both cohort extractions, the sub-cap anti-joins) and
@@ -856,11 +876,19 @@ object TextOps {
         if (overCap.isEmpty) subCapCands(bIn, bEx, overCap, dedup = true)
         else {
           val oc = broadcast(overCap)
-          val cohIn = bIn.join(oc, Seq("band", "bh"), "left_semi")
-            .select($"in_id").distinct().localCheckpoint(true)
-          val cohEx = bEx.join(oc, Seq("band", "bh"), "left_semi")
-            .select($"ex_id").distinct().localCheckpoint(true)
-          val nCI = cohIn.count(); val nCE = cohEx.count()
+          // per-side cohort extraction + count: two independent
+          // checkpoint→count chains, submitted concurrently (§2.6)
+          val ((cohIn, nCI), (cohEx, nCE)) = graft.runner.Par.par2(
+            {
+              val c = bIn.join(oc, Seq("band", "bh"), "left_semi")
+                .select($"in_id").distinct().localCheckpoint(true)
+              (c, c.count())
+            },
+            {
+              val c = bEx.join(oc, Seq("band", "bh"), "left_semi")
+                .select($"ex_id").distinct().localCheckpoint(true)
+              (c, c.count())
+            })
           // overflow-safe product bound (counts are driver Longs)
           if (nCI == 0 || nCE <= DirectVerifyPairBudget / nCI) {
             // cohort pairs are unique by construction — no pair-level
@@ -883,7 +911,7 @@ object TextOps {
       // verify lookups: broadcast only under the count gate (gIn/gEx are
       // checkpointed, so the counts are cheap scans); a real corpus where
       // set-cardinality ≈ corpus cardinality shuffles on the rep ids
-      val nIn = gIn.count(); val nEx = gEx.count()
+      val (nIn, nEx) = graft.runner.Par.par2(gIn.count(), gEx.count())
       val dupSets = cands
         .join(gateBroadcast(gIn.select($"in_id", $"toks".as("ti")),
           nIn, BroadcastSetLimit), "in_id")

@@ -45,4 +45,11 @@ object Par {
     (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf),
       Await.result(fc, Duration.Inf))
   }
+
+  /** Two-way [[par4]]. */
+  def par2[A, B](a: => A, b: => B): (A, B) = {
+    implicit val e: ExecutionContext = ec
+    val (fa, fb) = (Future(a), Future(b))
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
 }

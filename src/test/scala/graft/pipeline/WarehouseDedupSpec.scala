@@ -63,20 +63,33 @@ class WarehouseDedupSpec extends SparkSpec {
     val bronze = StagingToBronze.enrich(
       Seq(rawEvent("e9", "2025-09-15T10:00:00.000+09:00")).toDF("value"),
       "t.jsonl", "2025-09-15")
-    val parsed = BronzeToSilver.parse(bronze)
-    val salt = pmod(xxhash64(col("event_id")), lit(2))
-    val keyCols = Set("event_id", "year", "month", "day")
-    val firsts = parsed.columns.filterNot(keyCols).map(c => first(col(c)).as(c))
-    val fusedFrame = parsed
-      .repartition(col("year"), col("month"), col("day"), salt)
-      .groupBy(col("year"), col("month"), col("day"), salt.as("__salt"),
-        col("event_id"))
-      .agg(firsts.head, firsts.tail: _*)
-      .drop("__salt")
-      .select(parsed.columns.map(col): _*)
+    // the PRODUCTION frame builder, not a hand-copied twin
+    val fusedFrame = Warehouse.dedupClusteredFrame(BronzeToSilver.parse(bronze))
     val exchanges = fusedFrame.queryExecution.executedPlan.toString()
       .linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 1,
       s"fused dedup+cluster must reuse the single repartition exchange, saw $exchanges")
+  }
+
+  test("cross-date duplicate event_id survives once per date (the documented " +
+      "at-least-once precondition boundary)") {
+    // VERDICT r16 #2: the fused dedup's equivalence to
+    // dropDuplicates("event_id") assumes byte-identical redelivery (same
+    // payload, same event date). A replayed event whose corrected
+    // timestamp crosses a date boundary is OUTSIDE that contract; the
+    // CHOSEN behavior — pinned here so it is a decision, not an accident
+    // — is that each affected date partition keeps its own copy.
+    val lines = Seq(
+      rawEvent("e1", "2025-09-15T23:59:00.000+09:00"),
+      rawEvent("e1", "2025-09-16T00:01:00.000+09:00"), // same id, next date
+      rawEvent("e2", "2025-09-15T10:00:00.000+09:00"))
+    val bronze = StagingToBronze.enrich(lines.toDF("value"), "t.jsonl", "2025-09-15")
+    val path = tmpDir("graft_xdate_silver")
+    Warehouse.writeSilverDedupClustered(BronzeToSilver.parse(bronze), path)
+    val out = spark.read.parquet(path)
+      .groupBy(col("event_id")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("e1" -> 2L, "e2" -> 1L),
+      s"cross-date duplicate must keep one row per (event_id, date): $out")
   }
 }

@@ -225,6 +225,27 @@ class PlanSpec extends SparkSpec {
       "expected partial+final HashAggregate per phase:\n" + p)
   }
 
+  test("docsWide fan-out fires only on narrow scans (VERDICT r16 #3 gate)") {
+    val target = spark.sparkContext.defaultParallelism
+    // the single-row-group fixture reports 1 scan partition → exactly one
+    // round-robin fan-out Exchange, full parallelism downstream
+    val docs = graft.Tables.load(spark, sf, "documents")
+    assert(docs.rdd.getNumPartitions < target, "fixture no longer narrow?")
+    val fanned = TextOps.fanOutIfNarrow(docs, target)
+    assert(fanned.rdd.getNumPartitions == target)
+    assert(fanned.queryExecution.executedPlan.toString.contains("Exchange"))
+    // an input already at >= target partitions (the 100 TB regime, where
+    // the scan parallelizes on its own) must come back UNCHANGED — the
+    // blanket round-robin there would be a full extra corpus pass
+    val wide = spark.range(1000).repartition(target + 1).toDF("x")
+    val gated = TextOps.fanOutIfNarrow(wide, target)
+    assert(gated.rdd.getNumPartitions == target + 1)
+    val exchanges = gated.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, // the one from the test's own construction
+      s"gate added an Exchange over an already-parallel input: $exchanges")
+  }
+
   test("exchange-count snapshots pin the top heavy queries' plan shapes") {
     // VERDICT r8 #8 / r9 #2: a plan regression on the expensive queries
     // (a lost broadcast → extra shuffle, a lost reuse → extra scan) used
