@@ -104,29 +104,35 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
-  /** bronze parquet → silver parquet with watermarked streaming dedup. */
+  /** bronze parquet → silver parquet with watermarked streaming dedup.
+    * The dedup's state store runs at [[StreamTuning.statePartitions]]
+    * (scoped shuffle.partitions — see StreamTuning for the measured
+    * A/B: fewer state partitions halve the drain's per-batch
+    * delta-file/snapshot churn at tick-sized state).
+    */
   def runSilver(spark: SparkSession, bronzePath: String, silverPath: String,
-                checkpoint: String, watermark: String = "1 hour"): Unit = {
-    val bronzeSchema = spark.read.parquet(bronzePath).schema
-    val bronze = spark.readStream.schema(bronzeSchema).parquet(bronzePath)
-    val silver = BronzeToSilver.parse(bronze)
-      .withWatermark("kst_timestamp", watermark)
-      // WithinWatermark, not plain dropDuplicates: with a dedup key that
-      // excludes the event-time column, plain streaming dropDuplicates
-      // never evicts its state store — unbounded growth on a real stream.
-      // This variant evicts each key once the watermark passes its first
-      // sighting, bounding state to one watermark window of keys, and
-      // still dedups every redelivery inside that window (the reference's
-      // redelivery regime: retries arrive seconds-to-minutes apart, far
-      // inside the 1-hour default).
-      .dropDuplicatesWithinWatermark("event_id")
-    val q = silver.writeStream
-      .format("parquet")
-      .option("path", silverPath)
-      .option("checkpointLocation", checkpoint)
-      .partitionBy("year", "month", "day")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+                checkpoint: String, watermark: String = "1 hour"): Unit =
+    StreamTuning.withStatePartitions(spark) {
+      val bronzeSchema = spark.read.parquet(bronzePath).schema
+      val bronze = spark.readStream.schema(bronzeSchema).parquet(bronzePath)
+      val silver = BronzeToSilver.parse(bronze)
+        .withWatermark("kst_timestamp", watermark)
+        // WithinWatermark, not plain dropDuplicates: with a dedup key that
+        // excludes the event-time column, plain streaming dropDuplicates
+        // never evicts its state store — unbounded growth on a real stream.
+        // This variant evicts each key once the watermark passes its first
+        // sighting, bounding state to one watermark window of keys, and
+        // still dedups every redelivery inside that window (the reference's
+        // redelivery regime: retries arrive seconds-to-minutes apart, far
+        // inside the 1-hour default).
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = silver.writeStream
+        .format("parquet")
+        .option("path", silverPath)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("year", "month", "day")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 }
