@@ -452,12 +452,27 @@ object TextOps {
     * composition: exact dedup BEFORE near-dup detection.
     */
   private def tokenSetGroups(t: DataFrame, extraKeys: String*): DataFrame =
-    t.groupBy((col("toks") +: extraKeys.map(col)): _*)
+    tokenSetGroupsCounted(t, extraKeys: _*)._1
+
+  /** As [[tokenSetGroups]] plus the group COUNT, observed inside the
+    * checkpoint job itself (r17): the broadcast gates downstream
+    * (minhashRepPairs / expandGroupPairs) each re-counted the pinned
+    * frame — one extra serial driver job apiece in pipelines whose
+    * gate-scale cost is job-chain latency. `Dataset.observe` folds the
+    * count into the materialization action, same as the CC rounds'
+    * convergence metric.
+    */
+  private def tokenSetGroupsCounted(t: DataFrame, extraKeys: String*): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val g = t.groupBy((col("toks") +: extraKeys.map(col)): _*)
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .observe(obs, count(lit(1)).as("n"))
       // set-cardinality (small), and read by 4+ downstream branches
       // (signatures, both verify sides, both expansion sides, within-group
       // pairs) — materialize once instead of re-tokenizing per branch
       .localCheckpoint(true)
+    (g, obs.get("n").asInstanceOf[Long])
+  }
 
   /** Expand verified representative pairs (rep_a, rep_b, jac) plus
     * within-group pairs (identical sets, jac = 1.0) into the full member
@@ -468,8 +483,11 @@ object TextOps {
     * broadcast would OOM.
     */
   private[queries] def expandGroupPairs(groups: DataFrame, repPairs: DataFrame,
-                                        broadcastLimit: Long = BroadcastSetLimit): DataFrame = {
-    val nGroups = groups.count()
+                                        broadcastLimit: Long = BroadcastSetLimit,
+                                        nGroupsKnown: Long = -1L): DataFrame = {
+    // callers that built `groups` via tokenSetGroupsCounted pass the
+    // observed count; -1 falls back to a count job (cheap: pinned frame)
+    val nGroups = if (nGroupsKnown >= 0L) nGroupsKnown else groups.count()
     def gated(df: DataFrame) = gateBroadcast(df, nGroups, broadcastLimit)
     val cross = repPairs
       .join(gated(groups.select(col("rep").as("rep_a"), col("members").as("ma"))), "rep_a")
@@ -582,7 +600,7 @@ object TextOps {
     val capped = t.join(broadcast(overCap), Seq("lang", "source"), "left_anti")
     // exact-dedup by (bucket, token set) first: only representatives pay
     // the quadratic intersect; duplicate members expand back afterwards
-    val groups = tokenSetGroups(capped, "lang", "source")
+    val (groups, nGroups) = tokenSetGroupsCounted(capped, "lang", "source")
     val reps = groups.select(col("rep").as("doc_id"), col("lang"), col("source"), col("toks"))
     val a = reps.alias("a"); val b = reps.alias("b")
     val repPairs = a.join(b, col("a.lang") === col("b.lang") &&
@@ -595,7 +613,8 @@ object TextOps {
       .withColumn("jac", col("inter") * 1.0 / (col("la") + col("lb") - col("inter")))
       .where(col("jac") >= 0.9)
       .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"), col("jac"))
-    expandGroupPairs(groups, repPairs).orderBy(col("doc_a"), col("doc_b"))
+    expandGroupPairs(groups, repPairs, nGroupsKnown = nGroups)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** LSH-verified near-dup pairs between token-set group representatives:
@@ -609,9 +628,10 @@ object TextOps {
     * graph).
     */
   private[queries] def minhashRepPairs(groups: DataFrame,
-                                       broadcastLimit: Long = BroadcastSetLimit): DataFrame = {
+                                       broadcastLimit: Long = BroadcastSetLimit,
+                                       nGroupsKnown: Long = -1L): DataFrame = {
     val reps = groups.select(col("rep").as("doc_id"), col("toks"))
-    val nReps = groups.count()
+    val nReps = if (nGroupsKnown >= 0L) nGroupsKnown else groups.count()
     def gated(df: DataFrame) = gateBroadcast(df, nReps, broadcastLimit)
     val cands = lshCandidates(minhashSignaturesFromHashedToks(reps))
     cands
@@ -645,8 +665,12 @@ object TextOps {
     * Returns (id, component) for every node appearing in `edges`.
     */
   private[queries] def connectedComponents(edges: DataFrame): DataFrame = {
+    // edge count observed inside the checkpoint job (r17) — it was a
+    // separate count() job over the pinned frame
+    val obsE = org.apache.spark.sql.Observation()
     val sym0 = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .observe(obsE, count(lit(1)).as("n"))
       .localCheckpoint(true)
     // Size the round frames' partitioning by edge count: after the
     // exact-dedup collapse a dup graph is usually tiny, and at 32
@@ -655,7 +679,7 @@ object TextOps {
     // a 7.5 s query on a 1.5k-node graph). 500k (long,long) rows ≈ 8 MB
     // per task; graphs past parallelism × that keep the session's
     // partitioning unchanged.
-    val nEdges = sym0.count()
+    val nEdges = obsE.get("n").asInstanceOf[Long]
     val parts = math.max(1L, math.min(
       sym0.rdd.getNumPartitions.toLong, nEdges / 500000L + 1)).toInt
     val sym =
@@ -663,18 +687,21 @@ object TextOps {
     // Init fuses the first propagation round into the node-dedup shuffle
     // the init pays anyway: label(id) = min(id, min direct neighbor) —
     // exactly what round 1 over identity labels would produce, one full
-    // round (join + checkpoint + convergence roundtrip) cheaper.
+    // round (join + checkpoint + convergence roundtrip) cheaper. Node
+    // count (fixed across rounds) is observed inside the same init job
+    // (r17) instead of a follow-up count().
+    val obsN = org.apache.spark.sql.Observation()
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min(least(col("src"), col("dst"))).as("component"))
+      .observe(obsN, count(lit(1)).as("n"))
       .coalesce(parts)
       .localCheckpoint(true)
-    // Node count is fixed across rounds; when the dup graph is small
-    // enough (≪ executor memory — 1M (long,long) rows ≈ 16 MB), hint the
-    // label side broadcast so every round's join is map-side over the
-    // checkpointed edges: one shuffle per round (the groupBy) instead of
-    // three. Larger graphs keep the shuffled join — same plan shape, no
-    // driver risk.
-    val broadcastLabels = labels.count() <= 1000000
+    // When the dup graph is small enough (≪ executor memory — 1M
+    // (long,long) rows ≈ 16 MB), hint the label side broadcast so every
+    // round's join is map-side over the checkpointed edges: one shuffle
+    // per round (the groupBy) instead of three. Larger graphs keep the
+    // shuffled join — same plan shape, no driver risk.
+    val broadcastLabels = obsN.get("n").asInstanceOf[Long] <= 1000000
     // One fused join per round: the static propagation edges plus the
     // current label graph's pointer-jump edges (component(id) → id, so
     // id inherits component(component(id)) — the doubling shortcut that
@@ -686,31 +713,51 @@ object TextOps {
     // only ever shrink) and the incumbent it replaces; observe() then
     // counts the strict shrinks inside the job that materializes the
     // round — no separate convergence action.
-    def propagate(cur: DataFrame, idx: Int): (DataFrame, org.apache.spark.sql.Observation) = {
+    def propagate(cur: DataFrame, idx: Int, withObs: Boolean)
+        : (DataFrame, Option[org.apache.spark.sql.Observation]) = {
       val edges2 = sym.unionByName(
         cur.select(col("component").as("src"), col("id").as("dst")))
       val lab = if (broadcastLabels) broadcast(cur) else cur
       val msgs = edges2.join(lab, edges2("src") === lab("id"))
         .select(col("dst").as("id"), col("component"), lit(false).as("is_prev"))
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$idx")
-      val next = cur.select(col("id"), col("component"), lit(true).as("is_prev"))
+      val merged = cur.select(col("id"), col("component"), lit(true).as("is_prev"))
         .unionByName(msgs)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"),
           min(when(col("is_prev"), col("component"))).as("prev"))
-        .observe(obs, coalesce(
-          sum(when(col("component") < col("prev"), 1L).otherwise(0L)),
-          lit(0L)).as("changed"))
-        .select(col("id"), col("component"))
-      (next, obs)
+      if (!withObs) (merged.select(col("id"), col("component")), None)
+      else {
+        val obs = org.apache.spark.sql.Observation(s"cc_round_$idx")
+        (merged.observe(obs, coalesce(
+            sum(when(col("component") < col("prev"), 1L).otherwise(0L)),
+            lit(0L)).as("changed"))
+          .select(col("id"), col("component")), Some(obs))
+      }
     }
+    // Tiny graphs (the post-exact-dedup regime these queries live in)
+    // FUSE two propagation rounds per materialized job (r17): round A
+    // stays lazy inside round B's plan, halving the checkpoint-job count
+    // the loop pays — the dominant cost when each round's data fits one
+    // task. The lazy A subplan is referenced three times by B (pointer-
+    // jump edges, label join side, incumbent union), so the fusion
+    // triples A's in-job work — free at the gated size, a tax at scale,
+    // hence the edge-count gate (same 500k constant as the partition
+    // sizing above). Convergence is still exact: labels only ever
+    // shrink, rounds are idempotent at the fixpoint, and `changed`
+    // counts round B's strict shrinks — a pair whose A changed but B
+    // didn't has already converged, and a converged extra A-round emits
+    // the identical labels.
+    val fuseRounds = nEdges <= 500000L
     var round = 0
     var changed = -1L
     while (changed != 0L) {
-      val (next, obs) = propagate(labels, round)
+      val base =
+        if (fuseRounds) propagate(labels, round, withObs = false)._1
+        else labels
+      val (next, obsOpt) = propagate(base, round + 1, withObs = true)
       labels = next.coalesce(parts).localCheckpoint(true)
-      changed = obs.get("changed").asInstanceOf[Long]
-      round += 1
+      changed = obsOpt.get.get("changed").asInstanceOf[Long]
+      round += 2
     }
     labels
   }
@@ -1072,8 +1119,10 @@ object TextOps {
       import s.implicits._
       val docs = load(s, dir, "documents")
       val t = docs.select($"doc_id", hashedToks($"text").as("toks"))
-      val groups = tokenSetGroups(t)
-      expandGroupPairs(groups, minhashRepPairs(groups)).orderBy($"doc_a", $"doc_b")
+      val (groups, nGroups) = tokenSetGroupsCounted(t)
+      expandGroupPairs(groups, minhashRepPairs(groups, nGroupsKnown = nGroups),
+          nGroupsKnown = nGroups)
+        .orderBy($"doc_a", $"doc_b")
     },
 
     // Duplicate-CLUSTER assignment — the step after pair detection that a
@@ -1094,9 +1143,10 @@ object TextOps {
       import s.implicits._
       val docs = load(s, dir, "documents")
       val t = docs.select($"doc_id", hashedToks($"text").as("toks"))
-      val groups = tokenSetGroups(t)
+      val (groups, nGroups) = tokenSetGroupsCounted(t)
       val comp = connectedComponents(
-        minhashRepPairs(groups).select($"rep_a".as("src"), $"rep_b".as("dst")))
+        minhashRepPairs(groups, nGroupsKnown = nGroups)
+          .select($"rep_a".as("src"), $"rep_b".as("dst")))
       // members inherit the rep's component; reps with no near-dup edge
       // (and their exact-dup members) form their own cluster
       val asg = groups

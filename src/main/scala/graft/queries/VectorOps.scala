@@ -313,12 +313,21 @@ object VectorOps {
 
     val corpus = assignCells(cached, cents)
 
-    val queryProbes = cached.where(col("vec_id") < 3).crossJoin(cents)
-      .withColumn("d", graft.functions.CosineSimilarity(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
-      .where(col("rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    // NARROW probe routing (r17, same as ivfPqQuery): centroids pack to
+    // one broadcast cell-sorted array and each query row sorts its
+    // per-cell (−similarity, cell) structs inline, keeping the first
+    // nprobe — identical selection and tie-break (max similarity, ties
+    // to the lowest cell) as the row_number window it replaces, with
+    // zero shuffle instead of an exchange + sort on queries×cells rows.
+    val centsPacked = cents.agg(
+      array_sort(collect_list(struct(col("cell"), col("cv")))).as("pes"))
+    val queryProbes = cached.where(col("vec_id") < 3).crossJoin(broadcast(centsPacked))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        slice(array_sort(transform(col("pes"), e => struct(
+          (-graft.functions.CosineSimilarity(col("v"), e.getField("cv"))).as("negd"),
+          e.getField("cell").as("cell")))), 1, nprobe).as("probes"))
+      .select(col("query_id"), col("qv"), explode(col("probes")).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
 
     val scored = corpus.join(broadcast(queryProbes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
@@ -340,7 +349,7 @@ object VectorOps {
   private val PqRerank = 50
 
   /** (vec_id, m, sv): each vector split into its PqM sub-vectors. */
-  private def subVectors(emb: DataFrame): DataFrame =
+  private[queries] def subVectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("v"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"))
       .select(col("vec_id"), col("m"),
@@ -358,7 +367,7 @@ object VectorOps {
     * rows through three sort windows and measured ~3× slower
     * end-to-end.
     */
-  private def pqAssign(sub: DataFrame, books: DataFrame): DataFrame = {
+  private[queries] def pqAssign(sub: DataFrame, books: DataFrame): DataFrame = {
     val packed = books.groupBy(col("m"))
       .agg(array_sort(collect_list(struct(col("cell"), col("cv")))).as("es"))
     sub.join(broadcast(packed), Seq("m"))
@@ -377,10 +386,15 @@ object VectorOps {
     * [[pqAssign]] fold, so each pass shuffles only the (m, cell, pos)
     * mean aggregate.
     */
-  private def pqCodebooks(sub: DataFrame): DataFrame = {
+  private[queries] def pqCodebooks(sub: DataFrame): DataFrame = {
+    // seeds stay LAZY (r17): they are a narrow filter+select over the
+    // caller's (cached/pinned) frame — bitwise-deterministic on
+    // re-evaluation, unlike the per-pass mean aggregates below whose
+    // checkpoints ARE load-bearing (ADVICE r13 #4). The checkpoint here
+    // bought nothing but one more serial driver job in a query whose
+    // gate-scale cost is almost entirely job-chain latency.
     var cents = sub.where(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("cell"), col("sv").as("cv"))
-      .localCheckpoint(true)
     for (_ <- 0 until 2) {
       val assigned = pqAssign(sub, cents)
       cents = assigned
@@ -514,9 +528,14 @@ object VectorOps {
     // returns an eagerly localCheckpointed frame; the explicit pin makes
     // the invariant a property of THIS function, not of its helper's
     // implementation detail.
+    // lloydCentroids CONTRACTS (scaladoc) that its return is already
+    // eagerly localCheckpointed — re-pinning it here was one more
+    // serial driver job on an 8-row frame in a query path whose
+    // gate-scale cost is job-chain latency (r17). The consistency
+    // invariant (every subplan reads the SAME centroid bytes) rides on
+    // the helper's pin.
     val cents = stage("coarse_train") {
-      broadcast(lloydCentroids(trainPred.map(cached.where).getOrElse(cached), cells)
-        .localCheckpoint(true))
+      broadcast(lloydCentroids(trainPred.map(cached.where).getOrElse(cached), cells))
     }
     // In the materialized (scale-tier) build, pin the two expensive
     // intermediates: without this, the full-corpus coarse assignment
@@ -634,15 +653,25 @@ object VectorOps {
     val books = idx.books
     val codes = idx.codes
     // each query probes its nprobe nearest cells, carrying the exact
-    // dot(q, centroid) term of the decomposition
-    val queryProbes = cached.where(queryPred).crossJoin(cents)
-      .withColumn("qcdot", dot(col("v"), col("cv")))
-      .withColumn("d", graft.functions.CosineSimilarity(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
-      .where(col("rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("cell").as("ivf_cell"),
-        col("qcdot"))
+    // dot(q, centroid) term of the decomposition. NARROW form (r17):
+    // the centroids pack to one broadcast cell-sorted array (the
+    // assignCells pattern) and each query row sorts its per-cell
+    // (−similarity, cell, qcdot) structs inline and keeps the first
+    // nprobe — same selection and tie-break (max similarity, ties to
+    // the lowest cell) as the row_number window it replaces, with zero
+    // shuffle; the windowed form paid an exchange + sort round trip on
+    // a queries×cells frame in every query run.
+    val centsPacked = cents.agg(
+      array_sort(collect_list(struct(col("cell"), col("cv")))).as("pes"))
+    val queryProbes = cached.where(queryPred).crossJoin(broadcast(centsPacked))
+      .select(col("vec_id").as("query_id"),
+        slice(array_sort(transform(col("pes"), e => struct(
+          (-graft.functions.CosineSimilarity(col("v"), e.getField("cv"))).as("negd"),
+          e.getField("cell").as("cell"),
+          dot(col("v"), e.getField("cv")).as("qcdot")))), 1, nprobe).as("probes"))
+      .select(col("query_id"), explode(col("probes")).as("p"))
+      .select(col("query_id"), col("p.cell").as("ivf_cell"),
+        col("p.qcdot").as("qcdot"))
     // per-(query, subspace, code) partial dots vs the RAW query
     // sub-vectors (dot(q, r) decomposes directly — no query residual
     // needed per cell, so one table serves every probed cell)
