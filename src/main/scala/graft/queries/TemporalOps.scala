@@ -87,15 +87,32 @@ object TemporalOps {
       val ev = load(s, dir, "events")
         .select($"user_id", expr("unix_micros(ts) div 3600000000").as("hr"), $"value")
       val hourly = ev.groupBy($"user_id", $"hr").agg(max($"value").as("v"))
-      val grid = hourly.groupBy($"user_id")
-        .agg(min($"hr").as("h0"), max($"hr").as("h1"))
-        .select($"user_id", explode(sequence($"h0", $"h1")).as("hr"))
-      val w = Window.partitionBy($"user_id").orderBy($"hr")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(hourly, Seq("user_id", "hr"), "left")
-        .withColumn("filled", $"v".isNull)
-        .withColumn("v", last($"v", ignoreNulls = true).over(w))
-        .select($"user_id", ($"hr" * 3600L).as("hour_epoch_s"), $"v", $"filled")
+      // SEGMENT construction instead of grid-join + running window
+      // (r17, guide §2.4): the old plan built the per-user hourly grid
+      // as a second aggregate, LEFT-joined the observations back on
+      // (user_id, hr) and forward-filled through a running
+      // last(ignoreNulls) window — a grid-cardinality exchange + join +
+      // window sort after the hourly aggregate. Equivalent narrow form:
+      // collect each user's (unique-hr) observations once, sort, and
+      // emit per observation the half-open run it forward-fills —
+      // [hr_i, hr_{i+1}) carrying v_i (the last observation closes at
+      // itself, matching the grid's max-hr bound). Same rows bitwise:
+      // hours h0..h1 densely covered, v = last observation ≤ h,
+      // filled ⟺ h is not an observation hour. Two exchanges + the
+      // presentation sort total; per-user state is bounded by the
+      // user's span in hours (same bound the old grid explode had).
+      val segs = hourly.groupBy($"user_id")
+        .agg(array_sort(collect_list(struct($"hr", $"v"))).as("ha"))
+        .select($"user_id", explode(transform($"ha", (e, i) =>
+          struct(e.getField("hr").as("start"),
+            coalesce(get($"ha", i + 1).getField("hr") - 1,
+              e.getField("hr")).as("end"),
+            e.getField("v").as("v")))).as("seg"))
+      segs
+        .select($"user_id", $"seg.v".as("v"), $"seg.start".as("start"),
+          explode(sequence($"seg.start", $"seg.end")).as("hr"))
+        .select($"user_id", ($"hr" * 3600L).as("hour_epoch_s"), $"v",
+          ($"hr" > $"start").as("filled"))
         .orderBy($"user_id", $"hour_epoch_s")
     }
   )
