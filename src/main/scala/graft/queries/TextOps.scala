@@ -61,16 +61,38 @@ object TextOps {
     * `documents` is thousands of row groups and the scan parallelizes
     * on its own — an unconditional round-robin there is a full extra
     * network pass of the corpus in nine query plans. The fan-out fires
-    * only when the scan reports fewer partitions than the session's
-    * parallelism — the single-row-group fixture cure, not a scale tax.
+    * only when the scan reports fewer partitions than the data-sized
+    * width — the single-row-group fixture cure, not a scale tax.
     * (PlanSpec pins both sides: fixture input gains exactly one
     * round-robin Exchange; a many-partition input gains none.)
+    *
+    * WIDTH is data-sized, not core-count-sized (r17): blanket
+    * repartition(cores) put ~15 docs on each of 32 tasks at the gate
+    * corpus — tasks of tens of ms whose scheduling overhead exceeded
+    * the CPU they spread (measured across the six kernel entries:
+    * width 32 → 8 is 1.1–2.9× per entry, width 4/8/16 within noise of
+    * each other, 8 the sweet spot). One task per ~64 KB of compressed
+    * input keeps kernel tasks in the hundreds-of-ms range where the
+    * overhead amortizes; the width derives from the plan's static size
+    * stats (file bytes for a scan — no job), so it grows with the
+    * corpus and caps at the session's cores — scale-adaptive, no local
+    * constant (guide §2).
     */
   private def docsWide(s: SparkSession, dir: String): DataFrame =
     fanOutIfNarrow(load(s, dir, "documents"), s.sparkContext.defaultParallelism)
 
-  private[queries] def fanOutIfNarrow(df: DataFrame, target: Int): DataFrame =
+  /** ~64 KB of (compressed) input per fan-out task, clamped to
+    * [2, cores]. Static plan stats — computing it runs no job.
+    */
+  private[queries] def fanOutWidth(df: DataFrame, cores: Int): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    (bytes / 65536).min(BigInt(cores)).max(BigInt(2)).toInt
+  }
+
+  private[queries] def fanOutIfNarrow(df: DataFrame, cores: Int): DataFrame = {
+    val target = fanOutWidth(df, cores)
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   private def bigramSurprise(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

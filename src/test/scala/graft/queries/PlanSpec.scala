@@ -230,9 +230,13 @@ class PlanSpec extends SparkSpec {
     // the single-row-group fixture reports 1 scan partition → exactly one
     // round-robin fan-out Exchange, full parallelism downstream
     val docs = graft.Tables.load(spark, sf, "documents")
-    assert(docs.rdd.getNumPartitions < target, "fixture no longer narrow?")
+    val width = TextOps.fanOutWidth(docs, target)
+    assert(docs.rdd.getNumPartitions < width, "fixture no longer narrow?")
+    // width is data-sized (r17): ~64 KB of compressed input per task,
+    // clamped to [2, cores] — never wider than the session's cores
+    assert(width >= 2 && width <= target, s"width $width outside [2, $target]")
     val fanned = TextOps.fanOutIfNarrow(docs, target)
-    assert(fanned.rdd.getNumPartitions == target)
+    assert(fanned.rdd.getNumPartitions == width)
     assert(fanned.queryExecution.executedPlan.toString.contains("Exchange"))
     // an input already at >= target partitions (the 100 TB regime, where
     // the scan parallelizes on its own) must come back UNCHANGED — the
